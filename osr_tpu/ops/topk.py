@@ -1,0 +1,77 @@
+"""Top-k selection on TPU.
+
+Replaces the reference's Numba ``fast_topk_selection`` (argpartition +
+partial sort, reference rag_system/core/retrieval.py:79-93 and the
+int32-stabilized variant in evaluate_rag_pipeline.py:124-159) and the top-k
+algorithm zoo in reference tests/topk_selection.py:15-265 (heap, quickselect,
+partial selection sort, sampling-based approximate).
+
+On TPU one canonical primitive covers them all: ``lax.top_k`` compiles to an
+efficient sorting network on the VPU. Two extras are provided:
+
+- :func:`merge_topk` — hierarchical merge of per-bucket / per-shard partial
+  top-k results (the building block for bucketed indexes and for the
+  multi-chip all-gather merge in osr_tpu/parallel/sharded.py).
+- :func:`approx_topk_threshold` — the sampling-threshold approximate variant
+  (semantics of reference tests/topk_selection.py:152-199): estimate the
+  k-th value from a strided sample, prefilter, then exact top-k. On TPU this
+  is mainly useful to cut the sort width for very large N.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def topk(scores: jax.Array, *, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact descending top-k along the last axis: (values, indices)."""
+    kk = min(k, scores.shape[-1])
+    return lax.top_k(scores, kk)
+
+
+def merge_topk(
+    scores_parts: Sequence[jax.Array],  # each (B, k_i)
+    ids_parts: Sequence[jax.Array],  # each (B, k_i) global ids
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge partial top-k results (already globally-id'd) into a final top-k.
+
+    Concatenates the candidate sets and re-selects; with P parts this costs
+    O(B * sum k_i) — independent of corpus size.
+    """
+    all_scores = jnp.concatenate(list(scores_parts), axis=-1)
+    all_ids = jnp.concatenate(list(ids_parts), axis=-1)
+    kk = min(k, all_scores.shape[-1])
+    top_scores, pos = lax.top_k(all_scores, kk)
+    return top_scores, jnp.take_along_axis(all_ids, pos, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sample_stride"))
+def approx_topk_threshold(
+    scores: jax.Array, *, k: int, sample_stride: int = 64
+) -> Tuple[jax.Array, jax.Array]:
+    """Sampling-threshold approximate top-k (reference
+    tests/topk_selection.py:152-199 semantics, vectorized).
+
+    Estimates the k-th largest value from a strided sample and masks scores
+    below it before the exact selection. With a conservative threshold
+    (sampled k-th value scaled down) recall@k stays >= the reference suite's
+    90%-overlap acceptance bar (reference tests/topk_selection.py:329-343).
+    """
+    n = scores.shape[-1]
+    kk = min(k, n)
+    sample = scores[..., ::sample_stride]
+    m = sample.shape[-1]
+    sk = min(max(1, (kk * m) // n + 1), m)
+    thresh = lax.top_k(sample, sk)[0][..., -1:]
+    # Conservative margin: keep anything within one sample-std of the
+    # estimated threshold.
+    margin = jnp.std(sample, axis=-1, keepdims=True)
+    masked = jnp.where(scores >= thresh - margin, scores, -jnp.inf)
+    return lax.top_k(masked, kk)

@@ -1,0 +1,257 @@
+"""Retriever registry — config-driven retriever construction.
+
+Routing matches the reference registry (reference
+rag_system/core/retriever_registry.py:562-626):
+
+- ``bm25`` / ``bm25_custom`` / ``bm25_retriever``  -> sparse BM25
+- ``tfidf``                                        -> sparse TF-IDF
+- ``dpr`` / ``contriever`` / ``splade``            -> quantized dense
+  retriever (synthetic embeddings unless an embedding file is configured)
+
+plus a ``sparse_dpr``-style mode: the reference *pipeline* scores dpr/
+contriever/splade experiments with the TF-IDF kernel over the term matrix
+(reference evaluate_rag_pipeline.py:392-399); set ``params.scoring='sparse'``
+to reproduce that measured configuration, and ``hybrid`` to mix sparse and
+dense scores (the ms_marco config's hybrid experiment,
+reference rag_system/configs/ms_marco_paper_results.yaml).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import numpy as np
+
+from osr_tpu.index.builder import SparseIndexBuilder, extract_text
+from osr_tpu.index.dense import (
+    load_embeddings,
+    synthetic_corpus_embeddings,
+    synthetic_query_embedding,
+)
+from osr_tpu.retrieval.engine import DenseSearchEngine, SparseSearchEngine
+
+logger = logging.getLogger(__name__)
+
+
+class SparseRetriever:
+    """BM25/TF-IDF retriever: index build + TPU engine behind the reference
+    duck-type ``{build_index_from_corpus, search}``."""
+
+    def __init__(
+        self,
+        method: str = "bm25",
+        model: Optional[str] = None,
+        k1: float = 1.2,
+        b: float = 0.75,
+        backend: str = "xla",
+        cache_dir: Optional[str] = ".rag_cache",
+        cache_matrices: bool = True,
+        **_: Any,
+    ):
+        self.method = method
+        self.model_name = model
+        self.builder = SparseIndexBuilder(method=method, k1=k1, b=b)
+        self.backend = backend
+        self.cache_dir = cache_dir if cache_matrices else None
+        self.index = None
+        self.engine: Optional[SparseSearchEngine] = None
+
+    def build_index_from_corpus(self, corpus: Mapping[str, Any]) -> None:
+        if self.cache_dir:
+            from osr_tpu.index.cache import load_or_build
+
+            self.index = load_or_build(self.builder, corpus, self.cache_dir)
+        else:
+            self.index = self.builder.build(corpus)
+        self.engine = SparseSearchEngine(self.index, backend=self.backend)
+
+    def search(
+        self, queries: Mapping[str, str], top_k: int = 10
+    ) -> Dict[str, Dict[str, float]]:
+        if self.engine is None:
+            raise ValueError(
+                "Index not built. Call build_index_from_corpus() first."
+            )
+        return self.engine.search(queries, top_k=top_k)
+
+    def clear_cache(self) -> None:
+        if self.engine is not None:
+            self.engine.clear_cache()
+
+
+class QuantizedDenseRetriever:
+    """INT8-quantized dense retriever (reference
+    retriever_registry.py:358-559 capability).
+
+    Embeddings come from (in priority order): an explicit ``embedding_fn``,
+    an ``embeddings_path`` file of real encoder outputs, or the synthetic
+    clustered generator. Query embeddings analogously: ``query_embedding_fn``
+    or the deterministic hash-seeded generator.
+    """
+
+    def __init__(
+        self,
+        method: str,
+        model: Optional[str] = None,
+        embedding_dim: int = 768,
+        use_quantization: bool = True,
+        quantization_method: str = "symmetric",
+        embeddings_path: Optional[str] = None,
+        embedding_fn: Optional[Callable] = None,
+        query_embedding_fn: Optional[Callable] = None,
+        **_: Any,
+    ):
+        self.method = method
+        self.model_name = model
+        self.embedding_dim = embedding_dim
+        self.quantization = (
+            quantization_method if use_quantization else "none"
+        )
+        self.embeddings_path = embeddings_path
+        self.embedding_fn = embedding_fn
+        self.query_embedding_fn = query_embedding_fn
+        self.engine: Optional[DenseSearchEngine] = None
+        self.doc_ids = []
+
+    def build_index_from_corpus(self, corpus: Mapping[str, Any]) -> None:
+        self.doc_ids = list(corpus.keys())
+        if self.embedding_fn is not None:
+            texts = [extract_text(corpus[d]) for d in self.doc_ids]
+            embeddings = np.asarray(self.embedding_fn(texts), dtype=np.float32)
+        elif self.embeddings_path:
+            embeddings = np.asarray(
+                load_embeddings(
+                    self.embeddings_path,
+                    num_docs=len(self.doc_ids),
+                    dim=self.embedding_dim,
+                )
+            )
+        else:
+            embeddings = synthetic_corpus_embeddings(
+                len(self.doc_ids), self.embedding_dim
+            )
+        self.embedding_dim = embeddings.shape[1]
+        self.engine = DenseSearchEngine(
+            self.doc_ids, embeddings, quantization=self.quantization
+        )
+
+    def embed_query(self, text: str) -> np.ndarray:
+        if self.query_embedding_fn is not None:
+            return np.asarray(self.query_embedding_fn(text), dtype=np.float32)
+        return synthetic_query_embedding(text, self.embedding_dim)
+
+    def search(
+        self, queries: Mapping[str, str], top_k: int = 10
+    ) -> Dict[str, Dict[str, float]]:
+        if self.engine is None:
+            raise ValueError(
+                "Index not built. Call build_index_from_corpus() first."
+            )
+        vectors = {
+            qid: self.embed_query(text)
+            for qid, text in queries.items()
+            if text
+        }
+        results = self.engine.search(vectors, top_k=top_k)
+        for qid in queries:
+            results.setdefault(qid, {})
+        return results
+
+
+class HybridRetriever:
+    """Weighted late fusion of a sparse and a dense retriever
+    (capability of the reference's ms_marco hybrid experiment:
+    sparse 0.3 + dense 0.7, reference configs/ms_marco_paper_results.yaml)."""
+
+    def __init__(
+        self,
+        sparse_weight: float = 0.3,
+        dense_weight: float = 0.7,
+        fusion_depth: int = 100,
+        **params: Any,
+    ):
+        self.sparse_weight = sparse_weight
+        self.dense_weight = dense_weight
+        self.fusion_depth = fusion_depth
+        self.sparse = SparseRetriever(method="bm25", **params)
+        self.dense = QuantizedDenseRetriever(method="hybrid_dense", **params)
+
+    def build_index_from_corpus(self, corpus: Mapping[str, Any]) -> None:
+        self.sparse.build_index_from_corpus(corpus)
+        self.dense.build_index_from_corpus(corpus)
+
+    @staticmethod
+    def _minmax(scores: Dict[str, float]) -> Dict[str, float]:
+        if not scores:
+            return {}
+        vals = list(scores.values())
+        lo, hi = min(vals), max(vals)
+        span = (hi - lo) or 1.0
+        return {d: (s - lo) / span for d, s in scores.items()}
+
+    def search(
+        self, queries: Mapping[str, str], top_k: int = 10
+    ) -> Dict[str, Dict[str, float]]:
+        s_res = self.sparse.search(queries, top_k=self.fusion_depth)
+        d_res = self.dense.search(queries, top_k=self.fusion_depth)
+        out: Dict[str, Dict[str, float]] = {}
+        for qid in queries:
+            fused: Dict[str, float] = {}
+            for doc, s in self._minmax(s_res.get(qid, {})).items():
+                fused[doc] = fused.get(doc, 0.0) + self.sparse_weight * s
+            for doc, s in self._minmax(d_res.get(qid, {})).items():
+                fused[doc] = fused.get(doc, 0.0) + self.dense_weight * s
+            ranked = sorted(fused.items(), key=lambda kv: -kv[1])[:top_k]
+            out[qid] = dict(ranked)
+        return out
+
+
+class RetrieverRegistry:
+    """Config-driven factory matching reference retriever_registry.py:562."""
+
+    _retrievers: Dict[str, Any] = {}
+
+    SPARSE_METHODS = ("bm25", "bm25_custom", "bm25_retriever", "tfidf")
+    DENSE_METHODS = ("dpr", "contriever", "splade", "ance")
+
+    @classmethod
+    def register(cls, name: str, retriever_class) -> None:
+        cls._retrievers[name] = retriever_class
+
+    @classmethod
+    def create(cls, config) -> Any:
+        if isinstance(config, str):
+            method, model, params = config, None, {}
+        else:
+            method = config.get("type", config.get("name"))
+            model = config.get("model")
+            params = dict(config.get("params", {}))
+        if not method:
+            raise ValueError("Retriever name/type not specified")
+        m = method.lower()
+        params.pop("top_k", None)  # search-time parameter, not constructor
+        if m in cls.SPARSE_METHODS:
+            return SparseRetriever(method=m, model=model, **params)
+        if m in cls.DENSE_METHODS:
+            scoring = params.pop("scoring", "dense")
+            if scoring == "sparse":
+                # Reproduce the reference *pipeline*'s measured configuration:
+                # dpr/contriever/splade scored by the TF-IDF sparse kernel
+                # (reference evaluate_rag_pipeline.py:392-399).
+                return SparseRetriever(method="tfidf", model=model, **params)
+            return QuantizedDenseRetriever(method=m, model=model, **params)
+        if m == "hybrid":
+            return HybridRetriever(**params)
+        if method in cls._retrievers:
+            return cls._retrievers[method](**params)
+        raise ValueError(f"Unknown retriever method: {method}")
+
+    @classmethod
+    def list_available(cls) -> Dict[str, Any]:
+        return {
+            "sparse": list(cls.SPARSE_METHODS),
+            "quantized_dense": list(cls.DENSE_METHODS),
+            "hybrid": ["hybrid"],
+            "registered_custom": list(cls._retrievers.keys()),
+        }

@@ -1,0 +1,133 @@
+"""Correctness-vs-oracle tests for the sparse scoring path.
+
+Pattern follows the reference test strategy (SURVEY.md §4): every optimized
+kernel is validated against a naive ground-truth implementation with
+absolute + relative tolerances and ranking-overlap checks.
+"""
+
+import numpy as np
+import pytest
+
+from osr_tpu.index.builder import SparseIndexBuilder
+from osr_tpu.ops.bm25 import build_query_matrix, score_ell_bucket
+from osr_tpu.retrieval.engine import SparseSearchEngine
+
+from tests.reference_impl import DenseOracleScorer, zipf_corpus, zipf_queries
+
+ATOL = 1e-3  # reference tests/bm25_performance.py uses np.allclose(atol=1e-3)
+RTOL = 1e-4
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return zipf_corpus(num_docs=300, vocab_size=800, avg_len=60)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return zipf_queries(num_queries=25, vocab_size=800, terms_per_query=6)
+
+
+def full_scores(engine, texts):
+    """Dense (B, N) score matrix via the bucketed device path."""
+    tids, wts = engine.encode_queries(texts)
+    import jax.numpy as jnp
+
+    qw = build_query_matrix(
+        jnp.asarray(tids), jnp.asarray(wts), vocab_rows=engine._vocab_rows
+    )
+    n = engine.index.num_docs
+    out = np.full((tids.shape[0], n), -np.inf, dtype=np.float32)
+    for db, host_bucket in zip(engine._buckets, engine.index.ell.buckets):
+        s = np.asarray(
+            score_ell_bucket(
+                qw,
+                db.term_ids,
+                db.weights,
+                db.valid,
+                chunk_rows=db.chunk_rows,
+            )
+        )
+        valid = np.asarray(host_bucket.valid)
+        out[:, host_bucket.doc_perm[valid]] = s[:, valid]
+    return out
+
+
+@pytest.mark.parametrize("method", ["bm25", "tfidf"])
+def test_scores_match_oracle(corpus, queries, method):
+    oracle = DenseOracleScorer(corpus, method=method)
+    index = SparseIndexBuilder(method=method).build(corpus)
+    engine = SparseSearchEngine(index)
+
+    texts = list(queries.values())
+    got = full_scores(engine, texts)
+    for i, text in enumerate(texts):
+        want = oracle.score(text).astype(np.float32)
+        np.testing.assert_allclose(got[i], want, atol=ATOL, rtol=RTOL)
+
+
+def test_search_ranking_matches_oracle(corpus, queries):
+    oracle = DenseOracleScorer(corpus, method="bm25")
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+    engine = SparseSearchEngine(index)
+    results = engine.search(queries, top_k=10)
+
+    for qid, text in queries.items():
+        want_idx, want_scores = oracle.topk(text, 10)
+        got = results[qid]
+        # positive-score results only, like the reference
+        want = {
+            oracle.doc_ids[i]: s
+            for i, s in zip(want_idx, want_scores)
+            if s > 0
+        }
+        assert set(got.keys()) == set(want.keys()), qid
+        for doc_id, s in want.items():
+            assert got[doc_id] == pytest.approx(s, abs=ATOL, rel=1e-3)
+
+
+def test_search_api_edge_cases(corpus):
+    index = SparseIndexBuilder().build(corpus)
+    engine = SparseSearchEngine(index)
+    # Rare terms: very common Zipf terms get negative Robertson IDF and are
+    # (correctly, like the reference) filtered by the score>0 rule.
+    res = engine.search(
+        {"empty": "", "ws": "   ", "oov": "zzzzz qqqqq", "ok": "term300 term450"},
+        top_k=5,
+    )
+    assert res["empty"] == {}
+    assert res["ws"] == {}
+    assert res["oov"] == {}  # no in-vocab terms -> no positive scores
+    assert len(res["ok"]) > 0
+
+
+def test_query_cache_hit(corpus):
+    index = SparseIndexBuilder().build(corpus)
+    engine = SparseSearchEngine(index)
+    r1 = engine.search({"a": "term1 term3"}, top_k=5)
+    assert len(engine._query_cache) == 1
+    r2 = engine.search({"b": "term1 term3"}, top_k=5)
+    assert r1["a"] == r2["b"]
+
+
+def test_duplicate_query_terms_accumulate(corpus):
+    oracle = DenseOracleScorer(corpus, method="bm25")
+    index = SparseIndexBuilder().build(corpus)
+    engine = SparseSearchEngine(index)
+    got = full_scores(engine, ["term1 term1 term1 term5"])
+    want = oracle.score("term1 term1 term1 term5").astype(np.float32)
+    np.testing.assert_allclose(got[0], want, atol=ATOL, rtol=RTOL)
+
+
+def test_empty_and_tiny_docs():
+    corpus = {
+        "d0": {"text": ""},
+        "d1": {"text": "alpha"},
+        "d2": {"text": "alpha beta gamma " * 50},
+    }
+    oracle = DenseOracleScorer(corpus, method="bm25")
+    index = SparseIndexBuilder().build(corpus)
+    engine = SparseSearchEngine(index)
+    got = full_scores(engine, ["alpha beta"])
+    want = oracle.score("alpha beta").astype(np.float32)
+    np.testing.assert_allclose(got[0], want, atol=ATOL, rtol=RTOL)

@@ -1,0 +1,53 @@
+import numpy as np
+import jax.numpy as jnp
+
+from osr_tpu.ops.topk import approx_topk_threshold, merge_topk, topk
+
+
+def test_topk_matches_argsort(rng):
+    scores = rng.randn(4, 1000).astype(np.float32)
+    vals, idx = topk(jnp.asarray(scores), k=10)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for b in range(4):
+        want = np.sort(scores[b])[::-1][:10]
+        np.testing.assert_allclose(vals[b], want, rtol=1e-6)
+        np.testing.assert_allclose(scores[b][idx[b]], want, rtol=1e-6)
+        # descending order
+        assert (np.diff(vals[b]) <= 0).all()
+
+
+def test_topk_k_larger_than_n(rng):
+    scores = rng.randn(2, 5).astype(np.float32)
+    vals, idx = topk(jnp.asarray(scores), k=50)
+    assert vals.shape == (2, 5)
+
+
+def test_merge_topk_equals_global(rng):
+    """Merging per-shard top-k must equal top-k over the concatenated corpus
+    (k <= shard k guarantees exactness)."""
+    n, k, parts = 600, 8, 3
+    scores = rng.randn(5, n).astype(np.float32)
+    splits = np.split(scores, parts, axis=1)
+    offs = [i * (n // parts) for i in range(parts)]
+    parts_vals, parts_ids = [], []
+    for off, s in zip(offs, splits):
+        v, i = topk(jnp.asarray(s), k=k)
+        parts_vals.append(v)
+        parts_ids.append(i + off)
+    mv, mi = merge_topk(parts_vals, parts_ids, k)
+    gv, gi = topk(jnp.asarray(scores), k=k)
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(gv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(gi))
+
+
+def test_approx_topk_overlap(rng):
+    """Approximate variant must keep >= 90% set overlap with exact top-k
+    (the reference suite's acceptance bar, tests/topk_selection.py:329-343)."""
+    scores = rng.randn(8, 20000).astype(np.float32)
+    k = 100
+    av, ai = approx_topk_threshold(jnp.asarray(scores), k=k)
+    ev, ei = topk(jnp.asarray(scores), k=k)
+    ai, ei = np.asarray(ai), np.asarray(ei)
+    for b in range(8):
+        overlap = len(set(ai[b]) & set(ei[b])) / k
+        assert overlap >= 0.9, overlap
