@@ -1,0 +1,133 @@
+#!/usr/bin/env python3
+"""Headline benchmark: batched BM25 QPS on a FiQA-scale corpus, on real TPU.
+
+Prints ONE JSON line:
+  {"metric": "bm25_qps_fiqa_scale", "value": <qps>, "unit": "queries/s",
+   "vs_baseline": <qps / 314.7>, ...extras}
+
+Baseline: the reference's measured end-to-end BM25 throughput on FiQA
+(57,638 docs, 6,648 queries, top_k=50) = 314.7 QPS on its Numba CPU pipeline
+(BASELINE.md; reference results/fiqa_bm25_custom_summary.json). The corpus
+here is synthetic but matched to FiQA's scale: same doc count, comparable
+length distribution and vocabulary size, identical tokenizer/scoring
+semantics — so the measured work per query (CSR nnz touched, top-k width)
+matches the reference workload. Real-data quality parity is enforced
+separately by score-parity tests against the exact-formula oracle.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_fiqa_scale_corpus(
+    num_docs=57_638, vocab_size=100_000, avg_len=130, seed=42
+):
+    """Vectorized Zipf corpus generator at FiQA scale."""
+    rng = np.random.RandomState(seed)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    cum = np.cumsum(probs)
+    lengths = np.maximum(
+        5, rng.gamma(2.0, avg_len / 2.0, size=num_docs).astype(np.int64)
+    )
+    total = int(lengths.sum())
+    token_ids = np.searchsorted(cum, rng.rand(total))
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    words = np.array([f"t{i}" for i in range(vocab_size)])
+    corpus = {}
+    for d in range(num_docs):
+        ids = token_ids[offsets[d] : offsets[d + 1]]
+        corpus[f"doc{d}"] = {"text": " ".join(words[ids])}
+    return corpus
+
+
+def make_queries(num_queries=6_648, vocab_size=100_000, avg_terms=11, seed=7):
+    rng = np.random.RandomState(seed)
+    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    cum = np.cumsum(probs)
+    queries = {}
+    for i in range(num_queries):
+        n = max(2, int(rng.poisson(avg_terms)))
+        ids = np.searchsorted(cum, rng.rand(n))
+        queries[f"q{i}"] = " ".join(f"t{j}" for j in ids)
+    return queries
+
+
+def main():
+    import jax
+
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.retrieval.engine import SparseSearchEngine
+
+    device = jax.devices()[0]
+    print(f"# device: {device}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    corpus = make_fiqa_scale_corpus()
+    queries = make_queries()
+    gen_time = time.perf_counter() - t0
+    print(f"# corpus+queries generated in {gen_time:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    index = SparseIndexBuilder(method="bm25", k1=1.2, b=0.75).build(corpus)
+    build_time = time.perf_counter() - t0
+    print(
+        f"# index built in {build_time:.1f}s: {index.stats()}",
+        file=sys.stderr,
+    )
+
+    engine = SparseSearchEngine(
+        index, device=device, batch_sizes=(128,), cache_queries=False, topk_mode="fast"
+    )
+
+    top_k = 50
+    qitems = list(queries.items())
+
+    # Warmup / compile: two batches.
+    warm = dict(qitems[:256])
+    t0 = time.perf_counter()
+    engine.search(warm, top_k=top_k)
+    print(f"# warmup (compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    # Timed run over all queries.
+    t0 = time.perf_counter()
+    results = engine.search(queries, top_k=top_k)
+    elapsed = time.perf_counter() - t0
+    qps = len(queries) / elapsed
+
+    # p50 single-batch latency (128 queries per dispatch).
+    lat = []
+    for i in range(0, 10 * 128, 128):
+        batch = dict(qitems[i : i + 128])
+        t0 = time.perf_counter()
+        engine.search(batch, top_k=top_k)
+        lat.append((time.perf_counter() - t0) / len(batch) * 1000)
+    p50_ms = float(np.percentile(lat, 50))
+
+    n_nonempty = sum(1 for r in results.values() if r)
+    baseline_qps = 314.7  # BASELINE.md: reference Numba pipeline on FiQA
+    out = {
+        "metric": "bm25_qps_fiqa_scale",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / baseline_qps, 2),
+        "p50_latency_ms_per_query": round(p50_ms, 4),
+        "index_build_s": round(build_time, 2),
+        "num_docs": index.num_docs,
+        "num_queries": len(queries),
+        "top_k": top_k,
+        "nonempty_results": n_nonempty,
+        "index_memory_mb": round(index.layout.nbytes / 2**20, 1),
+        "device": str(device),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

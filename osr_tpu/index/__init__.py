@@ -1,13 +1,13 @@
 from osr_tpu.index.tokenizer import tokenize, Tokenizer
 from osr_tpu.index.builder import SparseIndexBuilder, SparseIndex
-from osr_tpu.index.layout import BucketedEllIndex, EllBucket, pack_ell
+from osr_tpu.index.layout import HybridLayout, TailBucket, pack_hybrid
 
 __all__ = [
     "tokenize",
     "Tokenizer",
     "SparseIndexBuilder",
     "SparseIndex",
-    "BucketedEllIndex",
-    "EllBucket",
-    "pack_ell",
+    "HybridLayout",
+    "TailBucket",
+    "pack_hybrid",
 ]

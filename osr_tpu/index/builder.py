@@ -5,22 +5,23 @@ rag_system/core/retrieval.py:129-201 and
 rag_system/pipeline/evaluate_rag_pipeline.py:210-278):
 
 - tokenize with ``\\b\\w+\\b`` on lowercased text
-- vocabulary = sorted set of all corpus tokens
 - document length = total token count (with multiplicity)
 - BM25 IDF: ``log((N - df + 0.5) / (df + 0.5))`` (Robertson; may be negative)
 - TF-IDF IDF: ``log(N / (df + 1))``
 
-The TPU-first difference: instead of storing raw term frequencies and
-re-evaluating the BM25 saturation per query (the reference's Numba kernel
-recomputes ``tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` for every query), the
-full per-(doc, term) score weight — IDF included — is precomputed once at
-build time. Query scoring then reduces to
+Two deliberate TPU-first departures from the reference's representation
+(scores are unchanged — parity is enforced against an exact-formula oracle):
 
-    score(q, d) = sum_t weights[d, t] * query_tf[q, t]
-
-for both BM25 and TF-IDF, i.e. a single sparse-times-dense contraction that
-the device kernels implement (see osr_tpu/ops/bm25.py). This is exact, not an
-approximation: the saturation depends only on build-time quantities.
+1. **Precomputed weights.** The BM25 saturation and IDF depend only on
+   build-time quantities, so the full per-(doc, term) score weight is
+   computed once here; query scoring is then a single sparse-times-dense
+   contraction for both BM25 and TF-IDF (reference recomputes the
+   saturation inside the Numba kernel for every query).
+2. **Frequency-ordered vocabulary.** Term ids are assigned by descending
+   document frequency (ties broken alphabetically) instead of
+   alphabetically, so the hybrid layout's dense head is a contiguous id
+   range — see index/layout.py. The reference's alphabetical order
+   (retrieval.py:155) carries no semantics; scores are id-order invariant.
 """
 
 from __future__ import annotations
@@ -30,16 +31,17 @@ import hashlib
 import time
 import logging
 from collections import Counter
-from pathlib import Path
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
 from osr_tpu.index.tokenizer import Tokenizer, tokenize
 from osr_tpu.index.layout import (
+    DEFAULT_HEAD_BUDGET_BYTES,
     DEFAULT_WIDTHS,
-    BucketedEllIndex,
-    pack_ell,
+    HybridLayout,
+    choose_head_terms,
+    pack_hybrid,
 )
 
 logger = logging.getLogger(__name__)
@@ -82,18 +84,18 @@ def bm25_saturation(
 
 @dataclasses.dataclass
 class SparseIndex:
-    """A built sparse index: host metadata + the device-ready ELL layout."""
+    """A built sparse index: host metadata + the device-ready layout."""
 
     method: str  # 'bm25' or 'tfidf'
-    vocabulary: Dict[str, int]
+    vocabulary: Dict[str, int]  # term -> id (descending-df order)
     doc_ids: List[str]
-    ell: BucketedEllIndex
-    idf: np.ndarray  # (V,) float32
+    layout: HybridLayout
+    idf: np.ndarray  # (V,) float32, indexed by id
     doc_lengths: np.ndarray  # (N,) float32 (total token counts)
     avgdl: float
     k1: float
     b: float
-    # Raw per-doc sparse rows kept for oracle tests / re-weighting; optional.
+    # Raw per-doc sparse rows kept for cache serialization / re-weighting.
     doc_term_ids: Optional[List[np.ndarray]] = None
     doc_tfs: Optional[List[np.ndarray]] = None
 
@@ -109,7 +111,7 @@ class SparseIndex:
         return Tokenizer(self.vocabulary)
 
     def stats(self) -> Dict[str, object]:
-        s = self.ell.stats()
+        s = self.layout.stats()
         s.update(
             {
                 "method": self.method,
@@ -121,6 +123,31 @@ class SparseIndex:
         return s
 
 
+def compute_doc_weights(
+    doc_term_ids: Sequence[np.ndarray],
+    doc_tfs: Sequence[np.ndarray],
+    doc_lengths: np.ndarray,
+    idf: np.ndarray,
+    method: str,
+    k1: float,
+    b: float,
+    avgdl: float,
+) -> List[np.ndarray]:
+    """Precompute the per-(doc, term) score weights."""
+    out: List[np.ndarray] = []
+    for i in range(len(doc_term_ids)):
+        tids, tfs = doc_term_ids[i], doc_tfs[i]
+        if tids.size == 0:
+            out.append(tfs)
+            continue
+        if method == "bm25":
+            sat = bm25_saturation(tfs, float(doc_lengths[i]), k1, b, avgdl)
+            out.append((idf[tids] * sat).astype(np.float32))
+        else:
+            out.append((idf[tids] * tfs).astype(np.float32))
+    return out
+
+
 class SparseIndexBuilder:
     """Builds a :class:`SparseIndex` from a corpus mapping doc_id -> doc."""
 
@@ -129,6 +156,8 @@ class SparseIndexBuilder:
         method: str = "bm25",
         k1: float = 1.2,
         b: float = 0.75,
+        head_terms: Optional[int] = None,
+        head_budget_bytes: int = DEFAULT_HEAD_BUDGET_BYTES,
         widths: Sequence[int] = DEFAULT_WIDTHS,
         min_bucket_docs: int = 1024,
         keep_raw_rows: bool = False,
@@ -146,6 +175,8 @@ class SparseIndexBuilder:
         self.method = method
         self.k1 = float(k1)
         self.b = float(b)
+        self.head_terms = head_terms
+        self.head_budget_bytes = head_budget_bytes
         self.widths = tuple(widths)
         self.min_bucket_docs = min_bucket_docs
         self.keep_raw_rows = keep_raw_rows
@@ -156,65 +187,72 @@ class SparseIndexBuilder:
         t0 = time.perf_counter()
         doc_ids = list(corpus.keys())
 
-        # Tokenize + vocabulary (sorted set, like reference retrieval.py:155).
-        token_lists: List[List[str]] = []
-        vocab_set: set = set()
-        for doc_id in doc_ids:
-            toks = tokenize(extract_text(corpus[doc_id]))
-            token_lists.append(toks)
-            vocab_set.update(toks)
-        vocabulary = {term: i for i, term in enumerate(sorted(vocab_set))}
-        vocab_size = len(vocabulary)
-
-        # Per-doc sparse rows (sorted unique term ids + counts) and lengths.
+        # Pass 1: tokenize, per-doc term counts, document frequencies.
+        doc_counts: List[Counter] = []
+        df_counter: Counter = Counter()
         doc_lengths = np.zeros(len(doc_ids), dtype=np.float32)
-        doc_term_ids: List[np.ndarray] = []
-        doc_tfs: List[np.ndarray] = []
-        df = np.zeros(vocab_size, dtype=np.int64)
-        for i, toks in enumerate(token_lists):
+        for i, doc_id in enumerate(doc_ids):
+            toks = tokenize(extract_text(corpus[doc_id]))
             doc_lengths[i] = len(toks)
-            if toks:
-                counts = Counter(toks)
-                tids = np.fromiter(
-                    (vocabulary[t] for t in counts), dtype=np.int32, count=len(counts)
-                )
-                tfs = np.fromiter(counts.values(), dtype=np.float32, count=len(counts))
-                order = np.argsort(tids)
-                tids, tfs = tids[order], tfs[order]
-                df[tids] += 1
-            else:
-                tids = np.empty(0, dtype=np.int32)
-                tfs = np.empty(0, dtype=np.float32)
-            doc_term_ids.append(tids)
-            doc_tfs.append(tfs)
+            counts = Counter(toks)
+            doc_counts.append(counts)
+            df_counter.update(counts.keys())
+
+        # Vocabulary numbered by descending df, ties alphabetical.
+        terms_sorted = sorted(df_counter.items(), key=lambda kv: (-kv[1], kv[0]))
+        vocabulary = {t: i for i, (t, _) in enumerate(terms_sorted)}
+        vocab_size = len(vocabulary)
+        df = np.fromiter(
+            (c for _, c in terms_sorted), dtype=np.int64, count=vocab_size
+        )
 
         num_docs = len(doc_ids)
         avgdl = float(doc_lengths.mean()) if num_docs else 0.0
+        idf = (
+            bm25_idf(df, num_docs)
+            if self.method == "bm25"
+            else tfidf_idf(df, num_docs)
+        )
 
-        if self.method == "bm25":
-            idf = bm25_idf(df, num_docs)
-        else:
-            idf = tfidf_idf(df, num_docs)
-
-        # Precompute per-(doc, term) score weights.
-        doc_weights: List[np.ndarray] = []
-        for i in range(num_docs):
-            tids, tfs = doc_term_ids[i], doc_tfs[i]
-            if tids.size == 0:
-                doc_weights.append(tfs)
-                continue
-            if self.method == "bm25":
-                sat = bm25_saturation(
-                    tfs, float(doc_lengths[i]), self.k1, self.b, avgdl
+        # Pass 2: per-doc (sorted term ids, tfs).
+        doc_term_ids: List[np.ndarray] = []
+        doc_tfs: List[np.ndarray] = []
+        for counts in doc_counts:
+            if counts:
+                tids = np.fromiter(
+                    (vocabulary[t] for t in counts),
+                    dtype=np.int32,
+                    count=len(counts),
                 )
-                doc_weights.append((idf[tids] * sat).astype(np.float32))
+                tfs = np.fromiter(
+                    counts.values(), dtype=np.float32, count=len(counts)
+                )
+                order = np.argsort(tids)
+                doc_term_ids.append(tids[order])
+                doc_tfs.append(tfs[order])
             else:
-                doc_weights.append((idf[tids] * tfs).astype(np.float32))
+                doc_term_ids.append(np.empty(0, dtype=np.int32))
+                doc_tfs.append(np.empty(0, dtype=np.float32))
 
-        ell = pack_ell(
+        doc_weights = compute_doc_weights(
+            doc_term_ids,
+            doc_tfs,
+            doc_lengths,
+            idf,
+            self.method,
+            self.k1,
+            self.b,
+            avgdl,
+        )
+
+        f = choose_head_terms(
+            num_docs, vocab_size, self.head_terms, self.head_budget_bytes
+        )
+        layout = pack_hybrid(
             doc_term_ids,
             doc_weights,
             vocab_size,
+            head_terms=f,
             widths=self.widths,
             min_bucket_docs=self.min_bucket_docs,
         )
@@ -223,7 +261,7 @@ class SparseIndexBuilder:
             method=self.method,
             vocabulary=vocabulary,
             doc_ids=doc_ids,
-            ell=ell,
+            layout=layout,
             idf=idf,
             doc_lengths=doc_lengths,
             avgdl=avgdl,
@@ -233,12 +271,14 @@ class SparseIndexBuilder:
             doc_tfs=doc_tfs if self.keep_raw_rows else None,
         )
         logger.info(
-            "Built %s index: %d docs, %d terms, %d buckets, %.1f MB in %.2fs",
+            "Built %s index: %d docs, %d terms, head=%d, %d tail buckets, "
+            "%.1f MB in %.2fs",
             self.method,
             num_docs,
             vocab_size,
-            len(ell.buckets),
-            ell.nbytes / 2**20,
+            f,
+            len(layout.buckets),
+            layout.nbytes / 2**20,
             time.perf_counter() - t0,
         )
         return index

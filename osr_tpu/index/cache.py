@@ -21,10 +21,10 @@ import numpy as np
 from osr_tpu.index.builder import (
     SparseIndex,
     SparseIndexBuilder,
-    bm25_saturation,
+    compute_doc_weights,
     corpus_fingerprint,
 )
-from osr_tpu.index.layout import pack_ell
+from osr_tpu.index.layout import choose_head_terms, pack_hybrid
 
 logger = logging.getLogger(__name__)
 
@@ -91,25 +91,32 @@ def load_index(
 
     doc_term_ids: List[np.ndarray] = []
     doc_tfs: List[np.ndarray] = []
-    doc_weights: List[np.ndarray] = []
     for i in range(len(doc_ids)):
         s, e = indptr[i], indptr[i + 1]
-        tids = flat_tids[s:e]
-        tfs = flat_tfs[s:e]
-        doc_term_ids.append(tids)
-        doc_tfs.append(tfs)
-        if builder.method == "bm25":
-            sat = bm25_saturation(
-                tfs, float(doc_lengths[i]), builder.k1, builder.b, avgdl
-            )
-            doc_weights.append((idf[tids] * sat).astype(np.float32))
-        else:
-            doc_weights.append((idf[tids] * tfs).astype(np.float32))
+        doc_term_ids.append(flat_tids[s:e])
+        doc_tfs.append(flat_tfs[s:e])
+    doc_weights = compute_doc_weights(
+        doc_term_ids,
+        doc_tfs,
+        doc_lengths,
+        idf,
+        builder.method,
+        builder.k1,
+        builder.b,
+        avgdl,
+    )
 
-    ell = pack_ell(
+    f = choose_head_terms(
+        len(doc_ids),
+        len(vocabulary),
+        builder.head_terms,
+        builder.head_budget_bytes,
+    )
+    layout = pack_hybrid(
         doc_term_ids,
         doc_weights,
         len(vocabulary),
+        head_terms=f,
         widths=builder.widths,
         min_bucket_docs=builder.min_bucket_docs,
     )
@@ -117,7 +124,7 @@ def load_index(
         method=builder.method,
         vocabulary=vocabulary,
         doc_ids=doc_ids,
-        ell=ell,
+        layout=layout,
         idf=idf,
         doc_lengths=doc_lengths,
         avgdl=avgdl,

@@ -1,115 +1,148 @@
-"""Bucketed padded-sparse (ELL) index layout for TPU.
+"""Hybrid dense-head / sparse-tail index layout for TPU.
 
 The reference stores the corpus term-frequency matrix as SciPy CSR and walks
 variable-length rows in a Numba loop (reference rag_system/core/retrieval.py:
-41-76). Variable row lengths don't map to TPU vector units, so here each
-document row is padded to a fixed slot width. To avoid paying the longest
-document's width for every document (corpus doc lengths are long-tailed),
-documents are partitioned into *width buckets*: each bucket holds the docs
-whose unique-term count fits its width, stored as dense
+41-76). Neither variable-length rows nor random gathers are where a TPU is
+fast; matmuls are. This layout exploits the Zipf shape of term frequencies:
 
-    term_ids : (num_docs_b, width) int32   — column (term) ids, 0-padded
-    weights  : (num_docs_b, width) float32 — precomputed per-(doc,term) score
-                                             weights, 0-padded
+1. The vocabulary is numbered by **descending document frequency** at build
+   time, so the most common terms occupy ids ``[0, F)``.
+2. The **head** — each document's weights over the top-F terms — is stored
+   as a dense ``(R, F)`` matrix. Head scoring for a query batch is ONE MXU
+   matmul against the first F rows of the dense query matrix (a contiguous
+   slice, no gather). The head absorbs most of each document's token mass
+   (~70-95% for Zipf/natural text), and its per-query HBM cost is tiny
+   because the weight reads amortize over the whole batch.
+3. The **tail** — the per-document rare terms (id >= F) — is short, so it
+   packs into narrow padded (ELL) rows scored by a bandwidth-bound
+   gather-multiply-reduce on the VPU. Documents are bucketed by tail width
+   so nobody pays the longest tail.
 
-Padding with weight 0 is exact: the scoring kernel computes
-``sum_k weights[d,k] * query_weight[term_ids[d,k]]`` so padded slots
-contribute nothing regardless of the term id they carry.
+Rows are ordered bucket-by-bucket; a ``doc_map`` row->global-doc-id array
+and ``valid`` mask recover identities after top-k. Padding slots carry
+weight 0, which is exact: every scoring term is ``weight * query_weight``.
 
-Scoring weights are precomputed at build time (see builder.py): the BM25
-term-frequency saturation depends only on (tf, doc_len), so the whole
-BM25/TF-IDF distinction collapses into the stored weights and query scoring
-becomes one bandwidth-bound multiply-gather-reduce per bucket.
+Scoring weights (BM25 saturation x IDF, or TF x IDF) are precomputed at
+build time — see builder.py — so this layout serves BM25 and TF-IDF with
+the same kernels.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-# Candidate slot widths. Multiples of 8 keep the trailing dims friendly to
-# TPU sublane tiling once transposed/blocked by the kernels.
+# Candidate tail slot widths.
 DEFAULT_WIDTHS: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
 
-# Pad each bucket's document count to a multiple of this so per-bucket score
-# blocks tile cleanly.
+# Pad each bucket's row count to a multiple of this (TPU sublane friendly).
 DOC_ALIGN = 8
+
+# Default HBM budget for the dense head (bytes of float32 weights).
+DEFAULT_HEAD_BUDGET_BYTES = 2 * 1024**3
+
+HEAD_ALIGN = 128  # lane-align the head dimension
 
 
 @dataclasses.dataclass
-class EllBucket:
-    """One fixed-width slice of the bucketed ELL index."""
+class TailBucket:
+    """One fixed-width slice of the sparse tail. ``width == 0`` marks the
+    pure-head bucket (documents whose every term is in the head)."""
 
     width: int
-    term_ids: np.ndarray  # (D, width) int32
-    weights: np.ndarray  # (D, width) float32
-    doc_perm: np.ndarray  # (D,) int32 — bucket-local row -> global doc index
-    valid: np.ndarray  # (D,) bool  — False for alignment-padding rows
-
-    @property
-    def num_rows(self) -> int:
-        return self.term_ids.shape[0]
-
-    @property
-    def num_docs(self) -> int:
-        return int(self.valid.sum())
+    row_offset: int  # first row of this bucket in the global row order
+    num_rows: int
+    term_ids: Optional[np.ndarray]  # (num_rows, width) int32, None if width==0
+    weights: Optional[np.ndarray]  # (num_rows, width) float32, None if width==0
 
     @property
     def nbytes(self) -> int:
-        return self.term_ids.nbytes + self.weights.nbytes + self.doc_perm.nbytes
+        n = 0
+        if self.term_ids is not None:
+            n += self.term_ids.nbytes + self.weights.nbytes
+        return n
 
 
 @dataclasses.dataclass
-class BucketedEllIndex:
-    """The full device-layout sparse index: a list of ELL buckets."""
+class HybridLayout:
+    """Device-ready index: dense head + bucketed sparse tail."""
 
-    buckets: List[EllBucket]
+    head_terms: int  # F
+    head_weights: np.ndarray  # (R, F) float32, rows in bucket order
+    buckets: List[TailBucket]
+    doc_map: np.ndarray  # (R,) int32 row -> global doc index
+    valid: np.ndarray  # (R,) bool
     num_docs: int
     vocab_size: int
 
     @property
-    def nbytes(self) -> int:
-        return sum(b.nbytes for b in self.buckets)
+    def num_rows(self) -> int:
+        return self.head_weights.shape[0]
 
     @property
-    def nnz(self) -> int:
-        return sum(int((b.weights != 0).sum()) for b in self.buckets)
+    def nbytes(self) -> int:
+        return (
+            self.head_weights.nbytes
+            + sum(b.nbytes for b in self.buckets)
+            + self.doc_map.nbytes
+        )
 
     def stats(self) -> Dict[str, object]:
+        tail_slots = sum(b.num_rows * b.width for b in self.buckets)
         return {
             "num_docs": self.num_docs,
+            "num_rows": self.num_rows,
             "vocab_size": self.vocab_size,
-            "num_buckets": len(self.buckets),
-            "bucket_widths": [b.width for b in self.buckets],
-            "bucket_rows": [b.num_rows for b in self.buckets],
-            "memory_mb": self.nbytes / (1024 * 1024),
-            "padding_overhead": (
-                sum(b.num_rows * b.width for b in self.buckets)
-                / max(1, sum(int(b.num_docs) for b in self.buckets))
-            ),
+            "head_terms": self.head_terms,
+            "head_mb": self.head_weights.nbytes / 2**20,
+            "num_tail_buckets": len(self.buckets),
+            "tail_widths": [b.width for b in self.buckets],
+            "tail_rows": [b.num_rows for b in self.buckets],
+            "tail_slots": tail_slots,
+            "memory_mb": self.nbytes / 2**20,
         }
 
 
-def _choose_widths(
-    row_lengths: np.ndarray, widths: Sequence[int], min_bucket_docs: int
-) -> List[int]:
-    """Pick the set of widths actually used, merging undersized buckets up.
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
-    A bucket with very few documents wastes a kernel dispatch; rows from such
-    buckets are promoted into the next larger width.
-    """
-    max_len = int(row_lengths.max(initial=0))
+
+def choose_head_terms(
+    num_docs: int,
+    vocab_size: int,
+    head_terms: Optional[int] = None,
+    head_budget_bytes: int = DEFAULT_HEAD_BUDGET_BYTES,
+) -> int:
+    """Pick F. Explicit ``head_terms`` wins; otherwise the largest
+    lane-aligned F that fits the budget, capped at 4096 (diminishing Zipf
+    coverage beyond) and at the vocabulary size."""
+    if head_terms is not None:
+        return max(min(head_terms, vocab_size), 0)
+    rows = max(_round_up(num_docs, DOC_ALIGN), 1)
+    by_budget = head_budget_bytes // (rows * 4)
+    f = int(min(4096, by_budget, vocab_size))
+    if f < vocab_size:  # lane-align the head slice when it isn't the whole V
+        f = (f // HEAD_ALIGN) * HEAD_ALIGN
+    return max(f, 0)
+
+
+def _choose_widths(
+    lengths: np.ndarray, widths: Sequence[int], min_bucket_docs: int
+) -> List[int]:
+    """Pick the tail widths actually used; undersized buckets merge upward."""
+    max_len = int(lengths.max(initial=0))
+    if max_len == 0:
+        return []
     usable = [w for w in widths if w < max_len] + [
         next((w for w in widths if w >= max_len), _round_up(max_len, 8))
     ]
-    # Count docs per tentative bucket.
     counts = {}
+    prev = 0
     for w in usable:
-        prev = max((u for u in usable if u < w), default=0)
-        counts[w] = int(((row_lengths > prev) & (row_lengths <= w)).sum())
-    # Merge small buckets upward (the largest bucket always survives).
+        counts[w] = int(((lengths > prev) & (lengths <= w)).sum())
+        prev = w
     chosen: List[int] = []
     carried = 0
     for w in usable:
@@ -121,71 +154,104 @@ def _choose_widths(
     return chosen
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def pack_ell(
+def pack_hybrid(
     doc_term_ids: Sequence[np.ndarray],
     doc_weights: Sequence[np.ndarray],
     vocab_size: int,
+    head_terms: int,
     widths: Sequence[int] = DEFAULT_WIDTHS,
     min_bucket_docs: int = 1024,
-) -> BucketedEllIndex:
-    """Pack per-document sparse rows into width buckets.
-
-    Args:
-      doc_term_ids: list of int arrays, the unique term ids of each document.
-      doc_weights: list of float arrays, the precomputed score weight of each
-        (doc, term) pair (same lengths as ``doc_term_ids``).
-      vocab_size: |V|; stored for bounds checks and query-vector sizing.
-      widths: candidate slot widths.
-      min_bucket_docs: buckets with fewer docs are merged into the next width.
-    """
+) -> HybridLayout:
+    """Pack per-document sparse rows (term ids in frequency order) into the
+    hybrid layout. ``doc_term_ids[i]`` must be sorted ascending."""
     num_docs = len(doc_term_ids)
-    row_lengths = np.asarray([len(t) for t in doc_term_ids], dtype=np.int64)
-    if num_docs == 0:
-        return BucketedEllIndex(buckets=[], num_docs=0, vocab_size=vocab_size)
+    f = head_terms
 
-    chosen = _choose_widths(row_lengths, widths, min_bucket_docs)
+    # Split head/tail per doc (ids sorted, so searchsorted splits cleanly).
+    splits = [int(np.searchsorted(t, f)) for t in doc_term_ids]
+    tail_lengths = np.asarray(
+        [len(t) - s for t, s in zip(doc_term_ids, splits)], dtype=np.int64
+    )
 
-    buckets: List[EllBucket] = []
-    prev_w = 0
+    chosen = _choose_widths(tail_lengths, widths, min_bucket_docs)
+
+    buckets: List[TailBucket] = []
+    order: List[np.ndarray] = []
+    row_offset = 0
     assigned = np.zeros(num_docs, dtype=bool)
+
+    # Pure-head bucket first (tail length 0).
+    zero_idx = np.nonzero(tail_lengths == 0)[0]
+    if zero_idx.size:
+        assigned[zero_idx] = True
+        rows = _round_up(zero_idx.size, DOC_ALIGN)
+        buckets.append(
+            TailBucket(
+                width=0,
+                row_offset=row_offset,
+                num_rows=rows,
+                term_ids=None,
+                weights=None,
+            )
+        )
+        order.append(zero_idx)
+        order.append(np.full(rows - zero_idx.size, -1, dtype=np.int64))
+        row_offset += rows
+
     for w in chosen:
-        sel = (~assigned) & (row_lengths <= w)
+        sel = (~assigned) & (tail_lengths <= w)
         idx = np.nonzero(sel)[0]
         assigned[idx] = True
         if idx.size == 0:
-            prev_w = w
             continue
         rows = _round_up(idx.size, DOC_ALIGN)
         term_ids = np.zeros((rows, w), dtype=np.int32)
         weights = np.zeros((rows, w), dtype=np.float32)
-        doc_perm = np.zeros(rows, dtype=np.int32)
-        valid = np.zeros(rows, dtype=bool)
         for r, d in enumerate(idx):
-            n = row_lengths[d]
+            s = splits[d]
+            n = len(doc_term_ids[d]) - s
             if n:
-                term_ids[r, :n] = doc_term_ids[d]
-                weights[r, :n] = doc_weights[d]
-            doc_perm[r] = d
-            valid[r] = True
+                term_ids[r, :n] = doc_term_ids[d][s:]
+                weights[r, :n] = doc_weights[d][s:]
         buckets.append(
-            EllBucket(
+            TailBucket(
                 width=w,
+                row_offset=row_offset,
+                num_rows=rows,
                 term_ids=term_ids,
                 weights=weights,
-                doc_perm=doc_perm,
-                valid=valid,
             )
         )
-        prev_w = w
+        order.append(idx)
+        order.append(np.full(rows - idx.size, -1, dtype=np.int64))
+        row_offset += rows
 
-    leftover = np.nonzero(~assigned)[0]
-    if leftover.size:  # pragma: no cover - _choose_widths covers max length
-        raise AssertionError(f"{leftover.size} docs exceeded all widths")
+    if num_docs and not assigned.all():  # pragma: no cover
+        raise AssertionError("unassigned docs in pack_hybrid")
 
-    return BucketedEllIndex(
-        buckets=buckets, num_docs=num_docs, vocab_size=vocab_size
+    row_docs = (
+        np.concatenate(order) if order else np.empty(0, dtype=np.int64)
+    )
+    total_rows = row_docs.shape[0]
+    valid = row_docs >= 0
+    doc_map = np.where(valid, row_docs, 0).astype(np.int32)
+
+    # Dense head, rows in bucket order.
+    head = np.zeros((total_rows, f), dtype=np.float32)
+    if f:
+        for row, d in enumerate(row_docs):
+            if d < 0:
+                continue
+            s = splits[d]
+            if s:
+                head[row, doc_term_ids[d][:s]] = doc_weights[d][:s]
+
+    return HybridLayout(
+        head_terms=f,
+        head_weights=head,
+        buckets=buckets,
+        doc_map=doc_map,
+        valid=valid,
+        num_docs=num_docs,
+        vocab_size=vocab_size,
     )

@@ -1,14 +1,17 @@
 from osr_tpu.ops.bm25 import (
     build_query_matrix,
-    score_ell_bucket,
-    score_and_topk_bucket,
+    hybrid_scores,
+    hybrid_score_topk,
+    bucket_scores,
 )
-from osr_tpu.ops.topk import topk, merge_topk
+from osr_tpu.ops.topk import topk, merge_topk, approx_topk_threshold
 
 __all__ = [
     "build_query_matrix",
-    "score_ell_bucket",
-    "score_and_topk_bucket",
+    "hybrid_scores",
+    "hybrid_score_topk",
+    "bucket_scores",
     "topk",
     "merge_topk",
+    "approx_topk_threshold",
 ]

@@ -3,45 +3,48 @@
 TPU-native replacement for the reference's Numba CSR kernels
 ``simd_bm25_score`` / ``simd_tfidf_score`` (reference
 rag_system/core/retrieval.py:41-76, rag_system/pipeline/
-evaluate_rag_pipeline.py:57-121). Differences by design:
+evaluate_rag_pipeline.py:57-121). Designed around three facts measured on
+v5e: (a) matmuls on the MXU are nearly free next to HBM traffic, (b) XLA
+row-gathers run far below streaming bandwidth, (c) every dispatch pays a
+fixed host-device cost — so the whole batch (query scatter, dense-head
+matmul, sparse-tail gathers, masking, top-k) is ONE fused jit dispatch.
 
-- **Batched**: the reference scores one query against all docs per kernel
-  call; here a whole query batch is scored per dispatch, amortizing all index
-  reads across the batch.
-- **Precomputed weights**: the BM25 saturation and IDF are folded into the
-  stored per-(doc, term) weights at build time (see index/builder.py), so the
-  kernel is method-agnostic:
+Pipeline per query batch (see index/layout.py for the layout):
 
-      scores[d, q] = sum_k weights[d, k] * qw[term_ids[d, k], q]
+1. ``build_query_matrix``: scatter the (B, Q) padded sparse queries into a
+   dense (V+1, B) matrix ``qw`` in HBM. Query term weights are small integer
+   counts, exactly representable in bfloat16 — the tail gathers read ``qw``
+   as bf16 to halve gather traffic with zero accuracy loss.
+2. Head: ``head_weights (R, F) @ qw[:F] (F, B)`` — a contiguous slice (the
+   vocabulary is frequency-ordered, no gather) feeding one MXU matmul in
+   f32/HIGHEST so score parity with the exact-formula oracle holds.
+3. Tail buckets: gather-multiply-reduce over padded rare-term rows,
+   chunked via ``lax.map`` so the (C, K, B) gather intermediate stays
+   VMEM-sized; accumulated into the head scores by static row ranges.
+4. Mask alignment-padding rows to -inf, ``lax.top_k``, map rows to global
+   doc ids.
 
-- **Dense-query-matrix gather**: the query batch is scattered once into a
-  (V, B) matrix ``qw`` in HBM; scoring gathers rows of ``qw`` (each row is a
-  contiguous (1, B) tile — lane-aligned when B is a multiple of 128). Per
-  doc-block the op is a bandwidth-bound multiply-reduce on the VPU; HBM
-  traffic is O(nnz_padded * B * 4) per batch, independent of |V|.
-
-The default path is pure XLA (`lax.map` over document chunks, letting XLA
-fuse gather+multiply+reduce). A Pallas kernel with manual double-buffered
-DMA is provided in osr_tpu/ops/pallas/scoring.py and selected via
-``backend='pallas'`` where profitable.
+Scores are exact w.r.t. the reference formulas (weights are f32, query
+counts exact in bf16, f32 accumulation) — validated at atol 1e-3 in
+tests/test_sparse_scoring.py like the reference's own kernel tests.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Target element budget for one (chunk, K, B) gather intermediate. Keeps the
-# fused gather/reduce working set comfortably inside VMEM at B=128.
+# Element budget for one (chunk, K, B) bf16 gather intermediate (~8MB at
+# B=128), keeping the fused gather/reduce working set inside VMEM.
 _CHUNK_ELEMENT_BUDGET = 32768
 
 
 def chunk_rows_for_width(width: int, num_rows: int) -> int:
-    """Number of ELL rows to score per chunk for a given slot width."""
+    """Tail rows to score per lax.map step for a given slot width."""
     c = max(8, _CHUNK_ELEMENT_BUDGET // max(width, 1))
     return min(c, max(num_rows, 1))
 
@@ -53,48 +56,38 @@ def build_query_matrix(
     *,
     vocab_rows: int,
 ) -> jax.Array:
-    """Scatter a padded sparse query batch into a dense (vocab_rows, B) matrix.
-
-    ``vocab_rows`` must be |V| + 1: the extra final row absorbs padding
-    entries (their weights are zero anyway). Duplicate (query, term) entries
-    accumulate, matching the Counter-built query TF vector of the reference
-    (reference retrieval.py:241-249).
-    """
+    """Scatter a padded sparse query batch into a dense (vocab_rows, B)
+    matrix. ``vocab_rows`` must be |V| + 1: the extra final row absorbs
+    padding entries (their weights are zero anyway). Duplicate (query, term)
+    entries accumulate, matching the Counter-built query TF vector of the
+    reference (reference retrieval.py:241-249)."""
     batch, q = term_ids.shape
     qw = jnp.zeros((vocab_rows, batch), dtype=jnp.float32)
-    cols = jnp.broadcast_to(jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, q))
+    cols = jnp.broadcast_to(
+        jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, q)
+    )
     return qw.at[term_ids.reshape(-1), cols.reshape(-1)].add(
         term_weights.reshape(-1).astype(jnp.float32)
     )
 
 
-def _score_chunk(qw: jax.Array, term_ids: jax.Array, weights: jax.Array) -> jax.Array:
-    """Score one document chunk: (C, K) x (V, B) -> (C, B)."""
-    gathered = qw[term_ids]  # (C, K, B)
-    return jnp.einsum(
-        "ckb,ck->cb",
-        gathered,
-        weights,
-        preferred_element_type=jnp.float32,
-    )
-
-
-@functools.partial(jax.jit, static_argnames=("chunk_rows",))
-def score_ell_bucket(
-    qw: jax.Array,  # (V+1, B) float32 dense query matrix
+def _ell_rows_scores(
+    qw_gather: jax.Array,  # (V+1, B) bf16
     term_ids: jax.Array,  # (D, K) int32
     weights: jax.Array,  # (D, K) float32
-    valid: jax.Array,  # (D,) bool
     *,
     chunk_rows: int,
 ) -> jax.Array:
-    """Score every document row of one ELL bucket against the query batch.
+    """Tail scores for one bucket: (D, B) float32.
 
-    Returns (B, D) float32 scores; alignment-padding rows get -inf so they
-    can never survive top-k.
+    The gather output is bf16 (query counts are exact in bf16); the
+    multiply/accumulate is explicit f32 elementwise so XLA cannot truncate
+    the f32 weights to bf16 on an MXU path.
     """
     d, k = term_ids.shape
-    b = qw.shape[1]
+    b = qw_gather.shape[1]
+    if d == 0 or k == 0:
+        return jnp.zeros((d, b), dtype=jnp.float32)
     c = min(chunk_rows, d)
     pad = (-d) % c
     if pad:
@@ -102,37 +95,126 @@ def score_ell_bucket(
         weights = jnp.pad(weights, ((0, pad), (0, 0)))
     nchunks = (d + pad) // c
 
-    chunked = lax.map(
-        lambda args: _score_chunk(qw, *args),
-        (
-            term_ids.reshape(nchunks, c, k),
-            weights.reshape(nchunks, c, k),
-        ),
-    )  # (nchunks, C, B)
-    scores = chunked.reshape(d + pad, b)[:d].T  # (B, D)
-    return jnp.where(valid[None, :], scores, -jnp.inf)
+    def chunk(args):
+        ti, w = args  # (C, K), (C, K)
+        g = qw_gather[ti]  # (C, K, B) bf16 gather
+        return (g.astype(jnp.float32) * w[..., None]).sum(axis=1)  # (C, B)
+
+    out = lax.map(
+        chunk,
+        (term_ids.reshape(nchunks, c, k), weights.reshape(nchunks, c, k)),
+    )
+    return out.reshape(d + pad, b)[:d]
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_rows", "k"))
-def score_and_topk_bucket(
-    qw: jax.Array,
-    term_ids: jax.Array,
-    weights: jax.Array,
-    valid: jax.Array,
-    doc_perm: jax.Array,  # (D,) int32 bucket-local row -> global doc index
+def _head_scores(head_weights: jax.Array, qw: jax.Array) -> jax.Array:
+    """(R, F) @ (F, B) on the MXU in full f32 (HIGHEST) for score parity."""
+    f = head_weights.shape[1]
+    return lax.dot_general(
+        head_weights,
+        qw[:f],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vocab_rows", "k", "tail_meta", "topk_mode"),
+)
+def hybrid_score_topk(
+    q_term_ids: jax.Array,  # (B, Q) int32
+    q_weights: jax.Array,  # (B, Q) float32
+    head_weights: jax.Array,  # (R, F) float32
+    tail_term_ids: Tuple[jax.Array, ...],  # per tail bucket (rows_i, K_i)
+    tail_weights: Tuple[jax.Array, ...],
+    valid: jax.Array,  # (R,) bool
+    doc_map: jax.Array,  # (R,) int32
+    *,
+    vocab_rows: int,
+    k: int,
+    tail_meta: Tuple[Tuple[int, int], ...],  # (row_offset, chunk_rows) per bucket
+    topk_mode: str = "exact",  # 'exact' | 'fast' (see ops/topk.py:fast_topk)
+) -> Tuple[jax.Array, jax.Array]:
+    """The full batched search step in one dispatch.
+
+    Returns (scores (B, k'), global_doc_ids (B, k')), k' = min(k, R).
+    """
+    from osr_tpu.ops.topk import fast_topk
+
+    scores = hybrid_scores(
+        q_term_ids,
+        q_weights,
+        head_weights,
+        tail_term_ids,
+        tail_weights,
+        vocab_rows=vocab_rows,
+        tail_meta=tail_meta,
+    )  # (R, B)
+    scores = jnp.where(valid[:, None], scores, -jnp.inf)
+    kk = min(k, scores.shape[0])
+    if topk_mode == "fast":
+        top_scores, top_rows = fast_topk(scores.T, k=kk)
+    else:
+        top_scores, top_rows = lax.top_k(scores.T, kk)  # (B, kk)
+    return top_scores, doc_map[top_rows]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("vocab_rows", "tail_meta"),
+)
+def hybrid_scores(
+    q_term_ids: jax.Array,
+    q_weights: jax.Array,
+    head_weights: jax.Array,
+    tail_term_ids: Tuple[jax.Array, ...],
+    tail_weights: Tuple[jax.Array, ...],
+    *,
+    vocab_rows: int,
+    tail_meta: Tuple[Tuple[int, int], ...],
+) -> jax.Array:
+    """Dense (R, B) scores over all index rows (head + tail)."""
+    r = head_weights.shape[0]
+    b = q_term_ids.shape[0]
+    qw = build_query_matrix(q_term_ids, q_weights, vocab_rows=vocab_rows)
+    if head_weights.shape[1]:
+        scores = _head_scores(head_weights, qw)
+    else:
+        scores = jnp.zeros((r, b), dtype=jnp.float32)
+    qw_b = qw.astype(jnp.bfloat16)
+    for (offset, chunk_rows), ti, w in zip(
+        tail_meta, tail_term_ids, tail_weights
+    ):
+        tail = _ell_rows_scores(qw_b, ti, w, chunk_rows=chunk_rows)
+        scores = scores.at[offset : offset + ti.shape[0], :].add(tail)
+    return scores
+
+
+# ---------------------------------------------------------------------------
+# Per-bucket primitives used by the sharded (shard_map) path, where each
+# bucket's rows are partitioned across the document mesh axis.
+# ---------------------------------------------------------------------------
+
+
+def bucket_scores(
+    qw: jax.Array,  # (V+1, B) float32
+    head_slice: jax.Array,  # (rows, F) float32
+    term_ids: Optional[jax.Array],  # (rows, K) int32 or None (pure head)
+    weights: Optional[jax.Array],
     *,
     chunk_rows: int,
-    k: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Fused score + per-bucket top-k.
-
-    Returns (top_scores (B, k'), top_global_ids (B, k')) with k' = min(k, D).
-    Keeping only top-k per bucket on device means the merge step moves
-    O(B * buckets * k) elements instead of O(B * D).
-    """
-    scores = score_ell_bucket(
-        qw, term_ids, weights, valid, chunk_rows=chunk_rows
-    )
-    kk = min(k, scores.shape[1])
-    top_scores, top_local = lax.top_k(scores, kk)
-    return top_scores, doc_perm[top_local]
+) -> jax.Array:
+    """(rows, B) scores of one bucket. Not jitted: inlined by callers."""
+    if head_slice.shape[1]:
+        scores = _head_scores(head_slice, qw)
+    else:
+        scores = jnp.zeros(
+            (head_slice.shape[0], qw.shape[1]), dtype=jnp.float32
+        )
+    if term_ids is not None and term_ids.shape[1]:
+        scores = scores + _ell_rows_scores(
+            qw.astype(jnp.bfloat16), term_ids, weights, chunk_rows=chunk_rows
+        )
+    return scores

@@ -35,6 +35,29 @@ def topk(scores: jax.Array, *, k: int) -> Tuple[jax.Array, jax.Array]:
     return lax.top_k(scores, kk)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "overfetch"))
+def fast_topk(
+    scores: jax.Array, *, k: int, overfetch: int = 2
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage top-k: coarse bf16 selection, exact f32 re-rank.
+
+    TPU's sort-based TopK cost is dominated by data width; selecting
+    ``overfetch*k`` candidates on a bfloat16 copy halves the sorted bytes,
+    then the candidates' full-precision scores are gathered and re-ranked
+    exactly. Returned *scores* are always exact f32. Membership at the k-th
+    boundary can differ from exact top-k only if more than
+    ``(overfetch-1)*k`` entries collide within one bf16 ulp of the boundary
+    value — measured recall 1.0 on benchmark data; the engine's default
+    remains exact (``topk_mode='exact'``)."""
+    n = scores.shape[-1]
+    kk = min(k, n)
+    cf = min(kk * overfetch, n)
+    _, coarse_idx = lax.top_k(scores.astype(jnp.bfloat16), cf)
+    cand = jnp.take_along_axis(scores, coarse_idx, axis=-1)
+    vals, pos = lax.top_k(cand, kk)
+    return vals, jnp.take_along_axis(coarse_idx, pos, axis=-1)
+
+
 def merge_topk(
     scores_parts: Sequence[jax.Array],  # each (B, k_i)
     ids_parts: Sequence[jax.Array],  # each (B, k_i) global ids

@@ -1,0 +1,9 @@
+from osr_tpu.parallel.mesh import make_mesh, pick_mesh_shape
+from osr_tpu.parallel.sharded import ShardedSparseSearchEngine, ShardedDenseSearchEngine
+
+__all__ = [
+    "make_mesh",
+    "pick_mesh_shape",
+    "ShardedSparseSearchEngine",
+    "ShardedDenseSearchEngine",
+]

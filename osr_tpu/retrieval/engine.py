@@ -10,12 +10,13 @@ Host/device split:
 - host: tokenization, query batching/padding, result-dict assembly, the
   query cache (reference retrieval.py:287-289 semantics: capped insert-only
   cache keyed on (query text, top_k)).
-- device: dense query-matrix scatter, bucketed ELL scoring, per-bucket
-  top-k, cross-bucket merge — all jit-compiled, batched, HBM-resident.
+- device: the whole batched search step — query scatter, dense-head MXU
+  matmul, sparse-tail gathers, top-k — as ONE jit dispatch (see
+  osr_tpu/ops/bm25.py), with batches pipelined asynchronously so fixed
+  per-dispatch host/device latency overlaps across batches.
 
-Batches are padded to a small fixed menu of sizes so the jitted kernels
-compile once per (bucket, batch-size) pair and are reused for the lifetime
-of the engine.
+Batches are padded to a small fixed menu of sizes so the jitted step
+compiles once per batch-size and is reused for the lifetime of the engine.
 """
 
 from __future__ import annotations
@@ -31,11 +32,10 @@ import numpy as np
 from osr_tpu.index.builder import SparseIndex
 from osr_tpu.index.tokenizer import Tokenizer
 from osr_tpu.ops.bm25 import (
-    build_query_matrix,
     chunk_rows_for_width,
-    score_and_topk_bucket,
+    hybrid_score_topk,
+    hybrid_scores,
 )
-from osr_tpu.ops.topk import merge_topk
 
 logger = logging.getLogger(__name__)
 
@@ -46,18 +46,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-class _DeviceBucket:
-    """Device-resident arrays of one ELL bucket."""
+class _DeviceIndex:
+    """Device-resident arrays of a :class:`HybridLayout`."""
 
-    def __init__(self, bucket, device):
-        self.width = bucket.width
-        self.num_rows = bucket.num_rows
+    def __init__(self, layout, device):
         put = lambda a: jax.device_put(a, device)
-        self.term_ids = put(bucket.term_ids)
-        self.weights = put(bucket.weights)
-        self.valid = put(bucket.valid)
-        self.doc_perm = put(bucket.doc_perm)
-        self.chunk_rows = chunk_rows_for_width(bucket.width, bucket.num_rows)
+        self.head_weights = put(layout.head_weights)
+        self.valid = put(layout.valid)
+        self.doc_map = put(layout.doc_map)
+        tail_ids: List[jax.Array] = []
+        tail_w: List[jax.Array] = []
+        meta: List[Tuple[int, int]] = []
+        for b in layout.buckets:
+            if b.term_ids is None:
+                continue
+            tail_ids.append(put(b.term_ids))
+            tail_w.append(put(b.weights))
+            meta.append(
+                (b.row_offset, chunk_rows_for_width(b.width, b.num_rows))
+            )
+        self.tail_term_ids = tuple(tail_ids)
+        self.tail_weights = tuple(tail_w)
+        self.tail_meta = tuple(meta)
 
 
 class SparseSearchEngine:
@@ -67,27 +77,23 @@ class SparseSearchEngine:
         self,
         index: SparseIndex,
         device=None,
-        backend: str = "xla",
         batch_sizes: Sequence[int] = DEFAULT_BATCH_SIZES,
         cache_queries: bool = True,
         query_cache_limit: int = 1000,
+        topk_mode: str = "exact",  # 'fast' halves top-k sort cost, see ops/topk.py
     ):
         self.index = index
         self.device = device if device is not None else jax.devices()[0]
-        if backend not in ("xla", "pallas"):
-            raise ValueError(f"Unknown backend: {backend}")
-        self.backend = backend
         self.batch_sizes = tuple(sorted(batch_sizes))
+        self.topk_mode = topk_mode
         self.tokenizer = Tokenizer(index.vocabulary)
         self._vocab_rows = index.vocab_size + 1  # last row absorbs padding
-        self._buckets = [
-            _DeviceBucket(b, self.device) for b in index.ell.buckets
-        ]
+        self._dev = _DeviceIndex(index.layout, self.device)
         # Query cache: (query_text, top_k) -> (ids, scores), insert-only with
         # a cap, matching reference retrieval.py:287-289.
-        self._query_cache: Optional[Dict[Tuple[str, int], Tuple[np.ndarray, np.ndarray]]] = (
-            {} if cache_queries else None
-        )
+        self._query_cache: Optional[
+            Dict[Tuple[str, int], Tuple[np.ndarray, np.ndarray]]
+        ] = ({} if cache_queries else None)
         self._cache_limit = query_cache_limit
         self._cache_lock = threading.RLock()
 
@@ -95,53 +101,53 @@ class SparseSearchEngine:
     # Device path
     # ------------------------------------------------------------------
 
-    def _score_topk_fn(self):
-        if self.backend == "pallas":
-            from osr_tpu.ops.pallas.scoring import score_and_topk_bucket_pallas
-
-            return score_and_topk_bucket_pallas
-        return score_and_topk_bucket
-
-    def search_token_batch(
-        self,
-        term_ids: np.ndarray,  # (B, Q) int32, pad = vocab_size
-        term_weights: np.ndarray,  # (B, Q) float32, pad = 0
-        top_k: int,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Device search over an already-encoded query batch.
-
-        Returns (scores (B, k), global_doc_indices (B, k)) as NumPy, sorted
-        descending. Entries padded (when corpus < k) carry -inf scores.
-        """
-        scores_dev, ids_dev = self.search_token_batch_device(
-            jnp.asarray(term_ids), jnp.asarray(term_weights), top_k
-        )
-        return np.asarray(scores_dev), np.asarray(ids_dev)
-
     def search_token_batch_device(
         self, term_ids: jax.Array, term_weights: jax.Array, top_k: int
     ) -> Tuple[jax.Array, jax.Array]:
-        qw = build_query_matrix(
-            term_ids, term_weights, vocab_rows=self._vocab_rows
+        """Async: returns device arrays (scores (B, k), global doc ids)."""
+        d = self._dev
+        return hybrid_score_topk(
+            term_ids,
+            term_weights,
+            d.head_weights,
+            d.tail_term_ids,
+            d.tail_weights,
+            d.valid,
+            d.doc_map,
+            vocab_rows=self._vocab_rows,
+            k=top_k,
+            tail_meta=d.tail_meta,
+            topk_mode=self.topk_mode,
         )
-        fn = self._score_topk_fn()
-        parts_scores: List[jax.Array] = []
-        parts_ids: List[jax.Array] = []
-        for db in self._buckets:
-            s, i = fn(
-                qw,
-                db.term_ids,
-                db.weights,
-                db.valid,
-                db.doc_perm,
-                chunk_rows=db.chunk_rows,
-                k=top_k,
-            )
-            parts_scores.append(s)
-            parts_ids.append(i)
-        if len(parts_scores) == 1:
-            return parts_scores[0], parts_ids[0]
-        return merge_topk(parts_scores, parts_ids, top_k)
+
+    def search_token_batch(
+        self, term_ids: np.ndarray, term_weights: np.ndarray, top_k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        s, i = self.search_token_batch_device(
+            jnp.asarray(term_ids), jnp.asarray(term_weights), top_k
+        )
+        return np.asarray(s), np.asarray(i)
+
+    def score_all(self, texts: Sequence[str]) -> np.ndarray:
+        """Dense (len(texts), num_docs) score matrix — the test/oracle API."""
+        d = self._dev
+        tids, wts = self.encode_queries(texts)
+        scores = hybrid_scores(
+            jnp.asarray(tids),
+            jnp.asarray(wts),
+            d.head_weights,
+            d.tail_term_ids,
+            d.tail_weights,
+            vocab_rows=self._vocab_rows,
+            tail_meta=d.tail_meta,
+        )  # (R, B)
+        scores = np.asarray(scores).T  # (B, R)
+        layout = self.index.layout
+        out = np.zeros((len(texts), self.index.num_docs), dtype=np.float32)
+        out[:, layout.doc_map[layout.valid]] = scores[
+            : len(texts), layout.valid
+        ]
+        return out
 
     # ------------------------------------------------------------------
     # Host path
@@ -173,10 +179,11 @@ class SparseSearchEngine:
     ) -> Dict[str, Dict[str, float]]:
         """Reference-compatible search API: {qid: {doc_id: score}}.
 
-        Matches reference retriever duck-type ``search(queries, top_k)``
+        Matches the reference retriever duck-type ``search(queries, top_k)``
         (reference retriever_registry.py:228): empty queries and queries with
         no in-vocabulary terms return {}; results keep only scores > 0,
-        sorted descending.
+        sorted descending. Batches are dispatched asynchronously and results
+        collected afterwards, so host work and device work overlap.
         """
         results: Dict[str, Dict[str, float]] = {}
         pending: List[Tuple[str, str]] = []
@@ -195,11 +202,17 @@ class SparseSearchEngine:
             pending.append((qid, text))
 
         max_b = self.batch_sizes[-1]
+        in_flight = []  # (chunk, device scores, device ids)
         for i in range(0, len(pending), max_b):
             chunk = pending[i : i + max_b]
-            texts = [t for _, t in chunk]
-            tids, wts = self.encode_queries(texts)
-            scores, ids = self.search_token_batch(tids, wts, top_k)
+            tids, wts = self.encode_queries([t for _, t in chunk])
+            s_dev, i_dev = self.search_token_batch_device(
+                jnp.asarray(tids), jnp.asarray(wts), top_k
+            )
+            in_flight.append((chunk, s_dev, i_dev))
+
+        for chunk, s_dev, i_dev in in_flight:
+            scores, ids = np.asarray(s_dev), np.asarray(i_dev)
             for row, (qid, text) in enumerate(chunk):
                 row_ids, row_scores = ids[row], scores[row]
                 if self._query_cache is not None:
@@ -217,9 +230,7 @@ class SparseSearchEngine:
     ) -> Dict[str, float]:
         doc_ids = self.index.doc_ids
         return {
-            doc_ids[int(i)]: float(s)
-            for i, s in zip(ids, scores)
-            if s > 0
+            doc_ids[int(i)]: float(s) for i, s in zip(ids, scores) if s > 0
         }
 
     def clear_cache(self) -> None:
@@ -229,7 +240,6 @@ class SparseSearchEngine:
 
     def stats(self) -> Dict[str, object]:
         s = self.index.stats()
-        s["backend"] = self.backend
         s["device"] = str(self.device)
         if self._query_cache is not None:
             s["query_cache_size"] = len(self._query_cache)
@@ -237,7 +247,7 @@ class SparseSearchEngine:
 
 
 class DenseSearchEngine:
-    """INT8-quantized (or fp32/bf16) dense retrieval on the MXU.
+    """INT8-quantized (or fp32) dense retrieval on the MXU.
 
     Replaces the reference's ``QuantizedEmbeddingRetriever`` scoring loop
     (reference retriever_registry.py:90-117,465-524): similarity is an int8
@@ -266,7 +276,9 @@ class DenseSearchEngine:
             self._scales = put(scales)
             self._mins = None
         elif quantization == "asymmetric":
-            values, scales, mins = qz.quantize_asymmetric(jnp.asarray(embeddings))
+            values, scales, mins = qz.quantize_asymmetric(
+                jnp.asarray(embeddings)
+            )
             self._docs = put(values)
             self._scales = put(scales)
             self._mins = put(mins)

@@ -44,15 +44,16 @@ class SparseRetriever:
         model: Optional[str] = None,
         k1: float = 1.2,
         b: float = 0.75,
-        backend: str = "xla",
+        head_terms: Optional[int] = None,
         cache_dir: Optional[str] = ".rag_cache",
         cache_matrices: bool = True,
         **_: Any,
     ):
         self.method = method
         self.model_name = model
-        self.builder = SparseIndexBuilder(method=method, k1=k1, b=b)
-        self.backend = backend
+        self.builder = SparseIndexBuilder(
+            method=method, k1=k1, b=b, head_terms=head_terms
+        )
         self.cache_dir = cache_dir if cache_matrices else None
         self.index = None
         self.engine: Optional[SparseSearchEngine] = None
@@ -64,7 +65,7 @@ class SparseRetriever:
             self.index = load_or_build(self.builder, corpus, self.cache_dir)
         else:
             self.index = self.builder.build(corpus)
-        self.engine = SparseSearchEngine(self.index, backend=self.backend)
+        self.engine = SparseSearchEngine(self.index)
 
     def search(
         self, queries: Mapping[str, str], top_k: int = 10

@@ -1,15 +1,17 @@
 """Test configuration: force an 8-device virtual CPU platform.
 
-Multi-device sharding tests run on CPU via XLA's host-platform device-count
-spoofing (the strategy SURVEY.md §4 prescribes); the real-TPU benchmark path
-is bench.py, which does NOT import this module.
+Multi-device sharding tests run on CPU via device-count spoofing (the
+strategy SURVEY.md §4 prescribes); the real-TPU benchmark path is bench.py,
+which does NOT import this module.
 
-Must run before anything imports jax.
+The TPU-tunnel plugin (sitecustomize in /root/.axon_site) registers itself
+by *config* (``jax_platforms='axon,cpu'``), which overrides JAX_PLATFORMS
+env vars — so the override here must also be config-level.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # must override the TPU tunnel platform
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,9 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: repeated test runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")

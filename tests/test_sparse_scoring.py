@@ -9,7 +9,6 @@ import numpy as np
 import pytest
 
 from osr_tpu.index.builder import SparseIndexBuilder
-from osr_tpu.ops.bm25 import build_query_matrix, score_ell_bucket
 from osr_tpu.retrieval.engine import SparseSearchEngine
 
 from tests.reference_impl import DenseOracleScorer, zipf_corpus, zipf_queries
@@ -29,34 +28,19 @@ def queries():
 
 
 def full_scores(engine, texts):
-    """Dense (B, N) score matrix via the bucketed device path."""
-    tids, wts = engine.encode_queries(texts)
-    import jax.numpy as jnp
-
-    qw = build_query_matrix(
-        jnp.asarray(tids), jnp.asarray(wts), vocab_rows=engine._vocab_rows
-    )
-    n = engine.index.num_docs
-    out = np.full((tids.shape[0], n), -np.inf, dtype=np.float32)
-    for db, host_bucket in zip(engine._buckets, engine.index.ell.buckets):
-        s = np.asarray(
-            score_ell_bucket(
-                qw,
-                db.term_ids,
-                db.weights,
-                db.valid,
-                chunk_rows=db.chunk_rows,
-            )
-        )
-        valid = np.asarray(host_bucket.valid)
-        out[:, host_bucket.doc_perm[valid]] = s[:, valid]
-    return out
+    """Dense (B, N) score matrix via the device path."""
+    return engine.score_all(texts)
 
 
 @pytest.mark.parametrize("method", ["bm25", "tfidf"])
-def test_scores_match_oracle(corpus, queries, method):
+@pytest.mark.parametrize("head_terms", [None, 0, 64])
+def test_scores_match_oracle(corpus, queries, method, head_terms):
+    """Score parity for the pure-dense (head covers all), pure-sparse
+    (head_terms=0) and hybrid (head_terms=64) layouts."""
     oracle = DenseOracleScorer(corpus, method=method)
-    index = SparseIndexBuilder(method=method).build(corpus)
+    index = SparseIndexBuilder(method=method, head_terms=head_terms).build(
+        corpus
+    )
     engine = SparseSearchEngine(index)
 
     texts = list(queries.values())
