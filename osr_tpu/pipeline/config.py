@@ -1,0 +1,51 @@
+"""YAML experiment configuration.
+
+Schema-compatible with the reference's configs (reference
+rag_system/configs/paper_results.yaml, loaded/validated at
+rag_research_pipeline.py:14-38):
+
+    output_dir: results
+    datasets_root: datasets        # optional, default 'datasets'
+    experiments:
+      - name: fiqa_bm25_custom
+        dataset: fiqa
+        retriever: {type: bm25_custom, model: null, params: {...}}
+        reader:    {type: extractive, params: {...}}
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Union
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    if not isinstance(cfg, dict):
+        raise ConfigError("Config must be a mapping")
+    experiments = cfg.get("experiments")
+    if not isinstance(experiments, list) or not experiments:
+        raise ConfigError("Config must contain a non-empty 'experiments' list")
+    for i, exp in enumerate(experiments):
+        for key in ("name", "dataset", "retriever"):
+            if key not in exp:
+                raise ConfigError(f"experiments[{i}] missing '{key}'")
+        if "type" not in exp["retriever"] and "name" not in exp["retriever"]:
+            raise ConfigError(f"experiments[{i}].retriever missing 'type'")
+    cfg.setdefault("output_dir", "results")
+    cfg.setdefault("datasets_root", "datasets")
+    return cfg
+
+
+def load_config(path: Union[str, Path]) -> Dict[str, Any]:
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(f"Config file not found: {path}")
+    with open(path, "r", encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+    return validate_config(cfg)

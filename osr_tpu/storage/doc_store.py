@@ -1,0 +1,356 @@
+"""Memory-mapped compressed binary document store.
+
+Capability parity with the reference's two storage implementations
+(rag_system/core/memory_index.py and tests/memory_mapping.py: per-doc
+binary records, zlib compression above a size threshold, an offset index,
+an LRU cache, batch fetch through a thread pool, sequential scans, and an
+``optimize`` re-compaction pass) — unified into one store.
+
+Format (single ``.osrd`` file):
+
+    [magic 'OSRD'][u32 version][u64 footer_offset]
+    [blob section: per-doc payloads, 16-byte aligned]
+    [footer: JSON {doc_id: [offset, stored_len, raw_len, flags]} zlib]
+
+The footer keeps the offset table human-debuggable while the hot path —
+random access into the blob section — goes through ``mmap`` so the OS page
+cache, not Python, decides residency (the corpus never has to fit in RAM).
+Payloads over ``compress_threshold`` bytes are zlib-compressed only when
+that actually shrinks them (the reference compressed unconditionally and
+measured a 0.993x "compression" ratio on incompressible data; see
+BASELINE.md). Decompression can route through the optional C++ codec in
+native/ when built.
+
+Unlike the reference's ``add_documents`` (which rewrites the whole file on
+every call, reference memory_index.py:300-335), appends here are
+incremental: new blobs append to the blob section and the footer is
+rewritten in place at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import mmap
+import struct
+import threading
+import zlib
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Union
+
+from osr_tpu.storage.documents import Document
+
+logger = logging.getLogger(__name__)
+
+MAGIC = b"OSRD"
+VERSION = 1
+HEADER_FMT = "<4sIQ"  # magic, version, footer offset
+HEADER_SIZE = struct.calcsize(HEADER_FMT)
+ALIGN = 16
+
+FLAG_COMPRESSED = 1
+
+try:  # optional native codec (see native/)
+    from osr_tpu.native import zlib_decompress as _native_decompress
+except Exception:  # pragma: no cover
+    _native_decompress = None
+
+
+class LRUCache:
+    """Thread-safe LRU bounded by entry count and total payload bytes
+    (reference memory_index.py:37-104 semantics)."""
+
+    def __init__(self, max_items: int = 1000, max_bytes: int = 100 * 2**20):
+        self.max_items = max_items
+        self.max_bytes = max_bytes
+        self._data: OrderedDict[str, Document] = OrderedDict()
+        self._sizes: Dict[str, int] = {}
+        self._bytes = 0
+        self._lock = threading.RLock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key: str) -> Optional[Document]:
+        with self._lock:
+            if key in self._data:
+                self._data.move_to_end(key)
+                self.hits += 1
+                return self._data[key]
+            self.misses += 1
+            return None
+
+    def put(self, key: str, doc: Document) -> None:
+        size = len(doc.text) + len(doc.title) + 64
+        with self._lock:
+            if key in self._data:
+                self._bytes -= self._sizes[key]
+                del self._data[key]
+            self._data[key] = doc
+            self._sizes[key] = size
+            self._bytes += size
+            while self._data and (
+                len(self._data) > self.max_items or self._bytes > self.max_bytes
+            ):
+                old_key, _ = self._data.popitem(last=False)
+                self._bytes -= self._sizes.pop(old_key)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._data.clear()
+            self._sizes.clear()
+            self._bytes = 0
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            total = self.hits + self.misses
+            return {
+                "items": len(self._data),
+                "bytes": self._bytes,
+                "hit_rate": self.hits / total if total else 0.0,
+            }
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+
+def _encode_payload(doc: Document, compress_threshold: int) -> tuple:
+    raw = json.dumps(
+        {"text": doc.text, "title": doc.title, "metadata": doc.metadata},
+        ensure_ascii=False,
+    ).encode("utf-8")
+    flags = 0
+    payload = raw
+    if len(raw) > compress_threshold:
+        compressed = zlib.compress(raw, 6)
+        if len(compressed) < len(raw):
+            payload = compressed
+            flags |= FLAG_COMPRESSED
+    return payload, len(raw), flags
+
+
+def _decode_payload(payload: bytes, raw_len: int, flags: int, doc_id: str) -> Document:
+    if flags & FLAG_COMPRESSED:
+        if _native_decompress is not None:
+            payload = _native_decompress(payload, raw_len)
+        else:
+            payload = zlib.decompress(payload)
+    record = json.loads(payload.decode("utf-8"))
+    return Document(
+        id=doc_id,
+        text=record.get("text", ""),
+        title=record.get("title", ""),
+        metadata=record.get("metadata", {}),
+    )
+
+
+class DocumentStore:
+    """Create/read a compressed binary corpus with mmap random access."""
+
+    def __init__(
+        self,
+        path: Union[str, Path],
+        create: bool = False,
+        cache_items: int = 1000,
+        cache_bytes: int = 100 * 2**20,
+        compress_threshold: int = 128,
+        num_workers: int = 4,
+    ):
+        self.path = Path(path)
+        self.compress_threshold = compress_threshold
+        self.num_workers = num_workers
+        self.cache = LRUCache(cache_items, cache_bytes)
+        self._lock = threading.RLock()
+        self._index: Dict[str, List[int]] = {}  # id -> [off, stored, raw, flags]
+        self._mm: Optional[mmap.mmap] = None
+        self._file = None
+        if create or not self.path.exists():
+            self._init_empty()
+        self._open()
+
+    # -- file lifecycle ---------------------------------------------------
+
+    def _init_empty(self) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        with open(self.path, "wb") as f:
+            footer = zlib.compress(json.dumps({}).encode())
+            f.write(struct.pack(HEADER_FMT, MAGIC, VERSION, HEADER_SIZE))
+            f.write(footer)
+
+    def _open(self) -> None:
+        self._file = open(self.path, "r+b")
+        header = self._file.read(HEADER_SIZE)
+        if len(header) < HEADER_SIZE:
+            raise ValueError(f"Truncated store header: {self.path}")
+        magic, version, footer_off = struct.unpack(HEADER_FMT, header)
+        if magic != MAGIC:
+            raise ValueError(f"Not an OSRD store: {self.path}")
+        if version != VERSION:
+            raise ValueError(f"Unsupported store version {version}")
+        self._file.seek(footer_off)
+        footer = self._file.read()
+        self._index = json.loads(zlib.decompress(footer).decode()) if footer else {}
+        self._footer_off = footer_off
+        self._remap()
+
+    def _remap(self) -> None:
+        if self._mm is not None:
+            self._mm.close()
+            self._mm = None
+        if self.path.stat().st_size > 0:
+            self._mm = mmap.mmap(
+                self._file.fileno(), 0, access=mmap.ACCESS_READ
+            )
+
+    # -- writes -----------------------------------------------------------
+
+    def add_documents(self, docs: Iterable[Document]) -> int:
+        """Incrementally append documents and rewrite the footer."""
+        with self._lock:
+            if self._mm is not None:
+                self._mm.close()
+                self._mm = None
+            self._file.seek(self._footer_off)
+            pos = self._footer_off
+            count = 0
+            for doc in docs:
+                payload, raw_len, flags = _encode_payload(
+                    doc, self.compress_threshold
+                )
+                pad = (-pos) % ALIGN
+                if pad:
+                    self._file.write(b"\0" * pad)
+                    pos += pad
+                self._file.write(payload)
+                self._index[doc.id] = [pos, len(payload), raw_len, flags]
+                pos += len(payload)
+                count += 1
+            footer = zlib.compress(json.dumps(self._index).encode())
+            self._file.write(footer)
+            self._file.truncate(pos + len(footer))
+            self._file.seek(0)
+            self._file.write(struct.pack(HEADER_FMT, MAGIC, VERSION, pos))
+            self._file.flush()
+            self._footer_off = pos
+            self._remap()
+            return count
+
+    def optimize(self) -> None:
+        """Re-compact the blob section (drops holes left by re-adds;
+        reference memory_index.py:501-525 capability)."""
+        docs = list(self.iter_documents())
+        with self._lock:
+            self.cache.clear()
+            self._index.clear()
+            if self._mm is not None:
+                self._mm.close()
+                self._mm = None
+            self._file.close()
+            self._init_empty()
+            self._file = open(self.path, "r+b")
+            self._footer_off = HEADER_SIZE
+        self.add_documents(docs)
+
+    # -- reads ------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __contains__(self, doc_id: str) -> bool:
+        return doc_id in self._index
+
+    def doc_ids(self) -> List[str]:
+        return list(self._index.keys())
+
+    def get_document(self, doc_id: str) -> Optional[Document]:
+        cached = self.cache.get(doc_id)
+        if cached is not None:
+            return cached
+        entry = self._index.get(doc_id)
+        if entry is None:
+            return None
+        doc = self._read_entry(doc_id, entry)
+        self.cache.put(doc_id, doc)
+        return doc
+
+    def _read_entry(self, doc_id: str, entry: List[int]) -> Document:
+        off, stored, raw_len, flags = entry
+        payload = bytes(self._mm[off : off + stored])
+        return _decode_payload(payload, raw_len, flags, doc_id)
+
+    def get_documents(
+        self, doc_ids: Sequence[str], num_workers: Optional[int] = None
+    ) -> List[Optional[Document]]:
+        """Batch fetch; misses resolved in parallel
+        (reference memory_index.py:414-449 capability)."""
+        workers = num_workers or self.num_workers
+        if workers <= 1 or len(doc_ids) < 8:
+            return [self.get_document(d) for d in doc_ids]
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return list(pool.map(self.get_document, doc_ids))
+
+    def iter_documents(self) -> Iterator[Document]:
+        """Sequential scan in on-disk order."""
+        for doc_id, entry in sorted(
+            self._index.items(), key=lambda kv: kv[1][0]
+        ):
+            yield self._read_entry(doc_id, entry)
+
+    def get_stats(self) -> Dict[str, object]:
+        blob_bytes = self._footer_off - HEADER_SIZE
+        raw_bytes = sum(e[2] for e in self._index.values())
+        return {
+            "num_documents": len(self._index),
+            "file_bytes": self.path.stat().st_size,
+            "blob_bytes": blob_bytes,
+            "raw_bytes": raw_bytes,
+            "compression_ratio": raw_bytes / blob_bytes if blob_bytes else 1.0,
+            "cache": self.cache.stats(),
+        }
+
+    def close(self) -> None:
+        with self._lock:
+            if self._mm is not None:
+                self._mm.close()
+                self._mm = None
+            if self._file is not None:
+                self._file.close()
+                self._file = None
+            self.cache.clear()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @classmethod
+    def build_from_corpus(
+        cls,
+        corpus: Union[Dict[str, Dict], Iterable[Document]],
+        path: Union[str, Path],
+        **kwargs,
+    ) -> "DocumentStore":
+        """Build a store from a corpus mapping or Document iterable."""
+        store = cls(path, create=True, **kwargs)
+
+        def as_documents():
+            if isinstance(corpus, dict):
+                for doc_id, rec in corpus.items():
+                    parsed = Document.from_record(
+                        dict(rec) if isinstance(rec, dict) else {"text": rec},
+                        fallback_id=str(doc_id),
+                    )
+                    # The mapping's key is authoritative for the id.
+                    yield Document(
+                        id=str(doc_id),
+                        text=parsed.text,
+                        title=parsed.title,
+                        metadata=parsed.metadata,
+                    )
+            else:
+                yield from corpus
+
+        store.add_documents(as_documents())
+        return store

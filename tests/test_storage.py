@@ -1,0 +1,143 @@
+import json
+
+import pytest
+
+from osr_tpu.storage.doc_store import DocumentStore, LRUCache
+from osr_tpu.storage.documents import CorpusProcessor, Document
+from osr_tpu.storage.loaders import (
+    compute_dataset_stats,
+    extract_query_text,
+    load_corpus,
+    load_qrels,
+    load_queries,
+    validate_dataset,
+)
+
+
+def test_document_from_record():
+    d = Document.from_record({"_id": "x", "content": "hello", "title": "T", "extra": 1})
+    assert d.id == "x" and d.text == "hello" and d.title == "T"
+    assert d.metadata == {"extra": 1}
+    with pytest.raises(ValueError):
+        Document(id="", text="x")
+    d2 = Document.from_record({"text": "y"}, fallback_id="doc_9")
+    assert d2.id == "doc_9"
+
+
+def test_corpus_processor(tmp_path):
+    path = tmp_path / "corpus.jsonl"
+    lines = [
+        json.dumps({"_id": f"d{i}", "text": f"document number {i}"})
+        for i in range(50)
+    ]
+    lines.insert(10, "{broken json")
+    lines.insert(20, "")
+    path.write_text("\n".join(lines))
+    proc = CorpusProcessor(num_workers=2, chunk_size=8)
+    docs = proc.process(path)
+    assert len(docs) == 50
+    assert proc.stats["processed"] == 50
+    assert proc.stats["json_errors"] == 1
+    checksum = proc.compute_checksum(path)
+    assert len(checksum) == 32 and checksum == proc.compute_checksum(path)
+
+
+def test_lru_cache_eviction():
+    cache = LRUCache(max_items=2, max_bytes=10**9)
+    for i in range(3):
+        cache.put(f"k{i}", Document(id=f"k{i}", text="t"))
+    assert cache.get("k0") is None  # evicted
+    assert cache.get("k2") is not None
+    stats = cache.stats()
+    assert stats["items"] == 2
+
+
+def test_doc_store_roundtrip(tmp_path):
+    path = tmp_path / "store.osrd"
+    docs = [
+        Document(id=f"d{i}", text=("lorem ipsum " * 50) + str(i), title=f"T{i}",
+                 metadata={"n": i})
+        for i in range(20)
+    ]
+    store = DocumentStore(path, create=True)
+    assert store.add_documents(docs) == 20
+    got = store.get_document("d7")
+    assert got.text == docs[7].text and got.metadata == {"n": 7}
+    # compression kicked in for repetitive text
+    stats = store.get_stats()
+    assert stats["compression_ratio"] > 2.0
+    assert stats["num_documents"] == 20
+    # batch fetch preserves order, returns None for misses
+    batch = store.get_documents(["d3", "nope", "d1"])
+    assert batch[0].id == "d3" and batch[1] is None and batch[2].id == "d1"
+    store.close()
+
+    # reopen from disk
+    store2 = DocumentStore(path)
+    assert len(store2) == 20
+    assert store2.get_document("d19").title == "T19"
+    assert [d.id for d in store2.iter_documents()][:3] == ["d0", "d1", "d2"]
+    store2.close()
+
+
+def test_doc_store_incremental_append_and_optimize(tmp_path):
+    path = tmp_path / "s.osrd"
+    store = DocumentStore(path, create=True)
+    store.add_documents([Document(id="a", text="first " * 40)])
+    store.add_documents([Document(id="b", text="second " * 40)])
+    assert len(store) == 2
+    # re-add 'a' with new text -> old blob becomes a hole
+    store.add_documents([Document(id="a", text="updated " * 40)])
+    size_before = path.stat().st_size
+    store.optimize()
+    assert path.stat().st_size <= size_before
+    assert store.get_document("a").text.startswith("updated")
+    assert store.get_document("b").text.startswith("second")
+    store.close()
+
+
+def test_doc_store_build_from_corpus(tmp_path):
+    corpus = {"x1": {"text": "alpha beta"}, "x2": {"content": "gamma"}}
+    store = DocumentStore.build_from_corpus(corpus, tmp_path / "c.osrd")
+    assert store.get_document("x2").text == "gamma"
+    store.close()
+
+
+@pytest.fixture
+def beir_dataset(tmp_path):
+    ds = tmp_path / "fiqa_mini"
+    ds.mkdir()
+    with open(ds / "corpus.jsonl", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"_id": f"d{i}", "text": f"doc text {i}", "title": ""}) + "\n")
+    with open(ds / "queries.jsonl", "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"_id": f"q{i}", "text": f"query {i}"}) + "\n")
+    (ds / "qrels").mkdir()
+    with open(ds / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        f.write("q0\td0\t1\nq1\td1\t2\nq1\td2\t1\n")
+    return ds
+
+
+def test_loaders(beir_dataset):
+    corpus = load_corpus(beir_dataset)
+    assert len(corpus) == 10 and corpus["d3"]["text"] == "doc text 3"
+    queries = load_queries(beir_dataset)
+    assert extract_query_text(queries["q2"]) == "query 2"
+    qrels = load_qrels(beir_dataset)
+    assert qrels == {"q0": {"d0": 1}, "q1": {"d1": 2, "d2": 1}}
+
+    v = validate_dataset(beir_dataset)
+    assert v["ok"] and v["qrels_present"]
+    stats = compute_dataset_stats(beir_dataset)
+    assert stats.num_docs == 10 and stats.num_queries == 4
+    assert stats.num_qrels == 3
+    assert stats.avg_doc_length == pytest.approx(3.0)
+
+
+def test_extract_query_text_variants():
+    assert extract_query_text("plain") == "plain"
+    assert extract_query_text({"query": "a", "text": "b"}) == "b"
+    assert extract_query_text({"question": "why"}) == "why"
+    assert extract_query_text(None) == ""
