@@ -26,6 +26,7 @@ __version__ = "0.1.0"
 from osr_tpu.index.tokenizer import tokenize, Tokenizer
 from osr_tpu.index.builder import SparseIndexBuilder, SparseIndex
 from osr_tpu.retrieval.engine import SparseSearchEngine, DenseSearchEngine
+from osr_tpu.retrieval.service import RetrievalService
 from osr_tpu.retrieval.registry import RetrieverRegistry
 from osr_tpu.readers.registry import ReaderRegistry
 
@@ -36,6 +37,7 @@ __all__ = [
     "SparseIndex",
     "SparseSearchEngine",
     "DenseSearchEngine",
+    "RetrievalService",
     "RetrieverRegistry",
     "ReaderRegistry",
     "__version__",

@@ -181,40 +181,70 @@ class SparseIndexBuilder:
         self.min_bucket_docs = min_bucket_docs
         self.keep_raw_rows = keep_raw_rows
 
-    def build(self, corpus: Mapping[str, Union[str, Mapping]]) -> SparseIndex:
-        if not corpus:
-            raise ValueError("Empty corpus provided")
-        t0 = time.perf_counter()
-        doc_ids = list(corpus.keys())
+    @staticmethod
+    def _count_corpus_native(texts: List[str]):
+        """Tokenize + TF-count through the C++ fast path (native/).
 
-        # Pass 1: tokenize, per-doc term counts, document frequencies.
+        Returns None (caller falls back to Python) when the library isn't
+        built or the corpus contains non-ASCII text — the C tokenizer is
+        only token-identical to the reference regex on ASCII.
+        """
+        try:
+            from osr_tpu.native import build_corpus_tf
+        except ImportError:
+            return None
+        encoded: List[bytes] = []
+        for t in texts:
+            if not t.isascii():
+                return None
+            encoded.append(t.encode("ascii"))
+        buf = b"".join(encoded)
+        offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in encoded], out=offsets[1:])
+        indptr, temp_ids, counts, doc_lengths, df_temp, terms = (
+            build_corpus_tf(buf, offsets)
+        )
+        # Re-number by descending df (ties alphabetical).
+        order = sorted(
+            range(len(terms)), key=lambda i: (-int(df_temp[i]), terms[i])
+        )
+        final_of_temp = np.empty(len(terms), dtype=np.int32)
+        final_of_temp[np.asarray(order, dtype=np.int64)] = np.arange(
+            len(terms), dtype=np.int32
+        )
+        vocabulary = {terms[t]: int(f) for f, t in enumerate(order)}
+        df = df_temp[np.asarray(order, dtype=np.int64)]
+        flat_final = final_of_temp[temp_ids]
+        # Sort (doc, term) pairs so each row is ascending in final id.
+        row_sizes = np.diff(indptr)
+        doc_idx = np.repeat(
+            np.arange(len(texts), dtype=np.int64), row_sizes
+        )
+        perm = np.lexsort((flat_final, doc_idx))
+        flat_final = np.ascontiguousarray(flat_final[perm])
+        flat_counts = np.ascontiguousarray(counts[perm])
+        splits = indptr[1:-1]
+        doc_term_ids = np.split(flat_final, splits)
+        doc_tfs = np.split(flat_counts, splits)
+        return vocabulary, df, doc_lengths, doc_term_ids, doc_tfs
+
+    @staticmethod
+    def _count_corpus_python(texts: List[str]):
+        """Reference-path counting: regex tokenizer + Counters."""
         doc_counts: List[Counter] = []
         df_counter: Counter = Counter()
-        doc_lengths = np.zeros(len(doc_ids), dtype=np.float32)
-        for i, doc_id in enumerate(doc_ids):
-            toks = tokenize(extract_text(corpus[doc_id]))
+        doc_lengths = np.zeros(len(texts), dtype=np.float32)
+        for i, text in enumerate(texts):
+            toks = tokenize(text)
             doc_lengths[i] = len(toks)
             counts = Counter(toks)
             doc_counts.append(counts)
             df_counter.update(counts.keys())
-
-        # Vocabulary numbered by descending df, ties alphabetical.
         terms_sorted = sorted(df_counter.items(), key=lambda kv: (-kv[1], kv[0]))
         vocabulary = {t: i for i, (t, _) in enumerate(terms_sorted)}
-        vocab_size = len(vocabulary)
         df = np.fromiter(
-            (c for _, c in terms_sorted), dtype=np.int64, count=vocab_size
+            (c for _, c in terms_sorted), dtype=np.int64, count=len(terms_sorted)
         )
-
-        num_docs = len(doc_ids)
-        avgdl = float(doc_lengths.mean()) if num_docs else 0.0
-        idf = (
-            bm25_idf(df, num_docs)
-            if self.method == "bm25"
-            else tfidf_idf(df, num_docs)
-        )
-
-        # Pass 2: per-doc (sorted term ids, tfs).
         doc_term_ids: List[np.ndarray] = []
         doc_tfs: List[np.ndarray] = []
         for counts in doc_counts:
@@ -233,6 +263,28 @@ class SparseIndexBuilder:
             else:
                 doc_term_ids.append(np.empty(0, dtype=np.int32))
                 doc_tfs.append(np.empty(0, dtype=np.float32))
+        return vocabulary, df, doc_lengths, doc_term_ids, doc_tfs
+
+    def build(self, corpus: Mapping[str, Union[str, Mapping]]) -> SparseIndex:
+        if not corpus:
+            raise ValueError("Empty corpus provided")
+        t0 = time.perf_counter()
+        doc_ids = list(corpus.keys())
+        texts = [extract_text(corpus[d]) for d in doc_ids]
+
+        counted = self._count_corpus_native(texts)
+        if counted is None:
+            counted = self._count_corpus_python(texts)
+        vocabulary, df, doc_lengths, doc_term_ids, doc_tfs = counted
+        vocab_size = len(vocabulary)
+
+        num_docs = len(doc_ids)
+        avgdl = float(doc_lengths.mean()) if num_docs else 0.0
+        idf = (
+            bm25_idf(df, num_docs)
+            if self.method == "bm25"
+            else tfidf_idf(df, num_docs)
+        )
 
         doc_weights = compute_doc_weights(
             doc_term_ids,
