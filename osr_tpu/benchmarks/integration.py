@@ -1,0 +1,84 @@
+"""Integration benchmark orchestrator.
+
+Capability parity with reference bench/core/integration.py: compose the
+component suites, run them with memory tracking, write per-suite JSON plus
+an overall markdown report, and return an aggregate pass/fail verdict.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+from osr_tpu.benchmarks.framework import (
+    generate_report,
+    run_benchmark_suite,
+    save_json,
+)
+from osr_tpu.benchmarks.suites import ALL_SUITES
+
+logger = logging.getLogger(__name__)
+
+
+class IntegrationRunner:
+    def __init__(
+        self,
+        out_dir: Union[str, Path] = "test_results",
+        suites: Optional[Sequence[str]] = None,
+        suite_kwargs: Optional[Dict[str, Dict[str, Any]]] = None,
+    ):
+        self.out_dir = Path(out_dir)
+        self.suite_names = list(suites or ALL_SUITES.keys())
+        self.suite_kwargs = suite_kwargs or {}
+
+    def run(self) -> Dict[str, Any]:
+        outputs: List[Dict[str, Any]] = []
+        for name in self.suite_names:
+            suite_cls = ALL_SUITES[name]
+            suite = suite_cls(**self.suite_kwargs.get(name, {}))
+            logger.info("Running suite: %s", name)
+            result = run_benchmark_suite(suite)
+            outputs.append(result)
+            save_json(result, self.out_dir / f"{name}_results.json")
+        overall = {
+            "suites": outputs,
+            "all_passed": all(s["all_passed"] for s in outputs),
+            "total_benchmarks": sum(s["num_benchmarks"] for s in outputs),
+            "total_passed": sum(s["num_passed"] for s in outputs),
+        }
+        save_json(
+            {k: v for k, v in overall.items() if k != "suites"},
+            self.out_dir / "integration_summary.json",
+        )
+        generate_report(
+            outputs, self.out_dir / "integration_report.md"
+        )
+        logger.info(
+            "Integration: %d/%d benchmarks passed",
+            overall["total_passed"],
+            overall["total_benchmarks"],
+        )
+        return overall
+
+
+def main(argv=None) -> int:  # CLI: python -m osr_tpu.benchmarks.integration
+    import argparse
+
+    logging.basicConfig(level=logging.INFO)
+    parser = argparse.ArgumentParser(description="Run integration benchmarks")
+    parser.add_argument("--out-dir", default="test_results")
+    parser.add_argument(
+        "--suites", nargs="*", choices=list(ALL_SUITES.keys()), default=None
+    )
+    args = parser.parse_args(argv)
+    overall = IntegrationRunner(args.out_dir, args.suites).run()
+    print(
+        f"{overall['total_passed']}/{overall['total_benchmarks']} passed "
+        f"-> {args.out_dir}/integration_report.md"
+    )
+    return 0 if overall["all_passed"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,135 @@
+"""Benchmark framework + suites tests (small sizes)."""
+
+import json
+
+import pytest
+
+from osr_tpu.benchmarks.framework import (
+    BenchmarkResult,
+    grade_performance,
+    format_results_table,
+    generate_report,
+    measure_size,
+)
+from osr_tpu.benchmarks.integration import IntegrationRunner
+from osr_tpu.testing import (
+    CorrectnessValidator,
+    SyntheticDataGenerator,
+    spearman_correlation,
+)
+
+import numpy as np
+
+
+def test_grading():
+    assert grade_performance(2.5, 1.0) == "A+"
+    assert grade_performance(1.0, 1.0) == "C"
+    assert grade_performance(0.6, 1.0) == "D"
+    assert grade_performance(0.1, 1.0) == "F"
+    assert grade_performance(5.0, 0.0) == "A+"
+
+
+def test_measure_size():
+    a = np.zeros((10, 10), np.float32)
+    assert measure_size(a) == 400
+    assert measure_size([a, a]) > 800
+    assert measure_size({"x": a}) > 400
+
+
+def test_report_generation(tmp_path):
+    outputs = [
+        {
+            "suite": "demo",
+            "duration_s": 0.1,
+            "num_benchmarks": 1,
+            "num_passed": 1,
+            "all_passed": True,
+            "error": None,
+            "results": [
+                BenchmarkResult(
+                    "case", True, 0.1, {"metric": 1.0}, grade="A"
+                ).to_dict()
+            ],
+        }
+    ]
+    report = generate_report(outputs, tmp_path / "r.md")
+    assert "demo" in report and "PASS" in report and "grade A" in report
+    assert (tmp_path / "r.md").exists()
+    table = format_results_table([{"a": 1, "b": 0.5}], ["a", "b"])
+    assert "| 1 | 0.5000 |" in table
+
+
+def test_spearman():
+    assert spearman_correlation([1, 2, 3], [10, 20, 30]) == pytest.approx(1.0)
+    assert spearman_correlation([1, 2, 3], [30, 20, 10]) == pytest.approx(-1.0)
+    assert spearman_correlation([1.0], [2.0]) == 1.0
+
+
+def test_validators():
+    v = CorrectnessValidator.validate_scores(
+        np.array([1.0, 2.0]), np.array([1.0, 2.0005])
+    )
+    assert v["passed"]
+    v = CorrectnessValidator.validate_scores(
+        np.array([1.0, 5.0]), np.array([1.0, 2.0])
+    )
+    assert not v["passed"]
+    r = CorrectnessValidator.validate_topk_ranking(
+        [1, 2, 3], [1, 2, 4], [0.9, 0.8, 0.7], [0.9, 0.8, 0.6]
+    )
+    assert r["precision_at_k"] == pytest.approx(2 / 3)
+
+
+def test_synthetic_generator_deterministic():
+    g1 = SyntheticDataGenerator(seed=42)
+    g2 = SyntheticDataGenerator(seed=42)
+    assert g1.zipf_corpus(5, 50) == g2.zipf_corpus(5, 50)
+    assert g1.queries(3, 50) == g2.queries(3, 50)
+    np.testing.assert_array_equal(g1.embeddings(4, 16), g2.embeddings(4, 16))
+
+
+def test_integration_runner_small(tmp_path):
+    runner = IntegrationRunner(
+        out_dir=tmp_path,
+        suites=["bm25", "topk", "quantization", "storage"],
+        suite_kwargs={
+            "bm25": {"num_docs": 120, "vocab_size": 400},
+            "topk": {"n": 4000, "batch": 4, "k": 20},
+            "quantization": {"num_docs": 300, "dim": 64},
+            "storage": {"num_docs": 200},
+        },
+    )
+    overall = runner.run()
+    assert overall["all_passed"], json.dumps(overall, default=str)[:2000]
+    assert (tmp_path / "integration_report.md").exists()
+    assert (tmp_path / "bm25_results.json").exists()
+
+
+def test_quality_benchmark(tmp_path):
+    from osr_tpu.benchmarks.quality import run_quality_benchmark
+
+    gen = SyntheticDataGenerator()
+    corpus = gen.zipf_corpus(60, 300, avg_len=30)
+    ds = tmp_path / "ds"
+    ds.mkdir()
+    with open(ds / "corpus.jsonl", "w") as f:
+        for d, rec in corpus.items():
+            f.write(json.dumps({"_id": d, **rec}) + "\n")
+    with open(ds / "queries.jsonl", "w") as f:
+        for i in range(8):
+            words = corpus[f"doc{i}"]["text"].split()
+            rare = sorted(set(words), key=lambda w: -int(w[4:]))[:3]
+            f.write(json.dumps({"_id": f"q{i}", "text": " ".join(rare)}) + "\n")
+    (ds / "qrels").mkdir()
+    with open(ds / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        for i in range(8):
+            f.write(f"q{i}\tdoc{i}\t1\n")
+
+    results = run_quality_benchmark(
+        ds, methods=("bm25", "tfidf"), out_dir=tmp_path / "out", top_k=10
+    )
+    assert "error" not in results["bm25"]
+    assert results["bm25"]["ndcg@10"] > 0.5  # rare-term queries hit their doc
+    assert (tmp_path / "out" / "ds_quality_report.md").exists()
+    assert (tmp_path / "out" / "ds_quality_results.csv").exists()
