@@ -51,23 +51,29 @@ def chunk_rows_for_width(width: int, num_rows: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("vocab_rows",))
 def build_query_matrix(
-    term_ids: jax.Array,  # (B, Q) int32, padded with vocab_rows-1
+    term_ids: jax.Array,  # (B, Q) int32, padding ids >= vocab_rows
     term_weights: jax.Array,  # (B, Q) float32, padded with 0
     *,
     vocab_rows: int,
 ) -> jax.Array:
     """Scatter a padded sparse query batch into a dense (vocab_rows, B)
-    matrix. ``vocab_rows`` must be |V| + 1: the extra final row absorbs
-    padding entries (their weights are zero anyway). Duplicate (query, term)
-    entries accumulate, matching the Counter-built query TF vector of the
-    reference (reference retrieval.py:241-249)."""
+    matrix. Callers must pass count-aggregated (term, weight) pairs — one
+    entry per unique query term, like the Counter-built query TF vector of
+    the reference (reference retrieval.py:241-249) — padded with ids >=
+    ``vocab_rows`` (dropped by the scatter)."""
     batch, q = term_ids.shape
     qw = jnp.zeros((vocab_rows, batch), dtype=jnp.float32)
     cols = jnp.broadcast_to(
         jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, q)
     )
+    # (term, query) pairs are unique (queries arrive count-aggregated) and
+    # padding uses an out-of-bounds row id that mode='drop' discards, so XLA
+    # can use the vectorized unique-indices scatter instead of a serial
+    # read-modify-write loop.
     return qw.at[term_ids.reshape(-1), cols.reshape(-1)].add(
-        term_weights.reshape(-1).astype(jnp.float32)
+        term_weights.reshape(-1).astype(jnp.float32),
+        mode="drop",
+        unique_indices=True,
     )
 
 
@@ -141,8 +147,6 @@ def hybrid_score_topk(
 
     Returns (scores (B, k'), global_doc_ids (B, k')), k' = min(k, R).
     """
-    from osr_tpu.ops.topk import fast_topk
-
     scores = hybrid_scores(
         q_term_ids,
         q_weights,
@@ -152,12 +156,26 @@ def hybrid_score_topk(
         vocab_rows=vocab_rows,
         tail_meta=tail_meta,
     )  # (R, B)
-    scores = jnp.where(valid[:, None], scores, -jnp.inf)
     kk = min(k, scores.shape[0])
     if topk_mode == "fast":
-        top_scores, top_rows = fast_topk(scores.T, k=kk)
+        # Coarse selection on a bf16 transpose (halves both the transpose
+        # and the sort traffic), exact f32 re-rank of the candidates.
+        coarse = jnp.where(
+            valid[:, None], scores, jnp.float32(-jnp.inf)
+        ).astype(jnp.bfloat16)
+        cf = min(kk * 2, scores.shape[0])
+        _, cand_rows = lax.top_k(coarse.T, cf)  # (B, cf)
+        b = scores.shape[1]
+        cols = jnp.arange(b, dtype=jnp.int32)[:, None]
+        cand_scores = scores[cand_rows, cols]  # (B, cf) exact f32
+        cand_scores = jnp.where(
+            valid[cand_rows], cand_scores, -jnp.inf
+        )
+        top_scores, pos = lax.top_k(cand_scores, kk)
+        top_rows = jnp.take_along_axis(cand_rows, pos, axis=-1)
     else:
-        top_scores, top_rows = lax.top_k(scores.T, kk)  # (B, kk)
+        masked = jnp.where(valid[:, None], scores, -jnp.inf)
+        top_scores, top_rows = lax.top_k(masked.T, kk)  # (B, kk)
     return top_scores, doc_map[top_rows]
 
 

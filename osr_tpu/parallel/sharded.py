@@ -173,7 +173,9 @@ class ShardedSparseSearchEngine:
         encoded = self.tokenizer.encode_batch(texts)
         b = self._pick_batch_size(len(texts))
         q = _round_up(max((len(e) for e in encoded), default=1) or 1, 8)
-        tids = np.full((b, q), self.index.vocab_size, dtype=np.int32)
+        # Pad with an out-of-bounds id: the query-matrix scatter drops it,
+        # keeping (term, query) update pairs unique (see ops/bm25.py).
+        tids = np.full((b, q), self.index.vocab_size + 1, dtype=np.int32)
         wts = np.zeros((b, q), dtype=np.float32)
         for row, pairs in enumerate(encoded):
             for col, (tid, cnt) in enumerate(pairs):

@@ -166,7 +166,9 @@ class SparseSearchEngine:
         encoded = self.tokenizer.encode_batch(texts)
         b = self._pick_batch_size(len(texts))
         q = _round_up(max((len(e) for e in encoded), default=1) or 1, 8)
-        tids = np.full((b, q), self.index.vocab_size, dtype=np.int32)
+        # Pad with an out-of-bounds id: the query-matrix scatter drops it,
+        # keeping (term, query) update pairs unique (see ops/bm25.py).
+        tids = np.full((b, q), self.index.vocab_size + 1, dtype=np.int32)
         wts = np.zeros((b, q), dtype=np.float32)
         for row, pairs in enumerate(encoded):
             for col, (tid, cnt) in enumerate(pairs):
@@ -203,6 +205,12 @@ class SparseSearchEngine:
 
         max_b = self.batch_sizes[-1]
         in_flight = []  # (chunk, device scores, device ids)
+        done = []
+
+        def collect(entry):
+            chunk, s_dev, i_dev = entry
+            done.append((chunk, np.asarray(s_dev), np.asarray(i_dev)))
+
         for i in range(0, len(pending), max_b):
             chunk = pending[i : i + max_b]
             tids, wts = self.encode_queries([t for _, t in chunk])
@@ -210,9 +218,14 @@ class SparseSearchEngine:
                 jnp.asarray(tids), jnp.asarray(wts), top_k
             )
             in_flight.append((chunk, s_dev, i_dev))
+            # Bounded pipeline: keep a few batches in flight so host and
+            # device overlap without unbounded queueing.
+            if len(in_flight) > 4:
+                collect(in_flight.pop(0))
+        while in_flight:
+            collect(in_flight.pop(0))
 
-        for chunk, s_dev, i_dev in in_flight:
-            scores, ids = np.asarray(s_dev), np.asarray(i_dev)
+        for chunk, scores, ids in done:
             for row, (qid, text) in enumerate(chunk):
                 row_ids, row_scores = ids[row], scores[row]
                 if self._query_cache is not None:
