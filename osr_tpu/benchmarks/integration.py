@@ -62,8 +62,33 @@ class IntegrationRunner:
         return overall
 
 
+def load_benchmark_config(path: Union[str, Path]) -> Dict[str, Any]:
+    """YAML-driven benchmark configuration (reference
+    bench/core/benchmark_runner.py:29-40 capability):
+
+        out_dir: test_results
+        seed: 42
+        suites:
+          bm25: {num_docs: 2000, vocab_size: 5000}
+          topk: {n: 100000, k: 100}
+    """
+    import yaml
+
+    with open(path, "r", encoding="utf-8") as f:
+        cfg = yaml.safe_load(f) or {}
+    cfg.setdefault("out_dir", "test_results")
+    cfg.setdefault("seed", 42)
+    suites = cfg.get("suites") or {}
+    unknown = set(suites) - set(ALL_SUITES)
+    if unknown:
+        raise ValueError(f"Unknown benchmark suites: {sorted(unknown)}")
+    return cfg
+
+
 def main(argv=None) -> int:  # CLI: python -m osr_tpu.benchmarks.integration
     import argparse
+
+    import numpy as np
 
     logging.basicConfig(level=logging.INFO)
     parser = argparse.ArgumentParser(description="Run integration benchmarks")
@@ -71,8 +96,20 @@ def main(argv=None) -> int:  # CLI: python -m osr_tpu.benchmarks.integration
     parser.add_argument(
         "--suites", nargs="*", choices=list(ALL_SUITES.keys()), default=None
     )
+    parser.add_argument("--config", help="YAML benchmark config")
     args = parser.parse_args(argv)
-    overall = IntegrationRunner(args.out_dir, args.suites).run()
+    if args.config:
+        cfg = load_benchmark_config(args.config)
+        np.random.seed(cfg["seed"])
+        runner = IntegrationRunner(
+            cfg["out_dir"],
+            suites=list(cfg["suites"].keys()) or None,
+            suite_kwargs=cfg["suites"],
+        )
+        overall = runner.run()
+        args.out_dir = cfg["out_dir"]
+    else:
+        overall = IntegrationRunner(args.out_dir, args.suites).run()
     print(
         f"{overall['total_passed']}/{overall['total_benchmarks']} passed "
         f"-> {args.out_dir}/integration_report.md"

@@ -133,3 +133,26 @@ def test_quality_benchmark(tmp_path):
     assert results["bm25"]["ndcg@10"] > 0.5  # rare-term queries hit their doc
     assert (tmp_path / "out" / "ds_quality_report.md").exists()
     assert (tmp_path / "out" / "ds_quality_results.csv").exists()
+
+
+def test_yaml_config_runner(tmp_path):
+    import yaml
+
+    from osr_tpu.benchmarks.integration import load_benchmark_config, main
+
+    cfg = {
+        "out_dir": str(tmp_path / "out"),
+        "seed": 7,
+        "suites": {"storage": {"num_docs": 50}},
+    }
+    p = tmp_path / "bench.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    loaded = load_benchmark_config(p)
+    assert loaded["suites"] == {"storage": {"num_docs": 50}}
+    assert main(["--config", str(p)]) == 0
+    assert (tmp_path / "out" / "integration_report.md").exists()
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.safe_dump({"suites": {"nope": {}}}))
+    with pytest.raises(ValueError):
+        load_benchmark_config(bad)
