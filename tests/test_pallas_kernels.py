@@ -1,0 +1,71 @@
+"""Pallas kernel tests (interpret mode on the CPU test platform; the same
+kernels compile through Mosaic on TPU — exercised by bench/TPU runs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from osr_tpu.ops import quantize as qz
+from osr_tpu.ops.pallas.matmul import int8_similarity_pallas
+from osr_tpu.ops.pallas.quantize import (
+    dequantize_symmetric_pallas,
+    quantize_symmetric_pallas,
+)
+from osr_tpu.index.dense import synthetic_corpus_embeddings
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    return synthetic_corpus_embeddings(256, dim=128, seed=42)
+
+
+def test_pallas_quantize_matches_xla(embeddings):
+    v_p, s_p = quantize_symmetric_pallas(jnp.asarray(embeddings), interpret=True)
+    v_x, s_x = qz.quantize_symmetric(jnp.asarray(embeddings))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-6)
+    recon = dequantize_symmetric_pallas(v_p, s_p, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(recon),
+        np.asarray(qz.dequantize_symmetric(v_x, s_x)),
+        rtol=1e-6,
+    )
+
+
+def test_pallas_stochastic_quantize_unbiased(embeddings):
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip(
+            "pltpu.prng_seed has no interpret-mode lowering on CPU; "
+            "validated on real TPU (see scripts in DEVELOPMENT.md)"
+        )
+    x = jnp.asarray(embeddings[:64])
+    seeds = [jnp.asarray([s], jnp.int32) for s in range(8)]
+    recons = []
+    for seed in seeds:
+        v, s = quantize_symmetric_pallas(
+            x, seed, stochastic=True, interpret=True
+        )
+        assert np.abs(np.asarray(v)).max() <= 127
+        recons.append(np.asarray(dequantize_symmetric_pallas(v, s, interpret=True)))
+    mean_recon = np.mean(recons, axis=0)
+    det_v, det_s = qz.quantize_symmetric(x)
+    det_err = np.abs(
+        np.asarray(qz.dequantize_symmetric(det_v, det_s)) - embeddings[:64]
+    ).mean()
+    stoch_err = np.abs(mean_recon - embeddings[:64]).mean()
+    # Averaging over seeds must reduce error (unbiasedness), and each
+    # single draw must stay within one quantization step.
+    assert stoch_err < det_err * 1.5
+    step = (np.abs(embeddings[:64]).max(axis=1) / 127.0).max()
+    assert np.abs(recons[0] - embeddings[:64]).max() <= step + 1e-6
+
+
+def test_pallas_int8_similarity_matches_xla(embeddings):
+    queries = synthetic_corpus_embeddings(128, dim=128, seed=9)
+    q8, qs = qz.quantize_symmetric(jnp.asarray(queries))
+    d8, ds = qz.quantize_symmetric(jnp.asarray(embeddings))
+    got = int8_similarity_pallas(q8, d8, qs, ds, interpret=True)
+    want = qz.int8_dot_product_batch(q8, d8, qs, ds)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
