@@ -34,8 +34,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-# Candidate tail slot widths.
-DEFAULT_WIDTHS: Tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+# Candidate tail slot widths. Fine-grained steps at the common small widths
+# keep ELL padding low (padding slots cost gather bandwidth); power-of-two
+# steps beyond.
+DEFAULT_WIDTHS: Tuple[int, ...] = (
+    8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+    320, 384, 448, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
+)
 
 # Pad each bucket's row count to a multiple of this (TPU sublane friendly).
 DOC_ALIGN = 8
@@ -116,13 +121,13 @@ def choose_head_terms(
     head_budget_bytes: int = DEFAULT_HEAD_BUDGET_BYTES,
 ) -> int:
     """Pick F. Explicit ``head_terms`` wins; otherwise the largest
-    lane-aligned F that fits the budget, capped at 4096 (diminishing Zipf
+    lane-aligned F that fits the budget, capped at 8192 (diminishing Zipf
     coverage beyond) and at the vocabulary size."""
     if head_terms is not None:
         return max(min(head_terms, vocab_size), 0)
     rows = max(_round_up(num_docs, DOC_ALIGN), 1)
     by_budget = head_budget_bytes // (rows * 4)
-    f = int(min(4096, by_budget, vocab_size))
+    f = int(min(8192, by_budget, vocab_size))
     if f < vocab_size:  # lane-align the head slice when it isn't the whole V
         f = (f // HEAD_ALIGN) * HEAD_ALIGN
     return max(f, 0)

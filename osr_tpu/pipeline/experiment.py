@@ -82,6 +82,17 @@ def run_rag_experiment(
         else:
             failed_queries.append(qid)
 
+    # Warmup: trigger jit compilation on a small prefix so the steady-state
+    # throughput isn't charged for one-time compiles (can be minutes through
+    # a remote-compile tunnel). Cleared from the query cache afterwards.
+    warm_start = time.perf_counter()
+    warm = dict(list(query_texts.items())[:128])
+    if warm:
+        retriever.search(warm, top_k=top_k)
+        if hasattr(retriever, "clear_cache"):
+            retriever.clear_cache()
+    warmup_time = time.perf_counter() - warm_start
+
     # Retrieval for ALL queries in engine-sized batches (the engine batches
     # and pipelines on device internally).
     retrieve_start = time.perf_counter()
@@ -126,7 +137,7 @@ def run_rag_experiment(
             monitor.end_query(qstat, error=str(e))
 
     total_time = time.perf_counter() - start_time
-    processing_time = total_time - build_time
+    processing_time = total_time - build_time - warmup_time
     qps = len(results) / processing_time if processing_time > 0 else 0.0
 
     quality = (
@@ -148,6 +159,7 @@ def run_rag_experiment(
         "queries_processed": len(results),
         "queries_failed": len(failed_queries),
         "build_time_s": build_time,
+        "warmup_time_s": warmup_time,
         "retrieve_time_s": retrieve_time,
         "total_time_s": total_time,
         "processing_time_s": processing_time,

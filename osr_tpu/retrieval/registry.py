@@ -159,6 +159,9 @@ class QuantizedDenseRetriever:
             results.setdefault(qid, {})
         return results
 
+    def clear_cache(self) -> None:
+        pass  # dense engine keeps no query cache
+
 
 class HybridRetriever:
     """Weighted late fusion of a sparse and a dense retriever
@@ -206,6 +209,10 @@ class HybridRetriever:
             ranked = sorted(fused.items(), key=lambda kv: -kv[1])[:top_k]
             out[qid] = dict(ranked)
         return out
+
+    def clear_cache(self) -> None:
+        self.sparse.clear_cache()
+        self.dense.clear_cache()
 
 
 class RetrieverRegistry:
