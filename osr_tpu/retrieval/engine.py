@@ -49,9 +49,14 @@ def _round_up(x: int, m: int) -> int:
 class _DeviceIndex:
     """Device-resident arrays of a :class:`HybridLayout`."""
 
-    def __init__(self, layout, device):
+    def __init__(self, layout, device, head_dtype="f32"):
         put = lambda a: jax.device_put(a, device)
-        self.head_weights = put(layout.head_weights)
+        head = layout.head_weights
+        if head_dtype == "bf16":
+            head = jnp.asarray(head, dtype=jnp.bfloat16)
+        elif head_dtype != "f32":
+            raise ValueError(f"Unknown head_dtype: {head_dtype}")
+        self.head_weights = put(head)
         self.valid = put(layout.valid)
         self.doc_map = put(layout.doc_map)
         tail_ids: List[jax.Array] = []
@@ -81,14 +86,16 @@ class SparseSearchEngine:
         cache_queries: bool = True,
         query_cache_limit: int = 1000,
         topk_mode: str = "exact",  # 'fast' halves top-k sort cost, see ops/topk.py
+        head_dtype: str = "f32",  # 'bf16' halves head HBM; ranking-preserving
     ):
         self.index = index
         self.device = device if device is not None else jax.devices()[0]
         self.batch_sizes = tuple(sorted(batch_sizes))
         self.topk_mode = topk_mode
+        self.head_dtype = head_dtype
         self.tokenizer = Tokenizer(index.vocabulary)
         self._vocab_rows = index.vocab_size + 1  # last row absorbs padding
-        self._dev = _DeviceIndex(index.layout, self.device)
+        self._dev = _DeviceIndex(index.layout, self.device, head_dtype)
         # Query cache: (query_text, top_k) -> (ids, scores), insert-only with
         # a cap, matching reference retrieval.py:287-289.
         self._query_cache: Optional[

@@ -115,3 +115,20 @@ def test_empty_and_tiny_docs():
     got = full_scores(engine, ["alpha beta"])
     want = oracle.score("alpha beta").astype(np.float32)
     np.testing.assert_allclose(got[0], want, atol=ATOL, rtol=RTOL)
+
+
+def test_bf16_head_preserves_ranking(corpus, queries):
+    """head_dtype='bf16' halves head memory; rankings must match f32."""
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+    f32 = SparseSearchEngine(index, head_dtype="f32")
+    bf16 = SparseSearchEngine(index, head_dtype="bf16")
+    r32 = f32.search(queries, top_k=10)
+    r16 = bf16.search(queries, top_k=10)
+    for qid in queries:
+        ids32, ids16 = list(r32[qid]), list(r16[qid])
+        if not ids32 and not ids16:
+            continue  # all scores <= 0: both correctly empty
+        overlap = len(set(ids32) & set(ids16)) / max(len(ids32), 1)
+        assert overlap >= 0.9, (qid, overlap)
+        for doc in set(ids32) & set(ids16):
+            assert r16[qid][doc] == pytest.approx(r32[qid][doc], rel=2e-2)
