@@ -159,7 +159,7 @@ class SparseIndexBuilder:
         head_terms: Optional[int] = None,
         head_budget_bytes: int = DEFAULT_HEAD_BUDGET_BYTES,
         widths: Sequence[int] = DEFAULT_WIDTHS,
-        min_bucket_docs: int = 1024,
+        min_bucket_docs: Optional[int] = None,
         keep_raw_rows: bool = False,
     ):
         method = method.lower()

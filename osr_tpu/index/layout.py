@@ -165,12 +165,17 @@ def pack_hybrid(
     vocab_size: int,
     head_terms: int,
     widths: Sequence[int] = DEFAULT_WIDTHS,
-    min_bucket_docs: int = 1024,
+    min_bucket_docs: Optional[int] = None,
 ) -> HybridLayout:
     """Pack per-document sparse rows (term ids in frequency order) into the
     hybrid layout. ``doc_term_ids[i]`` must be sorted ascending."""
     num_docs = len(doc_term_ids)
     f = head_terms
+    if min_bucket_docs is None:
+        # Each tail bucket adds a scan to the fused search program (compile
+        # time) and a dispatch-side loop; keep the bucket count bounded as
+        # the corpus grows while still splitting small corpora finely.
+        min_bucket_docs = max(1024, num_docs // 12)
 
     # Split head/tail per doc (ids sorted, so searchsorted splits cleanly).
     splits = [int(np.searchsorted(t, f)) for t in doc_term_ids]
@@ -212,12 +217,20 @@ def pack_hybrid(
         rows = _round_up(idx.size, DOC_ALIGN)
         term_ids = np.zeros((rows, w), dtype=np.int32)
         weights = np.zeros((rows, w), dtype=np.float32)
-        for r, d in enumerate(idx):
-            s = splits[d]
-            n = len(doc_term_ids[d]) - s
-            if n:
-                term_ids[r, :n] = doc_term_ids[d][s:]
-                weights[r, :n] = doc_weights[d][s:]
+        # Vectorized ragged fill: one fancy-indexed assignment per bucket.
+        lens = tail_lengths[idx]
+        if lens.sum():
+            flat_ids = np.concatenate(
+                [doc_term_ids[d][splits[d] :] for d in idx]
+            )
+            flat_w = np.concatenate(
+                [doc_weights[d][splits[d] :] for d in idx]
+            )
+            row_rep = np.repeat(np.arange(idx.size), lens)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            cols = np.arange(int(lens.sum())) - np.repeat(starts, lens)
+            term_ids[row_rep, cols] = flat_ids
+            weights[row_rep, cols] = flat_w
         buckets.append(
             TailBucket(
                 width=w,
@@ -241,15 +254,20 @@ def pack_hybrid(
     valid = row_docs >= 0
     doc_map = np.where(valid, row_docs, 0).astype(np.int32)
 
-    # Dense head, rows in bucket order.
+    # Dense head, rows in bucket order (one fancy-indexed assignment).
     head = np.zeros((total_rows, f), dtype=np.float32)
-    if f:
-        for row, d in enumerate(row_docs):
-            if d < 0:
-                continue
-            s = splits[d]
-            if s:
-                head[row, doc_term_ids[d][:s]] = doc_weights[d][:s]
+    if f and num_docs:
+        real_rows = np.nonzero(valid)[0]
+        head_lens = np.asarray([splits[d] for d in row_docs[real_rows]])
+        if head_lens.sum():
+            flat_cols = np.concatenate(
+                [doc_term_ids[d][: splits[d]] for d in row_docs[real_rows]]
+            )
+            flat_w = np.concatenate(
+                [doc_weights[d][: splits[d]] for d in row_docs[real_rows]]
+            )
+            row_rep = np.repeat(real_rows, head_lens)
+            head[row_rep, flat_cols] = flat_w
 
     return HybridLayout(
         head_terms=f,
