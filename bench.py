@@ -122,6 +122,25 @@ def main():
         lat.append((time.perf_counter() - t0) / len(batch) * 1000)
     p50_ms = float(np.percentile(lat, 50))
 
+    # Secondary: INT8 dense retrieval at the same corpus size (where the
+    # reference's int8 path measured 0.19x vs fp32; BASELINE.md).
+    from osr_tpu.index.dense import synthetic_corpus_embeddings
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+
+    emb = synthetic_corpus_embeddings(index.num_docs, dim=768, seed=3)
+    dense = DenseSearchEngine(
+        [str(i) for i in range(index.num_docs)], emb, quantization="symmetric"
+    )
+    qv = emb[:512]
+    dense.search_vectors(qv, top_k=top_k)  # compile
+    dense_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dense.search_vectors(qv, top_k=top_k)
+        dense_best = min(dense_best, time.perf_counter() - t0)
+    dense_qps = len(qv) / dense_best
+    print(f"# dense int8 qps: {dense_qps:.0f}", file=sys.stderr)
+
     n_nonempty = sum(1 for r in results.values() if r)
     baseline_qps = 314.7  # BASELINE.md: reference Numba pipeline on FiQA
     out = {
@@ -136,6 +155,7 @@ def main():
         "top_k": top_k,
         "nonempty_results": n_nonempty,
         "index_memory_mb": round(index.layout.nbytes / 2**20, 1),
+        "dense_int8_qps": round(dense_qps, 1),
         "device": str(device),
     }
     print(json.dumps(out))

@@ -1,16 +1,19 @@
 """On-disk index cache.
 
 The analogue of the reference's ``.rag_cache/{method}_index_{hash}.npz``
-checkpointing (reference evaluate_rag_pipeline.py:189-201,280-312): built
-indexes are serialized keyed by a corpus fingerprint and method, and reloaded
-instead of rebuilt. The raw CSR triple (term ids / tfs / indptr) is stored —
-not the packed device layout — so cached indexes survive changes to the ELL
-bucketing heuristics and BM25 parameters trigger only a cheap re-weighting,
-not a re-tokenization.
+checkpointing (reference evaluate_rag_pipeline.py:189-201,280-312), extended
+with a fast-load path: both representations are stored —
+
+- the raw CSR triple (term ids / tfs / indptr), which survives changes to
+  BM25 parameters and layout heuristics (re-weight + re-pack on load), and
+- the packed device layout (dense head + tail buckets), loaded directly —
+  no re-tokenization, no re-packing — when the builder parameters match the
+  ones the cache was written with.
 """
 
 from __future__ import annotations
 
+import json
 import logging
 import time
 from pathlib import Path
@@ -24,11 +27,16 @@ from osr_tpu.index.builder import (
     compute_doc_weights,
     corpus_fingerprint,
 )
-from osr_tpu.index.layout import choose_head_terms, pack_hybrid
+from osr_tpu.index.layout import (
+    HybridLayout,
+    TailBucket,
+    choose_head_terms,
+    pack_hybrid,
+)
 
 logger = logging.getLogger(__name__)
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def cache_path(
@@ -37,7 +45,24 @@ def cache_path(
     return Path(cache_dir) / f"{method}_index_{fingerprint}.npz"
 
 
-def save_index(index: SparseIndex, path: Union[str, Path]) -> None:
+def _builder_params(builder: SparseIndexBuilder) -> str:
+    return json.dumps(
+        {
+            "method": builder.method,
+            "k1": builder.k1,
+            "b": builder.b,
+            "head_terms": builder.head_terms,
+            "head_budget_bytes": builder.head_budget_bytes,
+            "widths": list(builder.widths),
+            "min_bucket_docs": builder.min_bucket_docs,
+        },
+        sort_keys=True,
+    )
+
+
+def save_index(
+    index: SparseIndex, path: Union[str, Path], builder: SparseIndexBuilder
+) -> None:
     if index.doc_term_ids is None or index.doc_tfs is None:
         raise ValueError(
             "Index was built without keep_raw_rows=True; cannot cache"
@@ -53,11 +78,31 @@ def save_index(index: SparseIndex, path: Union[str, Path]) -> None:
         else np.empty(0, np.int32)
     )
     flat_tfs = (
-        np.concatenate(index.doc_tfs) if index.num_docs else np.empty(0, np.float32)
+        np.concatenate(index.doc_tfs)
+        if index.num_docs
+        else np.empty(0, np.float32)
     )
+    layout = index.layout
+    packed = {
+        "packed_head": layout.head_weights,
+        "packed_doc_map": layout.doc_map,
+        "packed_valid": layout.valid,
+        "packed_meta": np.asarray(
+            [
+                [b.width, b.row_offset, b.num_rows]
+                for b in layout.buckets
+            ],
+            dtype=np.int64,
+        ).reshape(-1, 3),
+    }
+    for i, b in enumerate(layout.buckets):
+        if b.term_ids is not None:
+            packed[f"packed_ids_{i}"] = b.term_ids
+            packed[f"packed_w_{i}"] = b.weights
     np.savez_compressed(
         path,
         format_version=_FORMAT_VERSION,
+        builder_params=_builder_params(builder),
         method=index.method,
         k1=index.k1,
         b=index.b,
@@ -69,8 +114,38 @@ def save_index(index: SparseIndex, path: Union[str, Path]) -> None:
         indptr=indptr,
         term_ids=flat_tids,
         tfs=flat_tfs,
+        head_terms=layout.head_terms,
+        **packed,
     )
     logger.info("Index cached to %s", path)
+
+
+def _load_packed_layout(z, num_docs: int, vocab_size: int) -> HybridLayout:
+    meta = z["packed_meta"]
+    buckets: List[TailBucket] = []
+    for i, (width, row_offset, num_rows) in enumerate(meta):
+        if f"packed_ids_{i}" in z:
+            term_ids, weights = z[f"packed_ids_{i}"], z[f"packed_w_{i}"]
+        else:
+            term_ids = weights = None
+        buckets.append(
+            TailBucket(
+                width=int(width),
+                row_offset=int(row_offset),
+                num_rows=int(num_rows),
+                term_ids=term_ids,
+                weights=weights,
+            )
+        )
+    return HybridLayout(
+        head_terms=int(z["head_terms"]),
+        head_weights=z["packed_head"],
+        buckets=buckets,
+        doc_map=z["packed_doc_map"],
+        valid=z["packed_valid"],
+        num_docs=num_docs,
+        vocab_size=vocab_size,
+    )
 
 
 def load_index(
@@ -82,44 +157,49 @@ def load_index(
             raise ValueError("Incompatible index cache version")
         vocabulary = {t: i for i, t in enumerate(z["vocabulary"].tolist())}
         doc_ids = [str(d) for d in z["doc_ids"].tolist()]
-        indptr = z["indptr"]
-        flat_tids = z["term_ids"]
-        flat_tfs = z["tfs"]
         idf = z["idf"]
         doc_lengths = z["doc_lengths"]
         avgdl = float(z["avgdl"])
+        params_match = str(z["builder_params"]) == _builder_params(builder)
 
-    doc_term_ids: List[np.ndarray] = []
-    doc_tfs: List[np.ndarray] = []
-    for i in range(len(doc_ids)):
-        s, e = indptr[i], indptr[i + 1]
-        doc_term_ids.append(flat_tids[s:e])
-        doc_tfs.append(flat_tfs[s:e])
-    doc_weights = compute_doc_weights(
-        doc_term_ids,
-        doc_tfs,
-        doc_lengths,
-        idf,
-        builder.method,
-        builder.k1,
-        builder.b,
-        avgdl,
-    )
+        indptr = z["indptr"]
+        flat_tids = z["term_ids"]
+        flat_tfs = z["tfs"]
+        doc_term_ids: List[np.ndarray] = list(
+            np.split(flat_tids, indptr[1:-1])
+        )
+        doc_tfs: List[np.ndarray] = list(np.split(flat_tfs, indptr[1:-1]))
 
-    f = choose_head_terms(
-        len(doc_ids),
-        len(vocabulary),
-        builder.head_terms,
-        builder.head_budget_bytes,
-    )
-    layout = pack_hybrid(
-        doc_term_ids,
-        doc_weights,
-        len(vocabulary),
-        head_terms=f,
-        widths=builder.widths,
-        min_bucket_docs=builder.min_bucket_docs,
-    )
+        if params_match:
+            layout = _load_packed_layout(z, len(doc_ids), len(vocabulary))
+            how = "packed"
+        else:
+            doc_weights = compute_doc_weights(
+                doc_term_ids,
+                doc_tfs,
+                doc_lengths,
+                idf,
+                builder.method,
+                builder.k1,
+                builder.b,
+                avgdl,
+            )
+            f = choose_head_terms(
+                len(doc_ids),
+                len(vocabulary),
+                builder.head_terms,
+                builder.head_budget_bytes,
+            )
+            layout = pack_hybrid(
+                doc_term_ids,
+                doc_weights,
+                len(vocabulary),
+                head_terms=f,
+                widths=builder.widths,
+                min_bucket_docs=builder.min_bucket_docs,
+            )
+            how = "re-packed"
+
     index = SparseIndex(
         method=builder.method,
         vocabulary=vocabulary,
@@ -134,8 +214,9 @@ def load_index(
         doc_tfs=doc_tfs if builder.keep_raw_rows else None,
     )
     logger.info(
-        "Loaded cached index (%d docs) in %.2fs",
+        "Loaded cached index (%d docs, %s) in %.2fs",
         len(doc_ids),
+        how,
         time.perf_counter() - t0,
     )
     return index
@@ -160,7 +241,7 @@ def load_or_build(
     try:
         index = builder.build(corpus)
         try:
-            save_index(index, path)
+            save_index(index, path, builder)
         except Exception as e:
             logger.warning("Failed to cache index: %s", e)
     finally:

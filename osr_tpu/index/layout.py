@@ -121,13 +121,13 @@ def choose_head_terms(
     head_budget_bytes: int = DEFAULT_HEAD_BUDGET_BYTES,
 ) -> int:
     """Pick F. Explicit ``head_terms`` wins; otherwise the largest
-    lane-aligned F that fits the budget, capped at 8192 (diminishing Zipf
+    lane-aligned F that fits the budget, capped at 4096 (diminishing Zipf
     coverage beyond) and at the vocabulary size."""
     if head_terms is not None:
         return max(min(head_terms, vocab_size), 0)
     rows = max(_round_up(num_docs, DOC_ALIGN), 1)
     by_budget = head_budget_bytes // (rows * 4)
-    f = int(min(8192, by_budget, vocab_size))
+    f = int(min(4096, by_budget, vocab_size))
     if f < vocab_size:  # lane-align the head slice when it isn't the whole V
         f = (f // HEAD_ALIGN) * HEAD_ALIGN
     return max(f, 0)
