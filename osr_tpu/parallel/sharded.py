@@ -42,6 +42,72 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
+    static_argnames=("mesh", "vocab_rows", "k", "bucket_meta"),
+)
+def sharded_hybrid_score_topk(
+    q_term_ids: jax.Array,  # (B, Q) int32, sharded over q
+    q_weights: jax.Array,  # (B, Q) float32, sharded over q
+    heads: Tuple[jax.Array, ...],  # per bucket (rows_i, F), sharded over d
+    term_ids: Tuple[jax.Array, ...],  # per bucket (rows_i, K_i) (K may be 0)
+    weights: Tuple[jax.Array, ...],
+    valids: Tuple[jax.Array, ...],  # per bucket (rows_i,) bool
+    doc_maps: Tuple[jax.Array, ...],  # per bucket (rows_i,) GLOBAL doc ids
+    *,
+    mesh: Mesh,
+    vocab_rows: int,
+    k: int,
+    bucket_meta: Tuple[Tuple[bool, int], ...],  # (has_tail, chunk_rows)
+) -> Tuple[jax.Array, jax.Array]:
+    """The full sharded search step in ONE program: per-shard scoring of
+    every bucket, local top-k with global ids, all-gather candidate
+    exchange over ICI, final merge."""
+
+    def local(qt, qwts, heads, tis, ws, vs, dmaps):
+        qw = build_query_matrix(qt, qwts, vocab_rows=vocab_rows)
+        parts = []
+        for head, ti, w, v, (has_tail, chunk_rows) in zip(
+            heads, tis, ws, vs, bucket_meta
+        ):
+            scores = bucket_scores(
+                qw,
+                head,
+                ti if has_tail else None,
+                w if has_tail else None,
+                chunk_rows=chunk_rows,
+            )  # (rows_local, B)
+            parts.append(jnp.where(v[:, None], scores, NEG_INF))
+        scores = jnp.concatenate(parts, axis=0)
+        dmap = jnp.concatenate(dmaps)
+        kk = min(k, scores.shape[0])
+        local_scores, local_rows = lax.top_k(scores.T, kk)  # (B_local, kk)
+        local_ids = dmap[local_rows]
+        # Candidate exchange over ICI: (B_local, n_d * kk) per query shard.
+        all_scores = lax.all_gather(local_scores, DOC_AXIS, axis=1, tiled=True)
+        all_ids = lax.all_gather(local_ids, DOC_AXIS, axis=1, tiled=True)
+        kk2 = min(k, all_scores.shape[1])
+        top_scores, pos = lax.top_k(all_scores, kk2)
+        return top_scores, jnp.take_along_axis(all_ids, pos, axis=-1)
+
+    n = len(heads)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(QUERY_AXIS, None),
+            P(QUERY_AXIS, None),
+            (P(DOC_AXIS, None),) * n,
+            (P(DOC_AXIS, None),) * n,
+            (P(DOC_AXIS, None),) * n,
+            (P(DOC_AXIS),) * n,
+            (P(DOC_AXIS),) * n,
+        ),
+        out_specs=(P(QUERY_AXIS, None), P(QUERY_AXIS, None)),
+        check_vma=False,
+    )(q_term_ids, q_weights, heads, term_ids, weights, valids, doc_maps)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("mesh", "vocab_rows", "chunk_rows", "k", "has_tail"),
 )
 def sharded_bucket_score_topk(
@@ -188,29 +254,20 @@ class ShardedSparseSearchEngine:
     ) -> Tuple[np.ndarray, np.ndarray]:
         qt = jax.device_put(term_ids, self._qshard)
         qwts = jax.device_put(term_weights, self._qshard)
-        parts_s: List[jax.Array] = []
-        parts_i: List[jax.Array] = []
-        for sb in self._buckets:
-            s, i = sharded_bucket_score_topk(
-                qt,
-                qwts,
-                sb.head,
-                sb.term_ids,
-                sb.weights,
-                sb.valid,
-                sb.doc_map,
-                mesh=self.mesh,
-                vocab_rows=self._vocab_rows,
-                chunk_rows=sb.chunk_rows,
-                k=top_k,
-                has_tail=sb.has_tail,
-            )
-            parts_s.append(s)
-            parts_i.append(i)
-        if len(parts_s) == 1:
-            s, i = parts_s[0], parts_i[0]
-        else:
-            s, i = merge_topk(parts_s, parts_i, top_k)
+        bs = self._buckets
+        s, i = sharded_hybrid_score_topk(
+            qt,
+            qwts,
+            tuple(b.head for b in bs),
+            tuple(b.term_ids for b in bs),
+            tuple(b.weights for b in bs),
+            tuple(b.valid for b in bs),
+            tuple(b.doc_map for b in bs),
+            mesh=self.mesh,
+            vocab_rows=self._vocab_rows,
+            k=top_k,
+            bucket_meta=tuple((b.has_tail, b.chunk_rows) for b in bs),
+        )
         return np.asarray(s), np.asarray(i)
 
     def search(

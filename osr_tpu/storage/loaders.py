@@ -264,3 +264,59 @@ def prepare_dataset(
                 f"{rec['query-id']}\t{rec['corpus-id']}\t{rec['score']}\n"
             )
     return out
+
+
+class LazyJSONLReader:
+    """Random-access JSONL reader via a line-offset index.
+
+    Capability parity with the reference's ``LazyJSONLReader`` (reference
+    tests/memory_mapping.py:356-400): one initial scan records line byte
+    offsets; subsequent reads seek directly. Useful as the uncompressed
+    baseline against :class:`osr_tpu.storage.doc_store.DocumentStore`.
+    """
+
+    def __init__(self, path: Union[str, Path]):
+        self.path = Path(path)
+        self._offsets: List[int] = []
+        self._ids: Dict[str, int] = {}
+        with open(self.path, "rb") as f:
+            pos = 0
+            for line_no, line in enumerate(f):
+                stripped = line.strip()
+                if stripped:
+                    self._offsets.append(pos)
+                    try:
+                        rec = json.loads(stripped)
+                        doc_id = next(
+                            (
+                                str(rec[field])
+                                for field in ID_FIELDS
+                                if rec.get(field) is not None
+                            ),
+                            f"doc_{line_no + 1}",
+                        )
+                        self._ids[doc_id] = len(self._offsets) - 1
+                    except json.JSONDecodeError:
+                        self._offsets.pop()
+                pos += len(line)
+        self._file = open(self.path, "rb")
+
+    def __len__(self) -> int:
+        return len(self._offsets)
+
+    def __getitem__(self, idx: int) -> Dict:
+        self._file.seek(self._offsets[idx])
+        return json.loads(self._file.readline())
+
+    def get(self, doc_id: str) -> Optional[Dict]:
+        idx = self._ids.get(doc_id)
+        return self[idx] if idx is not None else None
+
+    def close(self) -> None:
+        self._file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -141,3 +141,18 @@ def test_extract_query_text_variants():
     assert extract_query_text({"query": "a", "text": "b"}) == "b"
     assert extract_query_text({"question": "why"}) == "why"
     assert extract_query_text(None) == ""
+
+
+def test_lazy_jsonl_reader(tmp_path):
+    from osr_tpu.storage.loaders import LazyJSONLReader
+
+    path = tmp_path / "c.jsonl"
+    with open(path, "w") as f:
+        for i in range(30):
+            f.write(json.dumps({"_id": f"d{i}", "text": f"body {i}"}) + "\n")
+        f.write("\n{bad json\n")  # blank + malformed lines skipped
+    with LazyJSONLReader(path) as reader:
+        assert len(reader) == 30
+        assert reader[7]["text"] == "body 7"
+        assert reader.get("d29")["_id"] == "d29"
+        assert reader.get("nope") is None
