@@ -30,7 +30,6 @@ from osr_tpu.ops.bm25 import (
     build_query_matrix,
     chunk_rows_for_width,
 )
-from osr_tpu.ops.topk import merge_topk
 from osr_tpu.parallel.mesh import DOC_AXIS, QUERY_AXIS
 
 NEG_INF = float("-inf")
@@ -64,9 +63,13 @@ def sharded_hybrid_score_topk(
 
     def local(qt, qwts, heads, tis, ws, vs, dmaps):
         qw = build_query_matrix(qt, qwts, vocab_rows=vocab_rows)
-        parts = []
-        for head, ti, w, v, (has_tail, chunk_rows) in zip(
-            heads, tis, ws, vs, bucket_meta
+        cand_scores = []
+        cand_ids = []
+        # Per-bucket local top-k first: the merge input is bounded at
+        # (B, n_buckets*k) instead of keeping every bucket's full
+        # (rows_local, B) score matrix live through one concatenation.
+        for head, ti, w, v, dmap, (has_tail, chunk_rows) in zip(
+            heads, tis, ws, vs, dmaps, bucket_meta
         ):
             scores = bucket_scores(
                 qw,
@@ -75,12 +78,16 @@ def sharded_hybrid_score_topk(
                 w if has_tail else None,
                 chunk_rows=chunk_rows,
             )  # (rows_local, B)
-            parts.append(jnp.where(v[:, None], scores, NEG_INF))
-        scores = jnp.concatenate(parts, axis=0)
-        dmap = jnp.concatenate(dmaps)
-        kk = min(k, scores.shape[0])
-        local_scores, local_rows = lax.top_k(scores.T, kk)  # (B_local, kk)
-        local_ids = dmap[local_rows]
+            scores = jnp.where(v[:, None], scores, NEG_INF)
+            kb = min(k, scores.shape[0])
+            s_b, rows_b = lax.top_k(scores.T, kb)  # (B_local, kb)
+            cand_scores.append(s_b)
+            cand_ids.append(dmap[rows_b])
+        all_cand_s = jnp.concatenate(cand_scores, axis=1)
+        all_cand_i = jnp.concatenate(cand_ids, axis=1)
+        kk = min(k, all_cand_s.shape[1])
+        local_scores, pos = lax.top_k(all_cand_s, kk)
+        local_ids = jnp.take_along_axis(all_cand_i, pos, axis=-1)
         # Candidate exchange over ICI: (B_local, n_d * kk) per query shard.
         all_scores = lax.all_gather(local_scores, DOC_AXIS, axis=1, tiled=True)
         all_ids = lax.all_gather(local_ids, DOC_AXIS, axis=1, tiled=True)
@@ -104,68 +111,6 @@ def sharded_hybrid_score_topk(
         out_specs=(P(QUERY_AXIS, None), P(QUERY_AXIS, None)),
         check_vma=False,
     )(q_term_ids, q_weights, heads, term_ids, weights, valids, doc_maps)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("mesh", "vocab_rows", "chunk_rows", "k", "has_tail"),
-)
-def sharded_bucket_score_topk(
-    q_term_ids: jax.Array,  # (B, Q) int32, sharded over q
-    q_weights: jax.Array,  # (B, Q) float32, sharded over q
-    head_slice: jax.Array,  # (rows, F) float32, sharded over d
-    term_ids: jax.Array,  # (rows, K) int32 (or (rows, 0)), sharded over d
-    weights: jax.Array,  # (rows, K) float32, sharded over d
-    valid: jax.Array,  # (rows,) bool, sharded over d
-    doc_map: jax.Array,  # (rows,) int32 GLOBAL doc ids, sharded over d
-    *,
-    mesh: Mesh,
-    vocab_rows: int,
-    chunk_rows: int,
-    k: int,
-    has_tail: bool,
-) -> Tuple[jax.Array, jax.Array]:
-    """One bucket's sharded score + hierarchical top-k.
-
-    Returns (scores (B, k'), global_doc_ids (B, k')), replicated over ``d``
-    and sharded over ``q``.
-    """
-
-    def local(qt, qwts, head, ti, w, v, dmap):
-        qw = build_query_matrix(qt, qwts, vocab_rows=vocab_rows)
-        scores = bucket_scores(
-            qw,
-            head,
-            ti if has_tail else None,
-            w if has_tail else None,
-            chunk_rows=chunk_rows,
-        )  # (rows_local, B)
-        scores = jnp.where(v[:, None], scores, NEG_INF)
-        kk = min(k, scores.shape[0])
-        local_scores, local_rows = lax.top_k(scores.T, kk)  # (B_local, kk)
-        local_ids = dmap[local_rows]
-        # Candidate exchange over ICI: (B_local, n_d * kk) per query shard.
-        all_scores = lax.all_gather(local_scores, DOC_AXIS, axis=1, tiled=True)
-        all_ids = lax.all_gather(local_ids, DOC_AXIS, axis=1, tiled=True)
-        kk2 = min(k, all_scores.shape[1])
-        top_scores, pos = lax.top_k(all_scores, kk2)
-        return top_scores, jnp.take_along_axis(all_ids, pos, axis=-1)
-
-    return shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(QUERY_AXIS, None),
-            P(QUERY_AXIS, None),
-            P(DOC_AXIS, None),
-            P(DOC_AXIS, None),
-            P(DOC_AXIS, None),
-            P(DOC_AXIS),
-            P(DOC_AXIS),
-        ),
-        out_specs=(P(QUERY_AXIS, None), P(QUERY_AXIS, None)),
-        check_vma=False,
-    )(q_term_ids, q_weights, head_slice, term_ids, weights, valid, doc_map)
 
 
 class _ShardedBucket:

@@ -25,6 +25,14 @@ TEXT_FIELDS = ("text", "content", "body", "passage", "document")
 QUERY_TEXT_FIELDS = ("text", "query", "title", "question", "body")
 
 
+def extract_record_id(rec: Any, fields: Tuple[str, ...], fallback: str) -> str:
+    """First present id field of a record, else the fallback."""
+    return next(
+        (str(rec[field]) for field in fields if rec.get(field) is not None),
+        fallback,
+    )
+
+
 def load_corpus(
     ds_path: Union[str, Path], max_errors_logged: int = 10
 ) -> Dict[str, Dict]:
@@ -44,14 +52,7 @@ def load_corpus(
                 continue
             try:
                 doc = json.loads(line)
-                doc_id = next(
-                    (
-                        str(doc[field])
-                        for field in ID_FIELDS
-                        if doc.get(field) is not None
-                    ),
-                    f"doc_{line_no}",
-                )
+                doc_id = extract_record_id(doc, ID_FIELDS, f"doc_{line_no}")
                 if "text" not in doc:
                     for field in TEXT_FIELDS[1:]:
                         if field in doc:
@@ -81,13 +82,8 @@ def load_queries(ds_path: Union[str, Path]) -> Dict[str, Dict]:
                 continue
             try:
                 rec = json.loads(line)
-                qid = next(
-                    (
-                        str(rec[field])
-                        for field in QUERY_ID_FIELDS
-                        if rec.get(field) is not None
-                    ),
-                    f"query_{line_no}",
+                qid = extract_record_id(
+                    rec, QUERY_ID_FIELDS, f"query_{line_no}"
                 )
                 queries[qid] = rec
             except json.JSONDecodeError:
@@ -276,6 +272,8 @@ class LazyJSONLReader:
     """
 
     def __init__(self, path: Union[str, Path]):
+        import threading
+
         self.path = Path(path)
         self._offsets: List[int] = []
         self._ids: Dict[str, int] = {}
@@ -284,29 +282,29 @@ class LazyJSONLReader:
             for line_no, line in enumerate(f):
                 stripped = line.strip()
                 if stripped:
-                    self._offsets.append(pos)
                     try:
                         rec = json.loads(stripped)
-                        doc_id = next(
-                            (
-                                str(rec[field])
-                                for field in ID_FIELDS
-                                if rec.get(field) is not None
-                            ),
-                            f"doc_{line_no + 1}",
+                        if not isinstance(rec, dict):
+                            raise json.JSONDecodeError("not an object", "", 0)
+                        self._offsets.append(pos)
+                        doc_id = extract_record_id(
+                            rec, ID_FIELDS, f"doc_{line_no + 1}"
                         )
                         self._ids[doc_id] = len(self._offsets) - 1
                     except json.JSONDecodeError:
-                        self._offsets.pop()
+                        pass  # skip malformed / non-object lines
                 pos += len(line)
         self._file = open(self.path, "rb")
+        self._lock = threading.Lock()  # seek+readline must be atomic
 
     def __len__(self) -> int:
         return len(self._offsets)
 
     def __getitem__(self, idx: int) -> Dict:
-        self._file.seek(self._offsets[idx])
-        return json.loads(self._file.readline())
+        with self._lock:
+            self._file.seek(self._offsets[idx])
+            line = self._file.readline()
+        return json.loads(line)
 
     def get(self, doc_id: str) -> Optional[Dict]:
         idx = self._ids.get(doc_id)

@@ -156,3 +156,40 @@ def test_lazy_jsonl_reader(tmp_path):
         assert reader[7]["text"] == "body 7"
         assert reader.get("d29")["_id"] == "d29"
         assert reader.get("nope") is None
+
+
+def test_lazy_jsonl_reader_non_dict_lines(tmp_path):
+    from osr_tpu.storage.loaders import LazyJSONLReader
+
+    path = tmp_path / "odd.jsonl"
+    path.write_text('42\n{"_id": "a", "text": "x"}\n[1,2]\n"str"\n')
+    with LazyJSONLReader(path) as reader:
+        assert len(reader) == 1
+        assert reader.get("a")["text"] == "x"
+
+
+def test_lazy_jsonl_reader_concurrent(tmp_path):
+    import threading
+
+    from osr_tpu.storage.loaders import LazyJSONLReader
+
+    path = tmp_path / "c.jsonl"
+    with open(path, "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"_id": f"d{i}", "text": f"body {i}"}) + "\n")
+    reader = LazyJSONLReader(path)
+    errors = []
+
+    def worker(tid):
+        try:
+            for i in range(100):
+                idx = (tid * 17 + i) % 50
+                assert reader[idx]["text"] == f"body {idx}"
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    reader.close()
+    assert not errors, errors
