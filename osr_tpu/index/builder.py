@@ -337,11 +337,18 @@ class SparseIndexBuilder:
 
 
 def corpus_fingerprint(corpus: Mapping[str, object]) -> str:
-    """Cache key for a corpus, mirroring the reference's md5-of-first-1000-ids
-    probe (reference evaluate_rag_pipeline.py:189) but hashing *all* ids plus
-    the corpus size so different corpora can't alias."""
+    """Cache key for a corpus.
+
+    Hashes the corpus size, EVERY doc id, and a strided sample of document
+    text prefixes — unlike the reference's md5-of-first-1000-sorted-ids probe
+    (reference evaluate_rag_pipeline.py:189), which aliases corpora sharing a
+    thousand ids and never notices edited text."""
     h = hashlib.md5()
     h.update(str(len(corpus)).encode())
-    for doc_id in sorted(corpus.keys())[:1000]:
-        h.update(str(doc_id).encode())
+    ids = sorted(str(k) for k in corpus.keys())
+    for doc_id in ids:
+        h.update(doc_id.encode())
+    stride = max(1, len(ids) // 128)
+    for doc_id in ids[::stride]:
+        h.update(extract_text(corpus[doc_id])[:128].encode())
     return h.hexdigest()[:16]

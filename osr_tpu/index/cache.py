@@ -155,6 +155,13 @@ def load_index(
     with np.load(path, allow_pickle=True) as z:
         if int(z["format_version"]) != _FORMAT_VERSION:
             raise ValueError("Incompatible index cache version")
+        if str(z["method"]) != builder.method:
+            # The stored idf belongs to the stored method's formula; silently
+            # re-weighting with it under another method would be wrong.
+            raise ValueError(
+                f"Cache holds a {z['method']} index; builder wants "
+                f"{builder.method}"
+            )
         vocabulary = {t: i for i, t in enumerate(z["vocabulary"].tolist())}
         doc_ids = [str(d) for d in z["doc_ids"].tolist()]
         idf = z["idf"]

@@ -130,19 +130,18 @@ def build_corpus_tf(
     return indptr, term_ids, counts, doc_lengths, df, terms
 
 
-_MAX_QUERY_TOKENS = 8192
-
-
 def ascii_tokenize(text: str) -> List[str]:
     """Tokenize an ASCII string exactly like ``re.findall(r'\\b\\w+\\b',
     text.lower())``."""
     data = text.encode("ascii")
     n = len(data)
     out = ctypes.create_string_buffer(max(n, 1))
-    starts = np.empty(_MAX_QUERY_TOKENS, dtype=np.int64)
-    ends = np.empty(_MAX_QUERY_TOKENS, dtype=np.int64)
+    # Exact worst case: tokens alternate with separators -> ceil(n/2).
+    max_tokens = n // 2 + 1
+    starts = np.empty(max_tokens, dtype=np.int64)
+    ends = np.empty(max_tokens, dtype=np.int64)
     count = _lib.tokenize_ascii(
-        data, n, out, _as_i64_ptr(starts), _as_i64_ptr(ends), _MAX_QUERY_TOKENS
+        data, n, out, _as_i64_ptr(starts), _as_i64_ptr(ends), max_tokens
     )
     lowered = out.raw[:n]
     return [

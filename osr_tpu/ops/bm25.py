@@ -172,21 +172,9 @@ def hybrid_score_topk(
     )  # (R, B)
     kk = min(k, scores.shape[0])
     if topk_mode == "fast":
-        # Coarse selection on a bf16 transpose (halves both the transpose
-        # and the sort traffic), exact f32 re-rank of the candidates.
-        coarse = jnp.where(
-            valid[:, None], scores, jnp.float32(-jnp.inf)
-        ).astype(jnp.bfloat16)
-        cf = min(kk * 2, scores.shape[0])
-        _, cand_rows = lax.top_k(coarse.T, cf)  # (B, cf)
-        b = scores.shape[1]
-        cols = jnp.arange(b, dtype=jnp.int32)[:, None]
-        cand_scores = scores[cand_rows, cols]  # (B, cf) exact f32
-        cand_scores = jnp.where(
-            valid[cand_rows], cand_scores, -jnp.inf
-        )
-        top_scores, pos = lax.top_k(cand_scores, kk)
-        top_rows = jnp.take_along_axis(cand_rows, pos, axis=-1)
+        from osr_tpu.ops.topk import fast_topk_columns
+
+        top_scores, top_rows = fast_topk_columns(scores, valid, k=kk)
     else:
         masked = jnp.where(valid[:, None], scores, -jnp.inf)
         top_scores, top_rows = lax.top_k(masked.T, kk)  # (B, kk)

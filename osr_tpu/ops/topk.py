@@ -58,6 +58,32 @@ def fast_topk(
     return vals, jnp.take_along_axis(coarse_idx, pos, axis=-1)
 
 
+def fast_topk_columns(
+    scores: jax.Array,  # (R, B): candidates along ROWS, queries along columns
+    valid: jax.Array,  # (R,) bool
+    *,
+    k: int,
+    overfetch: int = 2,
+) -> Tuple[jax.Array, jax.Array]:
+    """Column-major variant of :func:`fast_topk` used by the fused search
+    step: the coarse selection transposes a bf16 copy (half the transpose
+    and sort bytes), then candidate scores are re-ranked in exact f32 by a
+    (B, cf) gather from the untransposed matrix. Not jitted: inlined by
+    jitted callers."""
+    r, b = scores.shape
+    kk = min(k, r)
+    cf = min(kk * overfetch, r)
+    coarse = jnp.where(valid[:, None], scores, jnp.float32(-jnp.inf)).astype(
+        jnp.bfloat16
+    )
+    _, cand_rows = lax.top_k(coarse.T, cf)  # (B, cf)
+    cols = jnp.arange(b, dtype=jnp.int32)[:, None]
+    cand_scores = scores[cand_rows, cols]  # exact f32
+    cand_scores = jnp.where(valid[cand_rows], cand_scores, -jnp.inf)
+    vals, pos = lax.top_k(cand_scores, kk)
+    return vals, jnp.take_along_axis(cand_rows, pos, axis=-1)
+
+
 def merge_topk(
     scores_parts: Sequence[jax.Array],  # each (B, k_i)
     ids_parts: Sequence[jax.Array],  # each (B, k_i) global ids
@@ -91,6 +117,10 @@ def approx_topk_threshold(
     kk = min(k, n)
     sample = scores[..., ::sample_stride]
     m = sample.shape[-1]
+    if m < 4 * kk:
+        # Too few samples to estimate the k-th value: the threshold could
+        # mask true members with no way back. Fall back to exact selection.
+        return lax.top_k(scores, kk)
     sk = min(max(1, (kk * m) // n + 1), m)
     thresh = lax.top_k(sample, sk)[0][..., -1:]
     # Conservative margin: keep anything within one sample-std of the

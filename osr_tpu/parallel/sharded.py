@@ -30,6 +30,7 @@ from osr_tpu.ops.bm25 import (
     build_query_matrix,
     chunk_rows_for_width,
 )
+from osr_tpu.retrieval.encoding import encode_query_batch
 from osr_tpu.parallel.mesh import DOC_AXIS, QUERY_AXIS
 
 NEG_INF = float("-inf")
@@ -181,18 +182,12 @@ class ShardedSparseSearchEngine:
     def encode_queries(
         self, texts: Sequence[str]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        encoded = self.tokenizer.encode_batch(texts)
-        b = self._pick_batch_size(len(texts))
-        q = _round_up(max((len(e) for e in encoded), default=1) or 1, 8)
-        # Pad with an out-of-bounds id: the query-matrix scatter drops it,
-        # keeping (term, query) update pairs unique (see ops/bm25.py).
-        tids = np.full((b, q), self.index.vocab_size + 1, dtype=np.int32)
-        wts = np.zeros((b, q), dtype=np.float32)
-        for row, pairs in enumerate(encoded):
-            for col, (tid, cnt) in enumerate(pairs):
-                tids[row, col] = tid
-                wts[row, col] = cnt
-        return tids, wts
+        return encode_query_batch(
+            self.tokenizer,
+            texts,
+            self._pick_batch_size(len(texts)),
+            self.index.vocab_size,
+        )
 
     def search_token_batch(
         self, term_ids: np.ndarray, term_weights: np.ndarray, top_k: int

@@ -31,6 +31,7 @@ import numpy as np
 
 from osr_tpu.index.builder import SparseIndex
 from osr_tpu.index.tokenizer import Tokenizer
+from osr_tpu.retrieval.encoding import encode_query_batch
 from osr_tpu.ops.bm25 import (
     chunk_rows_for_width,
     hybrid_score_topk,
@@ -42,9 +43,6 @@ logger = logging.getLogger(__name__)
 DEFAULT_BATCH_SIZES = (8, 32, 128)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
 
 class _DeviceIndex:
     """Device-resident arrays of a :class:`HybridLayout`."""
@@ -53,7 +51,10 @@ class _DeviceIndex:
         put = lambda a: jax.device_put(a, device)
         head = layout.head_weights
         if head_dtype == "bf16":
-            head = jnp.asarray(head, dtype=jnp.bfloat16)
+            import ml_dtypes
+
+            # Host-side cast: never stages the f32 head on another device.
+            head = head.astype(ml_dtypes.bfloat16)
         elif head_dtype != "f32":
             raise ValueError(f"Unknown head_dtype: {head_dtype}")
         self.head_weights = put(head)
@@ -136,24 +137,31 @@ class SparseSearchEngine:
         return np.asarray(s), np.asarray(i)
 
     def score_all(self, texts: Sequence[str]) -> np.ndarray:
-        """Dense (len(texts), num_docs) score matrix — the test/oracle API."""
+        """Dense (len(texts), num_docs) score matrix — the test/oracle API.
+
+        Chunks by the engine's largest batch size, so any number of texts
+        is accepted.
+        """
         d = self._dev
-        tids, wts = self.encode_queries(texts)
-        scores = hybrid_scores(
-            jnp.asarray(tids),
-            jnp.asarray(wts),
-            d.head_weights,
-            d.tail_term_ids,
-            d.tail_weights,
-            vocab_rows=self._vocab_rows,
-            tail_meta=d.tail_meta,
-        )  # (R, B)
-        scores = np.asarray(scores).T  # (B, R)
         layout = self.index.layout
         out = np.zeros((len(texts), self.index.num_docs), dtype=np.float32)
-        out[:, layout.doc_map[layout.valid]] = scores[
-            : len(texts), layout.valid
-        ]
+        max_b = self.batch_sizes[-1]
+        for i in range(0, len(texts), max_b):
+            chunk = texts[i : i + max_b]
+            tids, wts = self.encode_queries(chunk)
+            scores = hybrid_scores(
+                jnp.asarray(tids),
+                jnp.asarray(wts),
+                d.head_weights,
+                d.tail_term_ids,
+                d.tail_weights,
+                vocab_rows=self._vocab_rows,
+                tail_meta=d.tail_meta,
+            )  # (R, B)
+            scores = np.asarray(scores).T  # (B, R)
+            out[i : i + len(chunk), layout.doc_map[layout.valid]] = scores[
+                : len(chunk), layout.valid
+            ]
         return out
 
     # ------------------------------------------------------------------
@@ -169,19 +177,17 @@ class SparseSearchEngine:
     def encode_queries(
         self, texts: Sequence[str]
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Tokenize + pad a list of query strings to (B, Q) arrays."""
-        encoded = self.tokenizer.encode_batch(texts)
-        b = self._pick_batch_size(len(texts))
-        q = _round_up(max((len(e) for e in encoded), default=1) or 1, 8)
-        # Pad with an out-of-bounds id: the query-matrix scatter drops it,
-        # keeping (term, query) update pairs unique (see ops/bm25.py).
-        tids = np.full((b, q), self.index.vocab_size + 1, dtype=np.int32)
-        wts = np.zeros((b, q), dtype=np.float32)
-        for row, pairs in enumerate(encoded):
-            for col, (tid, cnt) in enumerate(pairs):
-                tids[row, col] = tid
-                wts[row, col] = cnt
-        return tids, wts
+        """Tokenize + pad a list of query strings to (B, Q) arrays.
+
+        ``len(texts)`` must not exceed the engine's largest batch size
+        (raises ValueError otherwise); search() chunks for you.
+        """
+        return encode_query_batch(
+            self.tokenizer,
+            texts,
+            self._pick_batch_size(len(texts)),
+            self.index.vocab_size,
+        )
 
     def search(
         self, queries: Mapping[str, str], top_k: int = 10
@@ -289,21 +295,21 @@ class DenseSearchEngine:
         self.quantization = quantization
         self.device = device if device is not None else jax.devices()[0]
         self.dim = embeddings.shape[1]
-        put = lambda a: jax.device_put(jnp.asarray(a), self.device)
+        # Stage on the TARGET device first, then quantize there (the jitted
+        # quantizer runs on its input's device) — never materializes the
+        # fp32 embeddings on the default device.
+        emb_dev = jax.device_put(
+            np.asarray(embeddings, dtype=np.float32), self.device
+        )
         if quantization == "symmetric":
-            values, scales = qz.quantize_symmetric(jnp.asarray(embeddings))
-            self._docs = put(values)
-            self._scales = put(scales)
+            self._docs, self._scales = qz.quantize_symmetric(emb_dev)
             self._mins = None
         elif quantization == "asymmetric":
-            values, scales, mins = qz.quantize_asymmetric(
-                jnp.asarray(embeddings)
+            self._docs, self._scales, self._mins = qz.quantize_asymmetric(
+                emb_dev
             )
-            self._docs = put(values)
-            self._scales = put(scales)
-            self._mins = put(mins)
         elif quantization == "none":
-            self._docs = put(embeddings.astype(np.float32))
+            self._docs = emb_dev
             self._scales = None
             self._mins = None
         else:

@@ -76,3 +76,11 @@ def test_load_or_build_cache_flow(corpus, tmp_path):
     p.write_bytes(b"corrupt")
     i3 = load_or_build(SparseIndexBuilder(method="tfidf"), corpus, tmp_path)
     assert i3.doc_ids == i1.doc_ids
+
+
+def test_method_mismatch_raises(corpus, tmp_path):
+    builder = SparseIndexBuilder(method="bm25", keep_raw_rows=True)
+    index = builder.build(corpus)
+    save_index(index, tmp_path / "idx.npz", builder)
+    with pytest.raises(ValueError, match="bm25"):
+        load_index(tmp_path / "idx.npz", SparseIndexBuilder(method="tfidf"))

@@ -132,3 +132,14 @@ def test_bf16_head_preserves_ranking(corpus, queries):
         assert overlap >= 0.9, (qid, overlap)
         for doc in set(ids32) & set(ids16):
             assert r16[qid][doc] == pytest.approx(r32[qid][doc], rel=2e-2)
+
+
+def test_encode_queries_overflow_raises(corpus):
+    index = SparseIndexBuilder().build(corpus)
+    engine = SparseSearchEngine(index, batch_sizes=(8,))
+    with pytest.raises(ValueError):
+        engine.encode_queries(["q"] * 9)
+    # score_all chunks internally, so >max-batch is fine there
+    out = engine.score_all(["term300"] * 20)
+    assert out.shape == (20, index.num_docs)
+    np.testing.assert_allclose(out[0], out[19])

@@ -51,3 +51,12 @@ def test_approx_topk_overlap(rng):
     for b in range(8):
         overlap = len(set(ai[b]) & set(ei[b])) / k
         assert overlap >= 0.9, overlap
+
+
+def test_approx_topk_small_n_exact_fallback(rng):
+    # Too few strided samples to estimate a threshold -> exact results.
+    scores = rng.randn(3, 64).astype(np.float32)
+    av, ai = approx_topk_threshold(jnp.asarray(scores), k=10, sample_stride=64)
+    ev, ei = topk(jnp.asarray(scores), k=10)
+    np.testing.assert_array_equal(np.asarray(ai), np.asarray(ei))
+    assert not np.isinf(np.asarray(av)).any()
