@@ -115,7 +115,7 @@ def main():
 
     # p50 single-batch latency at the engine's native batch size.
     lat = []
-    for i in range(0, 8 * 512, 512):
+    for i in range(0, 5 * 512, 512):
         batch = dict(qitems[i : i + 512])
         t0 = time.perf_counter()
         engine.search(batch, top_k=top_k)
