@@ -109,7 +109,7 @@ def run_benchmark_suite(suite: BenchmarkSuite) -> Dict[str, Any]:
         "memory_delta_mb": mem.delta_mb,
         "num_benchmarks": len(results),
         "num_passed": passed,
-        "all_passed": error is None and passed == len(results) and results,
+        "all_passed": bool(error is None and passed == len(results) and results),
         "error": error,
         "results": [r.to_dict() for r in results],
     }

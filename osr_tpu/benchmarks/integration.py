@@ -78,8 +78,8 @@ def load_benchmark_config(path: Union[str, Path]) -> Dict[str, Any]:
         cfg = yaml.safe_load(f) or {}
     cfg.setdefault("out_dir", "test_results")
     cfg.setdefault("seed", 42)
-    suites = cfg.get("suites") or {}
-    unknown = set(suites) - set(ALL_SUITES)
+    cfg["suites"] = cfg.get("suites") or {}
+    unknown = set(cfg["suites"]) - set(ALL_SUITES)
     if unknown:
         raise ValueError(f"Unknown benchmark suites: {sorted(unknown)}")
     return cfg

@@ -53,8 +53,10 @@ def benchmark_query_latency(
     items = list(queries.items())
     if not items:
         return {"error": "no queries"}
-    for qid, text in items[:warmup]:
-        engine.search({qid: text}, top_k=top_k)
+    # Warm up at the measured client batch size so the first timed batch
+    # doesn't pay the jit compile of a new padded shape.
+    for _ in range(max(1, warmup)):
+        engine.search(dict(items[:batch_size]), top_k=top_k)
     engine.clear_cache()
     latencies: List[float] = []
     for i in range(0, len(items), batch_size):

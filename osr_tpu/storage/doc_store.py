@@ -206,7 +206,12 @@ class DocumentStore:
     # -- writes -----------------------------------------------------------
 
     def add_documents(self, docs: Iterable[Document]) -> int:
-        """Incrementally append documents and rewrite the footer."""
+        """Incrementally append documents and rewrite the footer.
+
+        Crash-safe against a raising ``docs`` iterable: the footer and
+        header are finalized for every document successfully written before
+        the exception, so the store stays readable (the partial batch is
+        committed)."""
         with self._lock:
             if self._mm is not None:
                 self._mm.close()
@@ -214,43 +219,59 @@ class DocumentStore:
             self._file.seek(self._footer_off)
             pos = self._footer_off
             count = 0
-            for doc in docs:
-                payload, raw_len, flags = _encode_payload(
-                    doc, self.compress_threshold
-                )
-                pad = (-pos) % ALIGN
-                if pad:
-                    self._file.write(b"\0" * pad)
-                    pos += pad
-                self._file.write(payload)
-                self._index[doc.id] = [pos, len(payload), raw_len, flags]
-                pos += len(payload)
-                count += 1
-            footer = zlib.compress(json.dumps(self._index).encode())
-            self._file.write(footer)
-            self._file.truncate(pos + len(footer))
-            self._file.seek(0)
-            self._file.write(struct.pack(HEADER_FMT, MAGIC, VERSION, pos))
-            self._file.flush()
-            self._footer_off = pos
-            self._remap()
+            try:
+                for doc in docs:
+                    payload, raw_len, flags = _encode_payload(
+                        doc, self.compress_threshold
+                    )
+                    pad = (-pos) % ALIGN
+                    if pad:
+                        self._file.write(b"\0" * pad)
+                        pos += pad
+                    self._file.write(payload)
+                    self._index[doc.id] = [pos, len(payload), raw_len, flags]
+                    pos += len(payload)
+                    count += 1
+            finally:
+                footer = zlib.compress(json.dumps(self._index).encode())
+                self._file.seek(pos)
+                self._file.write(footer)
+                self._file.truncate(pos + len(footer))
+                self._file.seek(0)
+                self._file.write(struct.pack(HEADER_FMT, MAGIC, VERSION, pos))
+                self._file.flush()
+                self._footer_off = pos
+                self._remap()
             return count
 
     def optimize(self) -> None:
         """Re-compact the blob section (drops holes left by re-adds;
-        reference memory_index.py:501-525 capability)."""
-        docs = list(self.iter_documents())
+        reference memory_index.py:501-525 capability).
+
+        Streams through a temp file + atomic rename, so memory stays
+        bounded and a crash mid-compaction leaves the original intact."""
+        import os
+
+        tmp_path = self.path.with_suffix(self.path.suffix + ".compact")
         with self._lock:
-            self.cache.clear()
-            self._index.clear()
+            tmp = DocumentStore(
+                tmp_path,
+                create=True,
+                compress_threshold=self.compress_threshold,
+            )
+            try:
+                tmp.add_documents(self.iter_documents())
+            finally:
+                tmp.close()
             if self._mm is not None:
                 self._mm.close()
                 self._mm = None
             self._file.close()
-            self._init_empty()
-            self._file = open(self.path, "r+b")
-            self._footer_off = HEADER_SIZE
-        self.add_documents(docs)
+            os.replace(tmp_path, self.path)
+            self.cache.clear()
+            self._index.clear()
+            self._file = None
+            self._open()
 
     # -- reads ------------------------------------------------------------
 
@@ -276,7 +297,13 @@ class DocumentStore:
 
     def _read_entry(self, doc_id: str, entry: List[int]) -> Document:
         off, stored, raw_len, flags = entry
-        payload = bytes(self._mm[off : off + stored])
+        # The slice copy happens under the lock so a concurrent
+        # add_documents/optimize can't close the mmap mid-read; the (slower)
+        # decompress/decode runs outside it.
+        with self._lock:
+            if self._mm is None:
+                raise ValueError(f"Store is closed: {self.path}")
+            payload = bytes(self._mm[off : off + stored])
         return _decode_payload(payload, raw_len, flags, doc_id)
 
     def get_documents(

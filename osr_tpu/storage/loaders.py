@@ -52,6 +52,8 @@ def load_corpus(
                 continue
             try:
                 doc = json.loads(line)
+                if not isinstance(doc, dict):
+                    raise json.JSONDecodeError("not an object", "", 0)
                 doc_id = extract_record_id(doc, ID_FIELDS, f"doc_{line_no}")
                 if "text" not in doc:
                     for field in TEXT_FIELDS[1:]:
@@ -82,6 +84,8 @@ def load_queries(ds_path: Union[str, Path]) -> Dict[str, Dict]:
                 continue
             try:
                 rec = json.loads(line)
+                if not isinstance(rec, dict):
+                    raise json.JSONDecodeError("not an object", "", 0)
                 qid = extract_record_id(
                     rec, QUERY_ID_FIELDS, f"query_{line_no}"
                 )
@@ -119,8 +123,11 @@ def load_qrels(
     with open(qrels_path, "r", encoding="utf-8") as f:
         for line_no, line in enumerate(f, 1):
             line = line.strip()
-            if not line or (line_no == 1 and "query" in line.lower()):
+            if not line:
                 continue
+            # No header special-case: a header row's non-numeric relevance
+            # column fails the int() parse below and is skipped, while a
+            # real first row whose qid merely contains 'query' is kept.
             parts = line.split("\t") if "\t" in line else line.split()
             if len(parts) < 3:
                 continue
@@ -162,6 +169,8 @@ def _validate_jsonl(
                 continue
             try:
                 rec = json.loads(line)
+                if not isinstance(rec, dict):
+                    raise json.JSONDecodeError("not an object", "", 0)
                 has_id = any(rec.get(f) is not None for f in id_fields)
                 has_text = any(rec.get(f) for f in text_fields)
                 if has_id and has_text:

@@ -193,3 +193,52 @@ def test_lazy_jsonl_reader_concurrent(tmp_path):
     [t.join() for t in threads]
     reader.close()
     assert not errors, errors
+
+
+def test_add_documents_partial_failure_keeps_store_readable(tmp_path):
+    store = DocumentStore(tmp_path / "p.osrd", create=True)
+
+    def bad_docs():
+        yield Document(id="good1", text="alpha " * 40)
+        yield Document(id="good2", text="beta " * 40)
+        raise RuntimeError("upstream iterator died")
+
+    with pytest.raises(RuntimeError):
+        store.add_documents(bad_docs())
+    # The successfully-written prefix is committed and readable.
+    assert store.get_document("good1").text.startswith("alpha")
+    store.close()
+    reopened = DocumentStore(tmp_path / "p.osrd")
+    assert len(reopened) == 2
+    assert reopened.get_document("good2").text.startswith("beta")
+    reopened.close()
+
+
+def test_loaders_skip_non_dict_json(tmp_path):
+    ds = tmp_path / "weird"
+    ds.mkdir()
+    (ds / "corpus.jsonl").write_text(
+        '[1,2]\n{"_id": "d1", "text": "ok"}\n"plain"\n42\n'
+    )
+    (ds / "queries.jsonl").write_text('17\n{"_id": "q1", "text": "hello"}\n')
+    corpus = load_corpus(ds)
+    assert list(corpus) == ["d1"]
+    queries = load_queries(ds)
+    assert list(queries) == ["q1"]
+    v = validate_dataset(ds)
+    assert v["corpus"]["valid"] == 1 and v["corpus"]["invalid"] == 3
+
+
+def test_qrels_first_row_with_query_substring_kept(tmp_path):
+    ds = tmp_path / "q"
+    (ds / "qrels").mkdir(parents=True)
+    (ds / "qrels" / "test.tsv").write_text(
+        "query_1\tdoc3\t1\nq2\tdoc4\t2\n"
+    )
+    qrels = load_qrels(ds)
+    assert qrels == {"query_1": {"doc3": 1}, "q2": {"doc4": 2}}
+    # real headers are still skipped (non-numeric score column)
+    (ds / "qrels" / "test.tsv").write_text(
+        "query-id\tcorpus-id\tscore\nq1\td1\t1\n"
+    )
+    assert load_qrels(ds) == {"q1": {"d1": 1}}
