@@ -43,10 +43,18 @@ def _cmd_ablate(args) -> int:
     cfg = load_config(args.config)
     if args.datasets_root:
         cfg["datasets_root"] = args.datasets_root
-    base = next(
-        (e for e in cfg["experiments"] if e["name"] == args.experiment),
-        cfg["experiments"][0],
-    )
+    if args.experiment:
+        base = next(
+            (e for e in cfg["experiments"] if e["name"] == args.experiment),
+            None,
+        )
+        if base is None:
+            names = [e["name"] for e in cfg["experiments"]]
+            raise SystemExit(
+                f"Unknown experiment {args.experiment!r}; available: {names}"
+            )
+    else:
+        base = cfg["experiments"][0]
     out = Path(args.output_dir or cfg["output_dir"]) / "ablations"
     results = run_ablation(base, cfg, out)
     ok = sum(1 for v in results.values() if v.get("status") == "ok")

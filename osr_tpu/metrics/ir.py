@@ -6,14 +6,18 @@ torch-adjacent dependency this framework avoids). The definitions here
 follow pytrec_eval's so numbers are comparable with the reference's
 committed results:
 
-- nDCG@k: DCG with graded gains ``(2^rel - 1) / log2(rank + 1)``, ideal DCG
-  from the full qrel set, ranks from 1.
-- MAP@k: mean average precision, cut at k, normalized by total relevant.
+- nDCG@k: LINEAR gains ``rel / log2(rank + 1)`` (Jarvelin & Kekalainen, the
+  trec_eval/pytrec_eval ndcg_cut form), ideal DCG from the full qrel set,
+  ranks from 1.
+- MAP@k: mean average precision cut at k, normalized by the TOTAL number of
+  relevant documents (trec_eval map_cut).
 - Recall@k: |relevant in top k| / |relevant|.
 - P@k: |relevant in top k| / k.
 
-Only qrels entries with relevance > 0 count as relevant (pytrec_eval
-default). Queries absent from qrels are skipped, like BEIR does.
+Only qrels entries with relevance > 0 count as relevant, ties are broken by
+DESCENDING doc id, and queries with no positively-judged document are
+dropped from every measure — all trec_eval behaviors. Queries absent from
+qrels are skipped, like BEIR does.
 """
 
 from __future__ import annotations
@@ -26,26 +30,33 @@ Qrels = Mapping[str, Mapping[str, int]]  # qid -> {doc_id: relevance}
 
 
 def _ranked_docs(scores: Mapping[str, float], k: int) -> List[str]:
+    # Score descending, ties by doc id DESCENDING (trec_eval's tie order).
     return [
         d
-        for d, _ in sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for d, _ in sorted(
+            scores.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+        )[:k]
     ]
+
+
+def _has_relevant(rels: Mapping[str, int]) -> bool:
+    return any(r > 0 for r in rels.values())
 
 
 def ndcg_at_k(results: Results, qrels: Qrels, k: int) -> float:
     total, n = 0.0, 0
     for qid, rels in qrels.items():
-        if qid not in results:
+        if qid not in results or not _has_relevant(rels):
             continue
         n += 1
         ranked = _ranked_docs(results[qid], k)
         dcg = sum(
-            (2 ** rels.get(d, 0) - 1) / math.log2(rank + 2)
+            rels.get(d, 0) / math.log2(rank + 2)
             for rank, d in enumerate(ranked)
         )
         ideal = sorted((r for r in rels.values() if r > 0), reverse=True)[:k]
         idcg = sum(
-            (2**r - 1) / math.log2(rank + 2) for rank, r in enumerate(ideal)
+            r / math.log2(rank + 2) for rank, r in enumerate(ideal)
         )
         total += dcg / idcg if idcg > 0 else 0.0
     return total / n if n else 0.0
@@ -54,29 +65,25 @@ def ndcg_at_k(results: Results, qrels: Qrels, k: int) -> float:
 def map_at_k(results: Results, qrels: Qrels, k: int) -> float:
     total, n = 0.0, 0
     for qid, rels in qrels.items():
-        if qid not in results:
+        if qid not in results or not _has_relevant(rels):
             continue
         n += 1
         relevant = {d for d, r in rels.items() if r > 0}
-        if not relevant:
-            continue
         hits, ap = 0, 0.0
         for rank, d in enumerate(_ranked_docs(results[qid], k)):
             if d in relevant:
                 hits += 1
                 ap += hits / (rank + 1)
-        total += ap / min(len(relevant), k)
+        total += ap / len(relevant)  # trec_eval map_cut denominator
     return total / n if n else 0.0
 
 
 def recall_at_k(results: Results, qrels: Qrels, k: int) -> float:
     total, n = 0.0, 0
     for qid, rels in qrels.items():
-        if qid not in results:
+        if qid not in results or not _has_relevant(rels):
             continue
         relevant = {d for d, r in rels.items() if r > 0}
-        if not relevant:
-            continue
         n += 1
         got = set(_ranked_docs(results[qid], k))
         total += len(got & relevant) / len(relevant)
@@ -86,7 +93,7 @@ def recall_at_k(results: Results, qrels: Qrels, k: int) -> float:
 def precision_at_k(results: Results, qrels: Qrels, k: int) -> float:
     total, n = 0.0, 0
     for qid, rels in qrels.items():
-        if qid not in results:
+        if qid not in results or not _has_relevant(rels):
             continue
         n += 1
         relevant = {d for d, r in rels.items() if r > 0}

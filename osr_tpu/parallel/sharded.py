@@ -302,5 +302,7 @@ class ShardedDenseSearchEngine:
         q = jax.device_put(
             np.asarray(query_vectors, dtype=np.float32), self._qshard
         )
-        s, i = self._search(q, k=top_k)
+        # Clamp to the REAL doc count: with k > N the merge would have to
+        # fill slots with -inf padding rows whose ids exceed len(doc_ids).
+        s, i = self._search(q, k=min(top_k, len(self.doc_ids)))
         return np.asarray(s), np.asarray(i)

@@ -113,19 +113,28 @@ class CorrectnessValidator:
     def validate_topk_ranking(
         got_ids: Sequence[int],
         want_ids: Sequence[int],
-        got_scores: Sequence[float],
-        want_scores: Sequence[float],
         min_overlap: float = 0.9,
     ) -> Dict[str, Any]:
+        """Set overlap plus Spearman correlation of the RANK POSITIONS of
+        the common ids (the reference's validator semantics, reference
+        tests/core_test.py:145-173 — correlating the two already-sorted
+        score lists would always report ~1.0)."""
         k = len(want_ids)
         overlap = len(set(got_ids) & set(want_ids)) / k if k else 1.0
-        corr = spearman_correlation(
-            list(got_scores)[:k], list(want_scores)[:k]
-        )
+        got_pos = {d: i for i, d in enumerate(got_ids)}
+        want_pos = {d: i for i, d in enumerate(want_ids)}
+        common = [d for d in want_ids if d in got_pos]
+        if len(common) >= 2:
+            corr = spearman_correlation(
+                [got_pos[d] for d in common],
+                [want_pos[d] for d in common],
+            )
+        else:
+            corr = 1.0
         return {
             "passed": overlap >= min_overlap,
             "precision_at_k": overlap,
-            "score_spearman": corr,
+            "rank_spearman": corr,
         }
 
     @staticmethod

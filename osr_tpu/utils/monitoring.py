@@ -23,13 +23,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def _process_rss_mb() -> float:
-    try:
-        import psutil
-
-        return psutil.Process().memory_info().rss / 2**20
-    except Exception:  # pragma: no cover
-        return 0.0
+from osr_tpu.utils.timing import process_rss_mb as _process_rss_mb
 
 
 def device_memory_stats() -> Dict[str, float]:
@@ -97,7 +91,11 @@ class SystemStats:
             "avg_latency_ms": float(np.mean(lat)) if lat else 0.0,
             "p50_latency_ms": float(np.percentile(lat, 50)) if lat else 0.0,
             "p95_latency_ms": float(np.percentile(lat, 95)) if lat else 0.0,
-            "min_latency_ms": self.min_latency_ms,
+            "min_latency_ms": (
+                self.min_latency_ms
+                if self.min_latency_ms != float("inf")
+                else 0.0
+            ),
             "max_latency_ms": self.max_latency_ms,
             "total_results": self.total_results,
             "memory_usage_mb": self.memory_usage_mb,

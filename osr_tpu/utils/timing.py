@@ -18,12 +18,24 @@ from typing import Any, Callable, Dict, List, Optional, Sequence
 import numpy as np
 
 
-class TimingContext:
-    """Context manager measuring wall time with optional warmup runs."""
+def process_rss_mb() -> float:
+    """Current process RSS in MB (0.0 when psutil is unavailable)."""
+    try:
+        import psutil
 
-    def __init__(self, name: str = "", warmup_runs: int = 0):
+        return psutil.Process().memory_info().rss / 2**20
+    except Exception:  # pragma: no cover
+        return 0.0
+
+
+class TimingContext:
+    """Context manager measuring wall time of its body.
+
+    For warmup-aware timing of jitted callables use :func:`time_fn`, which
+    runs (and discards) warmup executions before measuring."""
+
+    def __init__(self, name: str = ""):
         self.name = name
-        self.warmup_runs = warmup_runs
         self.elapsed_ns: int = 0
 
     def __enter__(self):
@@ -88,14 +100,7 @@ class MemoryMonitor:
         self.peak_mb: float = 0.0
         self.samples: List[float] = []
 
-    @staticmethod
-    def _rss_mb() -> float:
-        try:
-            import psutil
-
-            return psutil.Process().memory_info().rss / 2**20
-        except Exception:  # pragma: no cover
-            return 0.0
+    _rss_mb = staticmethod(process_rss_mb)
 
     def __enter__(self):
         self.baseline_mb = self._rss_mb()

@@ -74,10 +74,14 @@ def test_validators():
         np.array([1.0, 5.0]), np.array([1.0, 2.0])
     )
     assert not v["passed"]
-    r = CorrectnessValidator.validate_topk_ranking(
-        [1, 2, 3], [1, 2, 4], [0.9, 0.8, 0.7], [0.9, 0.8, 0.6]
-    )
+    r = CorrectnessValidator.validate_topk_ranking([1, 2, 3], [1, 2, 4])
     assert r["precision_at_k"] == pytest.approx(2 / 3)
+    assert r["rank_spearman"] == pytest.approx(1.0)
+    # reversed common ordering -> negative rank correlation
+    r2 = CorrectnessValidator.validate_topk_ranking(
+        [3, 2, 1], [1, 2, 3], min_overlap=0.5
+    )
+    assert r2["rank_spearman"] == pytest.approx(-1.0)
 
 
 def test_synthetic_generator_deterministic():

@@ -21,10 +21,34 @@ from osr_tpu.metrics.ir import (
 def test_ndcg_hand_computed():
     results = {"q1": {"d1": 3.0, "d2": 2.0, "d3": 1.0}}
     qrels = {"q1": {"d1": 1, "d3": 2}}
-    # DCG = (2^1-1)/log2(2) + 0 + (2^2-1)/log2(4) = 1 + 1.5 = 2.5
-    # IDCG = (2^2-1)/log2(2) + (2^1-1)/log2(3) = 3 + 1/log2(3)
-    idcg = 3 + 1 / math.log2(3)
-    assert ndcg_at_k(results, qrels, 10) == pytest.approx(2.5 / idcg)
+    # Linear gains (trec_eval ndcg_cut):
+    # DCG = 1/log2(2) + 0 + 2/log2(4) = 1 + 1 = 2
+    # IDCG = 2/log2(2) + 1/log2(3)
+    idcg = 2 + 1 / math.log2(3)
+    assert ndcg_at_k(results, qrels, 10) == pytest.approx(2.0 / idcg)
+
+
+def test_ndcg_tie_break_desc_doc_id():
+    # Tied scores: trec_eval keeps the LARGER doc id first.
+    results = {"q1": {"a": 1.0, "b": 1.0}}
+    assert ndcg_at_k(results, {"q1": {"b": 1}}, 1) == pytest.approx(1.0)
+    assert ndcg_at_k(results, {"q1": {"a": 1}}, 1) == pytest.approx(0.0)
+
+
+def test_zero_relevant_query_dropped_everywhere():
+    results = {"q1": {"d1": 1.0}, "q2": {"d1": 1.0}}
+    qrels = {"q1": {"d1": 1}, "q2": {"dX": 0}}  # q2 has no positive judgment
+    assert ndcg_at_k(results, qrels, 10) == pytest.approx(1.0)
+    assert map_at_k(results, qrels, 10) == pytest.approx(1.0)
+    assert precision_at_k(results, qrels, 1) == pytest.approx(1.0)
+    assert recall_at_k(results, qrels, 10) == pytest.approx(1.0)
+
+
+def test_map_normalized_by_total_relevant():
+    # 3 relevant total, only 1 retrievable in top-k: AP = (1/1) / 3.
+    results = {"q1": {"d1": 1.0}}
+    qrels = {"q1": {"d1": 1, "d2": 1, "d3": 1}}
+    assert map_at_k(results, qrels, 10) == pytest.approx(1 / 3)
 
 
 def test_map_recall_precision():
