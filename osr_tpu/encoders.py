@@ -1,0 +1,163 @@
+"""Real neural text encoders for the dense retrieval path.
+
+The reference uses sentence-transformers models (DPR/Contriever/SPLADE)
+only inside its BEIR harness (reference bench/fiqa_benchmark.py:47-52,
+164-169); its own dense retriever fabricates synthetic embeddings. Here the
+dense path accepts real encoders end to end:
+
+    encoder = HFEncoder("facebook/contriever")        # any HF checkpoint
+    retriever = RetrieverRegistry.create({
+        "type": "contriever",
+        "params": {
+            "embedding_fn": encoder.encode,
+            "query_embedding_fn": encoder.encode_one,
+        },
+    })
+
+``HFEncoder`` prefers the Flax model class so encoding runs through jax/XLA
+on the TPU; it falls back to the PyTorch class (CPU) when no Flax weights
+exist. Mean pooling over non-padding tokens + L2 normalization — the
+standard sentence-embedding recipe (and Contriever's). Everything is gated
+on the optional ``transformers`` dependency.
+
+Utility: :func:`encode_corpus_to_npy` materializes corpus embeddings to a
+``.npy`` file consumable by ``QuantizedEmbeddingRetriever(embeddings_path=)``.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class HFEncoder:
+    """Mean-pooling sentence encoder over a HuggingFace transformer."""
+
+    def __init__(
+        self,
+        model_name: str,
+        max_length: int = 256,
+        batch_size: int = 64,
+        backend: str = "auto",  # 'flax' (TPU) | 'torch' (CPU) | 'auto'
+        model=None,
+        tokenizer=None,
+    ):
+        try:
+            from transformers import AutoTokenizer
+        except ImportError as e:  # pragma: no cover
+            raise ImportError(
+                "HFEncoder requires the `transformers` package"
+            ) from e
+        self.model_name = model_name
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer or AutoTokenizer.from_pretrained(model_name)
+        self.backend: str
+        self.model = model
+        if model is not None:
+            self.backend = "flax" if _is_flax_model(model) else "torch"
+        else:
+            self.model, self.backend = _load_model(model_name, backend)
+        logger.info("HFEncoder %s via %s", model_name, self.backend)
+
+    # -- encoding ----------------------------------------------------------
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        """(len(texts), hidden) float32, mean-pooled + L2-normalized."""
+        chunks: List[np.ndarray] = []
+        for i in range(0, len(texts), self.batch_size):
+            chunks.append(self._encode_batch(list(texts[i : i + self.batch_size])))
+        out = (
+            np.concatenate(chunks, axis=0)
+            if chunks
+            else np.zeros((0, 0), np.float32)
+        )
+        return out
+
+    def encode_one(self, text: str) -> np.ndarray:
+        return self.encode([text])[0]
+
+    def _encode_batch(self, texts: List[str]) -> np.ndarray:
+        if self.backend == "flax":
+            return self._encode_flax(texts)
+        return self._encode_torch(texts)
+
+    def _tokenize(self, texts: List[str], tensors: str):
+        return self.tokenizer(
+            texts,
+            padding=True,
+            truncation=True,
+            max_length=self.max_length,
+            return_tensors=tensors,
+        )
+
+    def _encode_flax(self, texts: List[str]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        batch = self._tokenize(texts, "np")
+        outputs = self.model(**batch)
+        hidden = outputs.last_hidden_state  # (B, T, H)
+        mask = jnp.asarray(batch["attention_mask"])[..., None]
+        pooled = (hidden * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1)
+        norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        return np.asarray(pooled / jnp.maximum(norm, 1e-8), dtype=np.float32)
+
+    def _encode_torch(self, texts: List[str]) -> np.ndarray:
+        import torch
+
+        batch = self._tokenize(texts, "pt")
+        with torch.no_grad():
+            hidden = self.model(**batch).last_hidden_state
+        mask = batch["attention_mask"].unsqueeze(-1).float()
+        pooled = (hidden * mask).sum(dim=1) / mask.sum(dim=1).clamp(min=1)
+        pooled = torch.nn.functional.normalize(pooled, dim=-1)
+        return pooled.cpu().numpy().astype(np.float32)
+
+
+def _is_flax_model(model) -> bool:
+    return model.__class__.__name__.startswith("Flax")
+
+
+def _load_model(model_name: str, backend: str):
+    if backend in ("auto", "flax"):
+        try:
+            from transformers import FlaxAutoModel
+
+            return FlaxAutoModel.from_pretrained(model_name), "flax"
+        except Exception as e:
+            if backend == "flax":
+                raise
+            logger.info("Flax weights unavailable (%s); trying torch", e)
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(model_name)
+    model.eval()
+    return model, "torch"
+
+
+def encode_corpus_to_npy(
+    corpus,
+    encoder: HFEncoder,
+    out_path: Union[str, Path],
+    text_field_order: Optional[Sequence[str]] = None,
+) -> Path:
+    """Encode every corpus document and write (N, H) float32 to ``.npy``.
+
+    Row order follows the corpus mapping's iteration order — the same order
+    ``QuantizedEmbeddingRetriever.build_index_from_corpus`` assigns doc ids,
+    so the file can be passed as its ``embeddings_path``.
+    """
+    from osr_tpu.index.builder import extract_text
+
+    texts = [extract_text(doc) for doc in corpus.values()]
+    emb = encoder.encode(texts)
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    np.save(out_path, emb)
+    logger.info("Wrote %s embeddings to %s", emb.shape, out_path)
+    return out_path
