@@ -88,14 +88,14 @@ def main():
     )
 
     engine = SparseSearchEngine(
-        index, device=device, batch_sizes=(512,), cache_queries=False, topk_mode="fast"
+        index, device=device, batch_sizes=(1024,), cache_queries=False, topk_mode="fast"
     )
 
     top_k = 50
     qitems = list(queries.items())
 
     # Warmup / compile: two batches.
-    warm = dict(qitems[:512])
+    warm = dict(qitems[:1024])
     t0 = time.perf_counter()
     engine.search(warm, top_k=top_k)
     print(f"# warmup (compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
@@ -115,8 +115,8 @@ def main():
 
     # p50 single-batch latency at the engine's native batch size.
     lat = []
-    for i in range(0, 5 * 512, 512):
-        batch = dict(qitems[i : i + 512])
+    for i in range(0, 5 * 1024, 1024):
+        batch = dict(qitems[i : i + 1024])
         t0 = time.perf_counter()
         engine.search(batch, top_k=top_k)
         lat.append((time.perf_counter() - t0) / len(batch) * 1000)
@@ -131,7 +131,7 @@ def main():
     dense = DenseSearchEngine(
         [str(i) for i in range(index.num_docs)], emb, quantization="symmetric"
     )
-    qv = emb[:512]
+    qv = emb[:1024]
     dense.search_vectors(qv, top_k=top_k)  # compile
     dense_best = float("inf")
     for _ in range(3):
