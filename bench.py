@@ -98,14 +98,18 @@ def main():
     warm = dict(qitems[:1024])
     t0 = time.perf_counter()
     engine.search(warm, top_k=top_k)
-    print(f"# warmup (compile) {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    warmup_s = time.perf_counter() - t0
+    print(f"# warmup (compile) {warmup_s:.1f}s", file=sys.stderr)
 
     # Timed runs over all queries: best of 3 passes. The TPU tunnel in this
     # environment has high run-to-run variance (same code has measured
     # 360-930 QPS); best-of reflects the engine, not the tunnel's mood.
     qps_passes = []
     results = {}
-    for _ in range(3):
+    # A cold remote-compile can take minutes; shed timed passes to keep the
+    # whole run inside conservative harness timeouts.
+    n_passes = 3 if warmup_s < 240 else 2
+    for _ in range(n_passes):
         t0 = time.perf_counter()
         results = engine.search(queries, top_k=top_k)
         elapsed = time.perf_counter() - t0
