@@ -41,11 +41,20 @@ class IntegrationRunner:
             result = run_benchmark_suite(suite)
             outputs.append(result)
             save_json(result, self.out_dir / f"{name}_results.json")
+        from osr_tpu.utils.hardware import (
+            detect_hardware_capabilities,
+            get_optimization_recommendations,
+            validate_backend,
+        )
+
         overall = {
             "suites": outputs,
             "all_passed": all(s["all_passed"] for s in outputs),
             "total_benchmarks": sum(s["num_benchmarks"] for s in outputs),
             "total_passed": sum(s["num_passed"] for s in outputs),
+            "hardware": detect_hardware_capabilities(),
+            "backend_validation": validate_backend(),
+            "recommendations": get_optimization_recommendations(),
         }
         save_json(
             {k: v for k, v in overall.items() if k != "suites"},

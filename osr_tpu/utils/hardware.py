@@ -56,6 +56,31 @@ def recommended_batch_size(caps: Dict[str, Any] | None = None) -> int:
     return int(min(64, max(8, caps.get("memory_gb", 8) * 2)))
 
 
+def validate_backend() -> Dict[str, Any]:
+    """Sanity-check the numeric backend (the TPU analogue of the reference's
+    validate_numpy_simd, reference tests/hardware_detection.py:32-79): run a
+    small matmul/reduction on the default device and compare against NumPy."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(64, 64).astype(np.float32)
+    b = rng.randn(64, 64).astype(np.float32)
+    got = np.asarray(
+        jnp.dot(jnp.asarray(a), jnp.asarray(b), precision="highest")
+    )
+    want = a @ b
+    max_err = float(np.abs(got - want).max())
+    sum_err = float(abs(float(jnp.asarray(a).sum()) - a.sum()))
+    ok = max_err < 1e-3 and sum_err < 1e-2
+    return {
+        "ok": bool(ok),
+        "matmul_max_abs_err": max_err,
+        "reduction_abs_err": sum_err,
+        "platform": detect_hardware_capabilities()["platform"],
+    }
+
+
 def get_optimization_recommendations(
     caps: Dict[str, Any] | None = None,
 ) -> Dict[str, str]:

@@ -277,3 +277,11 @@ def test_hardware_detection():
     assert recommended_batch_size(caps) >= 8
     recs = get_optimization_recommendations(caps)
     assert "scoring" in recs
+
+
+def test_validate_backend():
+    from osr_tpu.utils.hardware import validate_backend
+
+    v = validate_backend()
+    assert v["ok"], v
+    assert v["platform"] == "cpu"  # test platform
