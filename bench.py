@@ -25,38 +25,21 @@ import numpy as np
 def make_fiqa_scale_corpus(
     num_docs=57_638, vocab_size=100_000, avg_len=130, seed=42
 ):
-    """Vectorized Zipf corpus generator at FiQA scale."""
-    rng = np.random.RandomState(seed)
-    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
-    probs = 1.0 / ranks
-    probs /= probs.sum()
-    cum = np.cumsum(probs)
-    lengths = np.maximum(
-        5, rng.gamma(2.0, avg_len / 2.0, size=num_docs).astype(np.int64)
+    """Zipf corpus at FiQA scale (one sampler: osr_tpu.testing)."""
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    return SyntheticDataGenerator(seed=seed).zipf_corpus(
+        num_docs, vocab_size, avg_len=avg_len, word_prefix="t", min_len=5
     )
-    total = int(lengths.sum())
-    token_ids = np.searchsorted(cum, rng.rand(total))
-    offsets = np.concatenate([[0], np.cumsum(lengths)])
-    words = np.array([f"t{i}" for i in range(vocab_size)])
-    corpus = {}
-    for d in range(num_docs):
-        ids = token_ids[offsets[d] : offsets[d + 1]]
-        corpus[f"doc{d}"] = {"text": " ".join(words[ids])}
-    return corpus
 
 
 def make_queries(num_queries=6_648, vocab_size=100_000, avg_terms=11, seed=7):
-    rng = np.random.RandomState(seed)
-    ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
-    probs = 1.0 / ranks
-    probs /= probs.sum()
-    cum = np.cumsum(probs)
-    queries = {}
-    for i in range(num_queries):
-        n = max(2, int(rng.poisson(avg_terms)))
-        ids = np.searchsorted(cum, rng.rand(n))
-        queries[f"q{i}"] = " ".join(f"t{j}" for j in ids)
-    return queries
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    return SyntheticDataGenerator(seed=seed - 1).queries(
+        num_queries, vocab_size, avg_terms=avg_terms, word_prefix="t",
+        min_terms=2,
+    )
 
 
 def main():
@@ -94,8 +77,8 @@ def main():
     top_k = 50
     qitems = list(queries.items())
 
-    # Warmup / compile: two batches.
-    warm = dict(qitems[:1024])
+    # Warmup / compile: two batches (compile + one steady-state run).
+    warm = dict(qitems[:2048])
     t0 = time.perf_counter()
     engine.search(warm, top_k=top_k)
     warmup_s = time.perf_counter() - t0

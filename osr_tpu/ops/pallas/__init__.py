@@ -6,7 +6,8 @@ Where Pallas is used — and where it deliberately isn't:
   in one VMEM pass, with optional hardware stochastic rounding
   (pltpu.prng + stochastic_round) that the XLA path cannot express.
 - INT8 similarity (pallas/matmul.py): blocked MXU matmul with the
-  per-row dequantization epilogue fused into the output tile.
+  per-row dequantization epilogue fused into the output tile — the
+  production path behind ``DenseSearchEngine(backend='pallas')``.
 - Sparse-tail scoring stays on the XLA gather path (osr_tpu/ops/bm25.py):
   Mosaic in this toolchain does not lower arbitrary-index row gathers
   (``table[idx_2d]`` / flat ``jnp.take`` / broadcast ``take_along_axis``

@@ -288,13 +288,27 @@ class DenseSearchEngine:
         embeddings: np.ndarray,  # (N, dim) float32
         quantization: str = "symmetric",  # 'symmetric' | 'asymmetric' | 'none'
         device=None,
+        backend: str = "xla",  # 'pallas' routes symmetric int8 similarity
+        #                         through the fused Mosaic kernel
     ):
         from osr_tpu.ops import quantize as qz
 
         self.doc_ids = list(doc_ids)
         self.quantization = quantization
+        self.backend = backend
+        if backend == "pallas" and quantization != "symmetric":
+            raise ValueError("backend='pallas' requires symmetric quantization")
         self.device = device if device is not None else jax.devices()[0]
         self.dim = embeddings.shape[1]
+        if backend == "pallas":
+            # The Pallas matmul tiles at 128 rows; pad docs with zero-scale
+            # rows (their similarity dequantizes to exactly 0).
+            pad = (-embeddings.shape[0]) % 128
+            if pad:
+                embeddings = np.pad(
+                    np.asarray(embeddings, np.float32), ((0, pad), (0, 0))
+                )
+            self._n_real = len(self.doc_ids)
         # Stage on the TARGET device first, then quantize there (the jitted
         # quantizer runs on its input's device) — never materializes the
         # fp32 embeddings on the default device.
@@ -303,6 +317,8 @@ class DenseSearchEngine:
         )
         if quantization == "symmetric":
             self._docs, self._scales = qz.quantize_symmetric(emb_dev)
+            if backend == "pallas" and len(self.doc_ids) < emb_dev.shape[0]:
+                self._scales = self._scales.at[len(self.doc_ids) :].set(0.0)
             self._mins = None
         elif quantization == "asymmetric":
             self._docs, self._scales, self._mins = qz.quantize_asymmetric(
@@ -323,6 +339,8 @@ class DenseSearchEngine:
 
         q = jnp.asarray(query_vectors, dtype=jnp.float32)
         if self.quantization == "symmetric":
+            if self.backend == "pallas":
+                return self._search_pallas(q, top_k)
             scores, ids = qz.int8_search_symmetric(
                 q, self._docs, self._scales, k=top_k
             )
@@ -332,6 +350,26 @@ class DenseSearchEngine:
             )
         else:
             scores, ids = qz.fp_search(q, self._docs, k=top_k)
+        return np.asarray(scores), np.asarray(ids)
+
+    def _search_pallas(self, q: jax.Array, top_k: int):
+        """Symmetric int8 search through the fused Mosaic similarity kernel
+        (osr_tpu/ops/pallas/matmul.py): quantize queries, one pallas_call
+        for the dequantized similarity matrix, lax.top_k over real docs."""
+        from jax import lax
+
+        from osr_tpu.ops import quantize as qz
+        from osr_tpu.ops.pallas.matmul import int8_similarity_pallas
+
+        b = q.shape[0]
+        pad_b = (-b) % 128
+        if pad_b:
+            q = jnp.pad(q, ((0, pad_b), (0, 0)))
+        q8, qs = qz.quantize_symmetric(q)
+        sims = int8_similarity_pallas(q8, self._docs, qs, self._scales)
+        sims = sims[:b, : self._n_real]
+        kk = min(top_k, self._n_real)
+        scores, ids = lax.top_k(sims, kk)
         return np.asarray(scores), np.asarray(ids)
 
     def search(

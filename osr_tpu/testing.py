@@ -30,6 +30,7 @@ class SyntheticDataGenerator:
         vocab_size: int = 10_000,
         avg_len: int = 100,
         word_prefix: str = "term",
+        min_len: int = 3,
     ) -> Dict[str, Dict[str, str]]:
         rng = np.random.RandomState(self.seed)
         ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
@@ -37,7 +38,8 @@ class SyntheticDataGenerator:
         probs /= probs.sum()
         cum = np.cumsum(probs)
         lengths = np.maximum(
-            3, rng.gamma(2.0, avg_len / 2.0, size=num_docs).astype(np.int64)
+            min_len,
+            rng.gamma(2.0, avg_len / 2.0, size=num_docs).astype(np.int64),
         )
         total = int(lengths.sum())
         token_ids = np.searchsorted(cum, rng.rand(total))
@@ -57,6 +59,7 @@ class SyntheticDataGenerator:
         vocab_size: int = 10_000,
         avg_terms: int = 8,
         word_prefix: str = "term",
+        min_terms: int = 1,
     ) -> Dict[str, str]:
         rng = np.random.RandomState(self.seed + 1)
         ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
@@ -65,7 +68,7 @@ class SyntheticDataGenerator:
         cum = np.cumsum(probs)
         out = {}
         for i in range(num_queries):
-            n = max(1, int(rng.poisson(avg_terms)))
+            n = max(min_terms, int(rng.poisson(avg_terms)))
             ids = np.searchsorted(cum, rng.rand(n))
             out[f"q{i}"] = " ".join(f"{word_prefix}{j}" for j in ids)
         return out

@@ -69,3 +69,33 @@ def test_pallas_int8_similarity_matches_xla(embeddings):
     got = int8_similarity_pallas(q8, d8, qs, ds, interpret=True)
     want = qz.int8_dot_product_batch(q8, d8, qs, ds)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_dense_engine_pallas_backend_matches_xla(embeddings):
+    """DenseSearchEngine(backend='pallas') must return the XLA backend's
+    results exactly (interpret mode on CPU; Mosaic-compiled on TPU)."""
+    import unittest.mock as mock
+
+    from osr_tpu.ops.pallas import matmul as pmm
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+
+    doc_ids = [f"d{i}" for i in range(200)]  # 200: exercises row padding
+    emb = embeddings[:200]
+    queries = embeddings[200:230]  # 30: exercises query padding
+
+    real = pmm.int8_similarity_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return real(*args, **kw)
+
+    with mock.patch.object(pmm, "int8_similarity_pallas", side_effect=interp):
+        pal = DenseSearchEngine(doc_ids, emb, backend="pallas")
+        s_p, i_p = pal.search_vectors(queries, top_k=7)
+    xla = DenseSearchEngine(doc_ids, emb, backend="xla")
+    s_x, i_x = xla.search_vectors(queries, top_k=7)
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-6)
+    np.testing.assert_array_equal(i_p, i_x)
+
+    with pytest.raises(ValueError):
+        DenseSearchEngine(doc_ids, emb, backend="pallas", quantization="asymmetric")
