@@ -339,15 +339,21 @@ class SparseIndexBuilder:
 def corpus_fingerprint(corpus: Mapping[str, object]) -> str:
     """Cache key for a corpus.
 
-    Hashes the corpus size, EVERY doc id, and a strided sample of document
-    text prefixes — unlike the reference's md5-of-first-1000-sorted-ids probe
-    (reference evaluate_rag_pipeline.py:189), which aliases corpora sharing a
-    thousand ids and never notices edited text."""
+    Hashes the corpus size, EVERY doc id, EVERY document's text length, and
+    a strided sample of text prefixes — unlike the reference's
+    md5-of-first-1000-sorted-ids probe (reference
+    evaluate_rag_pipeline.py:189), which aliases corpora sharing a thousand
+    ids and never notices edited text. Per-doc lengths catch edits to any
+    document (including past the sampled prefix) unless the edit is
+    length-preserving AND outside the sampled prefixes."""
     h = hashlib.md5()
     h.update(str(len(corpus)).encode())
     ids = sorted(str(k) for k in corpus.keys())
+    lengths = bytearray()
     for doc_id in ids:
         h.update(doc_id.encode())
+        lengths += len(extract_text(corpus[doc_id])).to_bytes(8, "little")
+    h.update(bytes(lengths))
     stride = max(1, len(ids) // 128)
     for doc_id in ids[::stride]:
         h.update(extract_text(corpus[doc_id])[:128].encode())

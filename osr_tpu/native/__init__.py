@@ -24,17 +24,32 @@ _LIB_PATH = _REPO_ROOT / "native" / "libosrnative.so"
 
 def _load() -> ctypes.CDLL:
     if not _LIB_PATH.exists():
+        import os
+
         src = _LIB_PATH.parent / "osr_native.cc"
         if not src.exists():
             raise ImportError("native sources not present")
+        # The auto-build is an import side effect; keep it short and
+        # one-shot. OSR_TPU_BUILD_NATIVE=0 disables it entirely, and a
+        # failure stamp stops every later import from re-running make on a
+        # broken toolchain (delete the stamp to retry).
+        if os.environ.get("OSR_TPU_BUILD_NATIVE", "1") == "0":
+            raise ImportError("native auto-build disabled")
+        stamp = _LIB_PATH.parent / ".build_failed"
+        if stamp.exists():
+            raise ImportError(f"native build previously failed (see {stamp})")
         try:
             subprocess.run(
                 ["make", "-C", str(_LIB_PATH.parent)],
                 capture_output=True,
-                timeout=120,
+                timeout=30,
                 check=True,
             )
         except Exception as e:  # pragma: no cover - toolchain dependent
+            try:
+                stamp.write_text(str(e))
+            except OSError:
+                pass
             raise ImportError(f"native build failed: {e}")
     lib = ctypes.CDLL(str(_LIB_PATH))
 

@@ -18,7 +18,7 @@ import json
 import logging
 import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Mapping, Optional, Union
 
 from osr_tpu.index.builder import extract_text
 from osr_tpu.metrics.ir import evaluate_retrieval
@@ -69,7 +69,13 @@ def run_rag_experiment(
     retriever.build_index_from_corpus(corpus)
     build_time = time.perf_counter() - build_start
 
-    top_k = exp_cfg.get("retriever", {}).get("params", {}).get("top_k", 50)
+    # The retriever config may be a plain type string (RetrieverRegistry
+    # supports it); only mappings carry params.
+    retriever_cfg = exp_cfg.get("retriever", {})
+    if isinstance(retriever_cfg, Mapping):
+        top_k = retriever_cfg.get("params", {}).get("top_k", 50)
+    else:
+        top_k = 50
     monitor = StatsMonitor(out_dir / "logs", log_interval=60)
 
     # Extract query texts; empty ones count as failures up front.

@@ -190,7 +190,14 @@ class DocumentStore:
             raise ValueError(f"Unsupported store version {version}")
         self._file.seek(footer_off)
         footer = self._file.read()
-        self._index = json.loads(zlib.decompress(footer).decode()) if footer else {}
+        if footer:
+            # decompressobj tolerates trailing bytes: after crash recovery
+            # the header can point at an old footer that is followed by the
+            # partial blobs of an interrupted append.
+            data = zlib.decompressobj().decompress(footer)
+            self._index = json.loads(data.decode())
+        else:
+            self._index = {}
         self._footer_off = footer_off
         self._remap()
 
@@ -206,18 +213,27 @@ class DocumentStore:
     # -- writes -----------------------------------------------------------
 
     def add_documents(self, docs: Iterable[Document]) -> int:
-        """Incrementally append documents and rewrite the footer.
+        """Incrementally append documents and write a new footer.
 
-        Crash-safe against a raising ``docs`` iterable: the footer and
-        header are finalized for every document successfully written before
-        the exception, so the store stays readable (the partial batch is
-        committed)."""
+        Crash-safe in two senses. Against a raising ``docs`` iterable: the
+        footer and header are finalized for every document successfully
+        written before the exception, so the partial batch is committed.
+        Against a process crash / power loss mid-append: new blobs are
+        written AFTER the old footer (never over it), the new footer is
+        written and fsynced, and only then does the 8-byte header pointer
+        flip to it (fsynced again) — at every instant the header points at
+        an intact footer, so previously committed documents survive. The
+        dead bytes of superseded footers are reclaimed by :meth:`optimize`.
+        """
+        import os
+
         with self._lock:
             if self._mm is not None:
                 self._mm.close()
                 self._mm = None
-            self._file.seek(self._footer_off)
-            pos = self._footer_off
+            # Start after everything already on disk (old footer included).
+            self._file.seek(0, 2)
+            pos = self._file.tell()
             count = 0
             try:
                 for doc in docs:
@@ -237,9 +253,12 @@ class DocumentStore:
                 self._file.seek(pos)
                 self._file.write(footer)
                 self._file.truncate(pos + len(footer))
+                self._file.flush()
+                os.fsync(self._file.fileno())  # footer durable first
                 self._file.seek(0)
                 self._file.write(struct.pack(HEADER_FMT, MAGIC, VERSION, pos))
                 self._file.flush()
+                os.fsync(self._file.fileno())  # then the pointer flip
                 self._footer_off = pos
                 self._remap()
             return count

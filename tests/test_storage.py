@@ -242,3 +242,36 @@ def test_qrels_first_row_with_query_substring_kept(tmp_path):
         "query-id\tcorpus-id\tscore\nq1\td1\t1\n"
     )
     assert load_qrels(ds) == {"q1": {"d1": 1}}
+
+
+def test_doc_store_crash_mid_append_keeps_committed_docs(tmp_path):
+    """A crash after new blobs are written but BEFORE the header pointer
+    flips must leave every previously committed document readable (the
+    header still points at the old, intact footer)."""
+    path = tmp_path / "crash.osrd"
+    store = DocumentStore(path, create=True)
+    store.add_documents([Document(id="a", text="alpha " * 50)])
+    store.close()
+    pre_crash = path.read_bytes()
+
+    store = DocumentStore(path)
+    store.add_documents([Document(id="b", text="beta " * 50)])
+    store.close()
+    post = bytearray(path.read_bytes())
+
+    # Simulate the crash: batch-2 bytes are on disk, but the 16-byte header
+    # still holds its pre-append contents (pointer at the OLD footer).
+    post[:16] = pre_crash[:16]
+    # And simulate a torn tail: truncate the last few bytes of the new
+    # footer as a power loss mid-write would.
+    crashed = bytes(post[:-7])
+    path.write_bytes(crashed)
+
+    recovered = DocumentStore(path)
+    assert recovered.get_document("a").text.startswith("alpha")
+    assert recovered.get_document("b") is None  # uncommitted batch lost
+    # The store remains appendable after recovery.
+    recovered.add_documents([Document(id="c", text="gamma " * 50)])
+    assert recovered.get_document("c").text.startswith("gamma")
+    assert recovered.get_document("a").text.startswith("alpha")
+    recovered.close()
