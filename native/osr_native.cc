@@ -9,14 +9,23 @@
 //   - tokenize_ascii: query/document tokenization (runs of [a-z0-9_] after
 //                     ASCII lowercasing — identical tokens to the reference's
 //                     re.findall(r"\b\w+\b", text.lower()) on ASCII input)
+//   - vocab_* / encode_queries: batch query encoding against a fixed
+//                     vocabulary (tid, count) — the per-batch host hot path
+//   - tail_candidates / cand_head_dot / merge_topk: the term-at-a-time tail
+//                     scorer + exact head/tail top-k merge
+//                     (osr_tpu/index/postings.py documents the algorithm;
+//                     the NumPy implementations there are the reference)
 //   - zlib_*:         document-store payload codec
 //
 // Exposed via a plain C ABI for ctypes (no pybind11 dependency).
 
+#include <algorithm>
+#include <limits>
 #include <cstdint>
 #include <cstring>
 #include <string>
 #include <string_view>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -69,6 +78,40 @@ struct TfState {
   Arena arena;
   std::vector<std::string_view> terms;  // temp id -> bytes
 };
+
+}  // namespace
+
+namespace {
+
+struct VocabState {
+  Arena arena;
+  std::unordered_map<std::string_view, int32_t> map;
+};
+
+inline int n_threads_for(int64_t work, int64_t min_per_thread) {
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (hw <= 0) hw = 4;
+  int64_t by_work = work / (min_per_thread > 0 ? min_per_thread : 1);
+  int n = static_cast<int>(std::min<int64_t>(hw, by_work));
+  return n < 1 ? 1 : (n > 16 ? 16 : n);
+}
+
+template <typename Fn>
+void parallel_ranges(int64_t n, int threads, Fn fn) {
+  if (threads <= 1 || n <= 1) {
+    fn(0, n, 0);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t per = (n + threads - 1) / threads;
+  for (int t = 0; t < threads; ++t) {
+    int64_t lo = t * per;
+    int64_t hi = std::min<int64_t>(n, lo + per);
+    if (lo >= hi) break;
+    pool.emplace_back([=] { fn(lo, hi, t); });
+  }
+  for (auto& th : pool) th.join();
+}
 
 }  // namespace
 
@@ -201,6 +244,224 @@ int64_t tokenize_ascii(const char* text, int64_t len, char* out,
     ++n;
   }
   return n;
+}
+
+// ---------------------------------------------------------------------------
+// Query encoding against a fixed vocabulary
+// ---------------------------------------------------------------------------
+
+// terms: concatenated bytes of every vocabulary term, ids implicit by order.
+void* vocab_build(const char* term_buf, const int64_t* term_offs,
+                  int64_t n_terms) {
+  auto* st = new VocabState();
+  st->map.reserve(static_cast<size_t>(n_terms) * 2);
+  for (int64_t i = 0; i < n_terms; ++i) {
+    std::string term(term_buf + term_offs[i],
+                     static_cast<size_t>(term_offs[i + 1] - term_offs[i]));
+    std::string_view interned = st->arena.intern(term);
+    st->map.emplace(interned, static_cast<int32_t>(i));
+  }
+  return st;
+}
+
+void vocab_free(void* h) { delete static_cast<VocabState*>(h); }
+
+// Encode a batch of ASCII queries: per query, sorted unique (term id, count)
+// pairs against the vocabulary (OOV terms dropped). Outputs are flat with
+// out_ptr segments. Returns total pairs, or -1 if `cap` is too small.
+int64_t encode_queries(void* vocab_h, const char* buf,
+                       const int64_t* q_offs, int64_t nq, int32_t* out_tids,
+                       float* out_counts, int64_t* out_ptr, int64_t cap) {
+  auto* vocab = static_cast<VocabState*>(vocab_h);
+  // Pass 1 (parallel): per-query encode into thread-local buffers.
+  std::vector<std::vector<std::pair<int32_t, float>>> rows(
+      static_cast<size_t>(nq));
+  int threads = n_threads_for(nq, 64);
+  parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
+    std::string token;
+    token.reserve(64);
+    std::vector<std::pair<int32_t, float>> pairs;
+    for (int64_t q = lo; q < hi; ++q) {
+      pairs.clear();
+      const char* p = buf + q_offs[q];
+      const char* end = buf + q_offs[q + 1];
+      while (p < end) {
+        while (p < end && !is_word_byte(static_cast<unsigned char>(*p))) ++p;
+        if (p >= end) break;
+        token.clear();
+        while (p < end && is_word_byte(static_cast<unsigned char>(*p))) {
+          token.push_back(lower_byte(static_cast<unsigned char>(*p)));
+          ++p;
+        }
+        auto it = vocab->map.find(std::string_view(token));
+        if (it != vocab->map.end()) pairs.emplace_back(it->second, 1.0f);
+      }
+      std::sort(pairs.begin(), pairs.end());
+      auto& out = rows[static_cast<size_t>(q)];
+      for (auto& pr : pairs) {
+        if (!out.empty() && out.back().first == pr.first) {
+          out.back().second += 1.0f;
+        } else {
+          out.push_back(pr);
+        }
+      }
+    }
+  });
+  // Pass 2: flatten.
+  int64_t total = 0;
+  out_ptr[0] = 0;
+  for (int64_t q = 0; q < nq; ++q) {
+    total += static_cast<int64_t>(rows[static_cast<size_t>(q)].size());
+    out_ptr[q + 1] = total;
+  }
+  if (total > cap) return -1;
+  parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t q = lo; q < hi; ++q) {
+      int64_t off = out_ptr[q];
+      for (auto& pr : rows[static_cast<size_t>(q)]) {
+        out_tids[off] = pr.first;
+        out_counts[off] = pr.second;
+        ++off;
+      }
+    }
+  });
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Term-at-a-time tail scorer (see osr_tpu/index/postings.py)
+// ---------------------------------------------------------------------------
+
+// For each query, walk its tail terms' postings, sum duplicate rows, emit a
+// flat query-major candidate list (rows ascending per query). Returns total
+// candidates, or -1 if `cap` is too small.
+int64_t tail_candidates(const int64_t* post_ptr, const int32_t* post_rows,
+                        const float* post_w, const int32_t* q_tids,
+                        const float* q_counts, const int64_t* q_ptr,
+                        int64_t nq, int32_t* out_rows, int32_t* out_cols,
+                        float* out_tail, int64_t* out_qptr, int64_t cap) {
+  std::vector<std::vector<std::pair<int32_t, float>>> rows(
+      static_cast<size_t>(nq));
+  int threads = n_threads_for(q_ptr[nq] + nq, 256);
+  parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
+    std::vector<std::pair<int32_t, float>> buf;
+    for (int64_t q = lo; q < hi; ++q) {
+      buf.clear();
+      for (int64_t j = q_ptr[q]; j < q_ptr[q + 1]; ++j) {
+        int32_t t = q_tids[j];
+        float c = q_counts[j];
+        for (int64_t p = post_ptr[t]; p < post_ptr[t + 1]; ++p) {
+          buf.emplace_back(post_rows[p], post_w[p] * c);
+        }
+      }
+      std::sort(buf.begin(), buf.end(),
+                [](const auto& a, const auto& b) { return a.first < b.first; });
+      auto& out = rows[static_cast<size_t>(q)];
+      out.reserve(buf.size());
+      for (auto& pr : buf) {
+        if (!out.empty() && out.back().first == pr.first) {
+          out.back().second += pr.second;
+        } else {
+          out.push_back(pr);
+        }
+      }
+    }
+  });
+  int64_t total = 0;
+  out_qptr[0] = 0;
+  for (int64_t q = 0; q < nq; ++q) {
+    total += static_cast<int64_t>(rows[static_cast<size_t>(q)].size());
+    out_qptr[q + 1] = total;
+  }
+  if (total > cap) return -1;
+  parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t q = lo; q < hi; ++q) {
+      int64_t off = out_qptr[q];
+      for (auto& pr : rows[static_cast<size_t>(q)]) {
+        out_rows[off] = pr.first;
+        out_cols[off] = static_cast<int32_t>(q);
+        out_tail[off] = pr.second;
+        ++off;
+      }
+    }
+  });
+  return total;
+}
+
+// Head scores of flat candidates, computed host-side from the resident head
+// matrix: out[m] = sum_j head[rows[m], qh_tids[j]] * (scale) * qh_counts[j]
+// over the owning query's head terms. head_kind: 0 = int8 (per-column
+// `scales`), 1 = float32, 2 = bfloat16 (raw uint16).
+void cand_head_dot(const void* head, int64_t head_kind, const float* scales,
+                   int64_t f, const int32_t* rows, const int32_t* cols,
+                   int64_t m, const int32_t* qh_tids, const float* qh_counts,
+                   const int64_t* qh_ptr, float* out) {
+  const int8_t* h8 = static_cast<const int8_t*>(head);
+  const float* h32 = static_cast<const float*>(head);
+  const uint16_t* h16 = static_cast<const uint16_t*>(head);
+  int threads = n_threads_for(m, 4096);
+  parallel_ranges(m, threads, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t row = rows[i];
+      int64_t q = cols[i];
+      float acc = 0.0f;
+      for (int64_t j = qh_ptr[q]; j < qh_ptr[q + 1]; ++j) {
+        int64_t t = qh_tids[j];
+        float w;
+        if (head_kind == 0) {
+          w = static_cast<float>(h8[row * f + t]) * scales[t];
+        } else if (head_kind == 1) {
+          w = h32[row * f + t];
+        } else {
+          uint32_t bits = static_cast<uint32_t>(h16[row * f + t]) << 16;
+          std::memcpy(&w, &bits, sizeof(w));
+        }
+        acc += w * qh_counts[j];
+      }
+      out[i] = acc;
+    }
+  });
+}
+
+// Exact final top-k per query: (device head top-k) UNION (candidate totals),
+// masking head entries that are tail-touched (their exact totals are in the
+// candidate channel). cand rows are ascending per query.
+void merge_topk(const float* head_s, const int32_t* head_r, int64_t b,
+                int64_t kh, const int32_t* c_rows, const float* c_tot,
+                const int64_t* c_ptr, int64_t k, float* out_s,
+                int32_t* out_r) {
+  int threads = n_threads_for(b, 16);
+  parallel_ranges(b, threads, [&](int64_t lo, int64_t hi, int) {
+    std::vector<std::pair<float, int32_t>> pool;
+    for (int64_t q = lo; q < hi; ++q) {
+      pool.clear();
+      const int32_t* crow = c_rows + c_ptr[q];
+      int64_t nc = c_ptr[q + 1] - c_ptr[q];
+      for (int64_t i = 0; i < kh; ++i) {
+        int32_t r = head_r[q * kh + i];
+        bool touched =
+            std::binary_search(crow, crow + nc, r);
+        if (!touched) pool.emplace_back(head_s[q * kh + i], r);
+      }
+      const float* ctot = c_tot + c_ptr[q];
+      for (int64_t i = 0; i < nc; ++i) {
+        pool.emplace_back(ctot[i], crow[i]);
+      }
+      int64_t kk = std::min<int64_t>(k, static_cast<int64_t>(pool.size()));
+      std::partial_sort(
+          pool.begin(), pool.begin() + kk, pool.end(),
+          [](const auto& a, const auto& b2) { return a.first > b2.first; });
+      for (int64_t i = 0; i < k; ++i) {
+        if (i < kk) {
+          out_s[q * k + i] = pool[static_cast<size_t>(i)].first;
+          out_r[q * k + i] = pool[static_cast<size_t>(i)].second;
+        } else {
+          out_s[q * k + i] = -std::numeric_limits<float>::infinity();
+          out_r[q * k + i] = 0;
+        }
+      }
+    }
+  });
 }
 
 // ---------------------------------------------------------------------------

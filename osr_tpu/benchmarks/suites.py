@@ -32,34 +32,30 @@ from osr_tpu.testing import (
 
 
 def _build_csr(index):
-    """Rebuild a scipy CSR weight matrix from the hybrid layout."""
+    """Rebuild a scipy CSR weight matrix from the hybrid layout (head
+    dequantized if stored int8, so the baseline scores exactly what the
+    layout stores)."""
     from scipy.sparse import csr_matrix
 
     layout = index.layout
-    rows, cols, vals = [], [], []
     n = index.num_docs
-    # Rebuild per-doc sparse rows from the hybrid layout.
-    head = layout.head_weights
-    doc_of_row = layout.doc_map
-    valid = layout.valid
-    for r in np.nonzero(valid)[0]:
-        d = doc_of_row[r]
-        nz = np.nonzero(head[r])[0]
-        rows.extend([d] * len(nz))
-        cols.extend(nz.tolist())
-        vals.extend(head[r][nz].tolist())
-    for b in layout.buckets:
-        if b.term_ids is None:
-            continue
-        for i in range(b.num_rows):
-            r = b.row_offset + i
-            if not valid[r]:
-                continue
-            d = doc_of_row[r]
-            nz = np.nonzero(b.weights[i])[0]
-            rows.extend([d] * len(nz))
-            cols.extend(b.term_ids[i][nz].tolist())
-            vals.extend(b.weights[i][nz].tolist())
+    f = layout.head_terms
+    head = np.asarray(layout.head[:n], dtype=np.float32)
+    if layout.head_dtype == "int8" and layout.head_scales is not None:
+        head = head * layout.head_scales[None, :]
+    rows_h, cols_h = np.nonzero(head)
+    vals_h = head[rows_h, cols_h]
+    n_tail_terms = layout.post_ptr.shape[0] - 1
+    term_of = (
+        np.repeat(
+            np.arange(n_tail_terms, dtype=np.int64),
+            np.diff(layout.post_ptr),
+        )
+        + f
+    )
+    rows = np.concatenate([rows_h, layout.post_rows])
+    cols = np.concatenate([cols_h, term_of])
+    vals = np.concatenate([vals_h, layout.post_weights])
     return csr_matrix(
         (vals, (rows, cols)), shape=(n, index.vocab_size), dtype=np.float32
     )
@@ -84,8 +80,18 @@ class BM25Suite(BenchmarkSuite):
         gen = SyntheticDataGenerator()
         self.corpus = gen.zipf_corpus(self.num_docs, self.vocab_size, avg_len=60)
         self.queries = gen.queries(16, self.vocab_size)
-        self.index = SparseIndexBuilder(method="bm25").build(self.corpus)
+        # f32 head: the parity row validates the KERNELS at atol 1e-3; the
+        # production int8 default is covered by the quantized-overlap row.
+        self.index = SparseIndexBuilder(
+            method="bm25", head_dtype="f32"
+        ).build(self.corpus)
         self.engine = SparseSearchEngine(self.index, cache_queries=False)
+        self.index_int8 = SparseIndexBuilder(
+            method="bm25", head_dtype="int8"
+        ).build(self.corpus)
+        self.engine_int8 = SparseSearchEngine(
+            self.index_int8, cache_queries=False
+        )
 
     def run(self) -> List[BenchmarkResult]:
         out: List[BenchmarkResult] = []
@@ -134,6 +140,34 @@ class BM25Suite(BenchmarkSuite):
                 passed=rank_ok,
                 duration_s=time.perf_counter() - t0,
                 metrics={"mean_overlap": float(np.mean(overlaps))},
+            )
+        )
+
+        # Quantized (int8, the production default) vs exact f32 head:
+        # top-10 membership must be near-identical (north-star memory mode).
+        t0 = time.perf_counter()
+        r_int8 = self.engine_int8.search(self.queries, top_k=10)
+        q_overlaps = []
+        for qid in self.queries:
+            a, b2 = list(results[qid]), list(r_int8[qid])
+            if not a and not b2:
+                q_overlaps.append(1.0)
+                continue
+            q_overlaps.append(
+                len(set(a) & set(b2)) / max(len(a), len(b2), 1)
+            )
+        mean_q = float(np.mean(q_overlaps)) if q_overlaps else 1.0
+        out.append(
+            BenchmarkResult(
+                name="int8_head_rank_overlap",
+                passed=mean_q >= 0.99,
+                duration_s=time.perf_counter() - t0,
+                metrics={
+                    "mean_overlap": mean_q,
+                    "min_overlap": float(np.min(q_overlaps)) if q_overlaps else 1.0,
+                    "f32_head_mb": self.index.layout.head.nbytes / 2**20,
+                    "int8_head_mb": self.index_int8.layout.head.nbytes / 2**20,
+                },
             )
         )
 

@@ -1,6 +1,11 @@
 from osr_tpu.index.tokenizer import tokenize, Tokenizer
 from osr_tpu.index.builder import SparseIndexBuilder, SparseIndex
-from osr_tpu.index.layout import HybridLayout, TailBucket, pack_hybrid
+from osr_tpu.index.layout import HybridLayout, pack_flat, choose_head_terms
+from osr_tpu.index.postings import (
+    dense_tail_scores,
+    merge_host,
+    tail_candidates_flat,
+)
 
 __all__ = [
     "tokenize",
@@ -8,6 +13,9 @@ __all__ = [
     "SparseIndexBuilder",
     "SparseIndex",
     "HybridLayout",
-    "TailBucket",
-    "pack_hybrid",
+    "pack_flat",
+    "choose_head_terms",
+    "tail_candidates_flat",
+    "merge_host",
+    "dense_tail_scores",
 ]

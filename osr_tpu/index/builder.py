@@ -9,19 +9,23 @@ rag_system/pipeline/evaluate_rag_pipeline.py:210-278):
 - BM25 IDF: ``log((N - df + 0.5) / (df + 0.5))`` (Robertson; may be negative)
 - TF-IDF IDF: ``log(N / (df + 1))``
 
-Two deliberate TPU-first departures from the reference's representation
+Three deliberate TPU-first departures from the reference's representation
 (scores are unchanged — parity is enforced against an exact-formula oracle):
 
 1. **Precomputed weights.** The BM25 saturation and IDF depend only on
    build-time quantities, so the full per-(doc, term) score weight is
-   computed once here; query scoring is then a single sparse-times-dense
-   contraction for both BM25 and TF-IDF (reference recomputes the
-   saturation inside the Numba kernel for every query).
+   computed once here (vectorized over the flat nnz arrays); query scoring
+   is then a single sparse-times-dense contraction for both BM25 and TF-IDF
+   (the reference recomputes the saturation inside the Numba kernel for
+   every query).
 2. **Frequency-ordered vocabulary.** Term ids are assigned by descending
    document frequency (ties broken alphabetically) instead of
-   alphabetically, so the hybrid layout's dense head is a contiguous id
-   range — see index/layout.py. The reference's alphabetical order
+   alphabetically, so the layout's dense head is a contiguous id range —
+   see index/layout.py. The reference's alphabetical order
    (retrieval.py:155) carries no semantics; scores are id-order invariant.
+3. **Flat nnz arrays.** The term matrix lives as (indptr, term_ids, tfs)
+   flat arrays end to end — weights, head fill and postings build are all
+   single vectorized passes, never per-document Python loops.
 """
 
 from __future__ import annotations
@@ -31,17 +35,17 @@ import hashlib
 import time
 import logging
 from collections import Counter
-from typing import Dict, List, Mapping, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Mapping, Optional, Tuple, Union
 
 import numpy as np
 
 from osr_tpu.index.tokenizer import Tokenizer, tokenize
 from osr_tpu.index.layout import (
     DEFAULT_HEAD_BUDGET_BYTES,
-    DEFAULT_WIDTHS,
+    DEFAULT_HEAD_CAP,
     HybridLayout,
     choose_head_terms,
-    pack_hybrid,
+    pack_flat,
 )
 
 logger = logging.getLogger(__name__)
@@ -75,9 +79,9 @@ def tfidf_idf(df: np.ndarray, num_docs: int) -> np.ndarray:
 
 
 def bm25_saturation(
-    tf: np.ndarray, doc_len: float, k1: float, b: float, avgdl: float
+    tf: np.ndarray, doc_len, k1: float, b: float, avgdl: float
 ) -> np.ndarray:
-    """The BM25 term-frequency saturation factor for one document."""
+    """The BM25 term-frequency saturation factor (vectorized)."""
     norm = k1 * (1.0 - b + b * doc_len / avgdl)
     return tf * (k1 + 1.0) / (tf + norm)
 
@@ -95,9 +99,10 @@ class SparseIndex:
     avgdl: float
     k1: float
     b: float
-    # Raw per-doc sparse rows kept for cache serialization / re-weighting.
-    doc_term_ids: Optional[List[np.ndarray]] = None
-    doc_tfs: Optional[List[np.ndarray]] = None
+    # Raw flat term matrix kept for cache serialization / re-weighting.
+    raw_indptr: Optional[np.ndarray] = None  # (N+1,) int64
+    raw_term_ids: Optional[np.ndarray] = None  # (nnz,) int32
+    raw_tfs: Optional[np.ndarray] = None  # (nnz,) float32
 
     @property
     def num_docs(self) -> int:
@@ -123,29 +128,25 @@ class SparseIndex:
         return s
 
 
-def compute_doc_weights(
-    doc_term_ids: Sequence[np.ndarray],
-    doc_tfs: Sequence[np.ndarray],
-    doc_lengths: np.ndarray,
-    idf: np.ndarray,
+def compute_weights_flat(
+    term_ids: np.ndarray,  # (nnz,) int32
+    tfs: np.ndarray,  # (nnz,) float32
+    indptr: np.ndarray,  # (N+1,) int64
+    doc_lengths: np.ndarray,  # (N,) float32
+    idf: np.ndarray,  # (V,) float32
     method: str,
     k1: float,
     b: float,
     avgdl: float,
-) -> List[np.ndarray]:
-    """Precompute the per-(doc, term) score weights."""
-    out: List[np.ndarray] = []
-    for i in range(len(doc_term_ids)):
-        tids, tfs = doc_term_ids[i], doc_tfs[i]
-        if tids.size == 0:
-            out.append(tfs)
-            continue
-        if method == "bm25":
-            sat = bm25_saturation(tfs, float(doc_lengths[i]), k1, b, avgdl)
-            out.append((idf[tids] * sat).astype(np.float32))
-        else:
-            out.append((idf[tids] * tfs).astype(np.float32))
-    return out
+) -> np.ndarray:
+    """Precompute the per-(doc, term) score weights in one vectorized pass."""
+    if term_ids.size == 0:
+        return np.zeros(0, dtype=np.float32)
+    if method == "bm25":
+        dl = np.repeat(doc_lengths, np.diff(indptr))
+        sat = bm25_saturation(tfs, dl, k1, b, avgdl)
+        return (idf[term_ids] * sat).astype(np.float32)
+    return (idf[term_ids] * tfs).astype(np.float32)
 
 
 class SparseIndexBuilder:
@@ -158,8 +159,8 @@ class SparseIndexBuilder:
         b: float = 0.75,
         head_terms: Optional[int] = None,
         head_budget_bytes: int = DEFAULT_HEAD_BUDGET_BYTES,
-        widths: Sequence[int] = DEFAULT_WIDTHS,
-        min_bucket_docs: Optional[int] = None,
+        head_cap: int = DEFAULT_HEAD_CAP,
+        head_dtype: str = "int8",  # 'int8' (default) | 'bf16' | 'f32'
         keep_raw_rows: bool = False,
     ):
         method = method.lower()
@@ -177,8 +178,8 @@ class SparseIndexBuilder:
         self.b = float(b)
         self.head_terms = head_terms
         self.head_budget_bytes = head_budget_bytes
-        self.widths = tuple(widths)
-        self.min_bucket_docs = min_bucket_docs
+        self.head_cap = head_cap
+        self.head_dtype = head_dtype
         self.keep_raw_rows = keep_raw_rows
 
     @staticmethod
@@ -223,10 +224,7 @@ class SparseIndexBuilder:
         perm = np.lexsort((flat_final, doc_idx))
         flat_final = np.ascontiguousarray(flat_final[perm])
         flat_counts = np.ascontiguousarray(counts[perm])
-        splits = indptr[1:-1]
-        doc_term_ids = np.split(flat_final, splits)
-        doc_tfs = np.split(flat_counts, splits)
-        return vocabulary, df, doc_lengths, doc_term_ids, doc_tfs
+        return vocabulary, df, doc_lengths, indptr, flat_final, flat_counts
 
     @staticmethod
     def _count_corpus_python(texts: List[str]):
@@ -245,25 +243,26 @@ class SparseIndexBuilder:
         df = np.fromiter(
             (c for _, c in terms_sorted), dtype=np.int64, count=len(terms_sorted)
         )
-        doc_term_ids: List[np.ndarray] = []
-        doc_tfs: List[np.ndarray] = []
+        indptr = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in doc_counts], out=indptr[1:])
+        nnz = int(indptr[-1])
+        flat_tids = np.empty(nnz, dtype=np.int32)
+        flat_tfs = np.empty(nnz, dtype=np.float32)
+        pos = 0
         for counts in doc_counts:
-            if counts:
+            n = len(counts)
+            if n:
                 tids = np.fromiter(
-                    (vocabulary[t] for t in counts),
-                    dtype=np.int32,
-                    count=len(counts),
+                    (vocabulary[t] for t in counts), dtype=np.int32, count=n
                 )
                 tfs = np.fromiter(
-                    counts.values(), dtype=np.float32, count=len(counts)
+                    counts.values(), dtype=np.float32, count=n
                 )
                 order = np.argsort(tids)
-                doc_term_ids.append(tids[order])
-                doc_tfs.append(tfs[order])
-            else:
-                doc_term_ids.append(np.empty(0, dtype=np.int32))
-                doc_tfs.append(np.empty(0, dtype=np.float32))
-        return vocabulary, df, doc_lengths, doc_term_ids, doc_tfs
+                flat_tids[pos : pos + n] = tids[order]
+                flat_tfs[pos : pos + n] = tfs[order]
+            pos += n
+        return vocabulary, df, doc_lengths, indptr, flat_tids, flat_tfs
 
     def build(self, corpus: Mapping[str, Union[str, Mapping]]) -> SparseIndex:
         if not corpus:
@@ -275,9 +274,34 @@ class SparseIndexBuilder:
         counted = self._count_corpus_native(texts)
         if counted is None:
             counted = self._count_corpus_python(texts)
-        vocabulary, df, doc_lengths, doc_term_ids, doc_tfs = counted
-        vocab_size = len(vocabulary)
+        vocabulary, df, doc_lengths, indptr, flat_tids, flat_tfs = counted
+        return self.build_from_term_matrix(
+            vocabulary,
+            df,
+            doc_lengths,
+            indptr,
+            flat_tids,
+            flat_tfs,
+            doc_ids,
+            t0=t0,
+        )
 
+    def build_from_term_matrix(
+        self,
+        vocabulary: Dict[str, int],
+        df: np.ndarray,
+        doc_lengths: np.ndarray,
+        indptr: np.ndarray,
+        flat_tids: np.ndarray,
+        flat_tfs: np.ndarray,
+        doc_ids: List[str],
+        t0: Optional[float] = None,
+    ) -> SparseIndex:
+        """Weight + pack an already-counted term matrix (also the cache
+        re-load path — see index/cache.py)."""
+        if t0 is None:
+            t0 = time.perf_counter()
+        vocab_size = len(vocabulary)
         num_docs = len(doc_ids)
         avgdl = float(doc_lengths.mean()) if num_docs else 0.0
         idf = (
@@ -285,10 +309,14 @@ class SparseIndexBuilder:
             if self.method == "bm25"
             else tfidf_idf(df, num_docs)
         )
+        # IDF ascends with rank (df descends), so non-positive-IDF terms are
+        # a prefix — they MUST land in the head (layout.py exactness).
+        n_nonpos = int(np.searchsorted(idf, 0.0, side="right"))
 
-        doc_weights = compute_doc_weights(
-            doc_term_ids,
-            doc_tfs,
+        weights = compute_weights_flat(
+            flat_tids,
+            flat_tfs,
+            indptr,
             doc_lengths,
             idf,
             self.method,
@@ -298,15 +326,25 @@ class SparseIndexBuilder:
         )
 
         f = choose_head_terms(
-            num_docs, vocab_size, self.head_terms, self.head_budget_bytes
+            num_docs,
+            vocab_size,
+            df,
+            n_nonpos,
+            self.head_terms,
+            self.head_budget_bytes,
+            self.head_cap,
         )
-        layout = pack_hybrid(
-            doc_term_ids,
-            doc_weights,
+        doc_idx = np.repeat(
+            np.arange(num_docs, dtype=np.int64), np.diff(indptr)
+        )
+        layout = pack_flat(
+            doc_idx,
+            flat_tids,
+            weights,
+            num_docs,
             vocab_size,
             head_terms=f,
-            widths=self.widths,
-            min_bucket_docs=self.min_bucket_docs,
+            head_dtype=self.head_dtype,
         )
 
         index = SparseIndex(
@@ -319,17 +357,19 @@ class SparseIndexBuilder:
             avgdl=avgdl,
             k1=self.k1,
             b=self.b,
-            doc_term_ids=doc_term_ids if self.keep_raw_rows else None,
-            doc_tfs=doc_tfs if self.keep_raw_rows else None,
+            raw_indptr=indptr if self.keep_raw_rows else None,
+            raw_term_ids=flat_tids if self.keep_raw_rows else None,
+            raw_tfs=flat_tfs if self.keep_raw_rows else None,
         )
         logger.info(
-            "Built %s index: %d docs, %d terms, head=%d, %d tail buckets, "
+            "Built %s index: %d docs, %d terms, head=%d (%s), tail_nnz=%d, "
             "%.1f MB in %.2fs",
             self.method,
             num_docs,
             vocab_size,
             f,
-            len(layout.buckets),
+            self.head_dtype,
+            layout.tail_nnz,
             layout.nbytes / 2**20,
             time.perf_counter() - t0,
         )

@@ -4,11 +4,15 @@ The analogue of the reference's ``.rag_cache/{method}_index_{hash}.npz``
 checkpointing (reference evaluate_rag_pipeline.py:189-201,280-312), extended
 with a fast-load path: both representations are stored —
 
-- the raw CSR triple (term ids / tfs / indptr), which survives changes to
-  BM25 parameters and layout heuristics (re-weight + re-pack on load), and
-- the packed device layout (dense head + tail buckets), loaded directly —
+- the raw term matrix (flat term ids / tfs / indptr), which survives changes
+  to BM25 parameters and layout heuristics (re-weight + re-pack on load), and
+- the packed device layout (quantized head + postings), loaded directly —
   no re-tokenization, no re-packing — when the builder parameters match the
   ones the cache was written with.
+
+Everything loads with ``allow_pickle=False``: strings (vocabulary, doc ids)
+are stored as JSON-encoded scalars, and the head matrix as raw bytes plus a
+dtype tag — a tampered cache file cannot execute code on load.
 """
 
 from __future__ import annotations
@@ -17,26 +21,30 @@ import json
 import logging
 import time
 from pathlib import Path
-from typing import List, Mapping, Union
+from typing import Mapping, Optional, Union
 
 import numpy as np
 
 from osr_tpu.index.builder import (
     SparseIndex,
     SparseIndexBuilder,
-    compute_doc_weights,
     corpus_fingerprint,
 )
-from osr_tpu.index.layout import (
-    HybridLayout,
-    TailBucket,
-    choose_head_terms,
-    pack_hybrid,
-)
+from osr_tpu.index.layout import HybridLayout
 
 logger = logging.getLogger(__name__)
 
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
+
+_HEAD_NP_DTYPE = {"int8": np.int8, "f32": np.float32}
+
+
+def _head_np_dtype(head_dtype: str):
+    if head_dtype == "bf16":
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return _HEAD_NP_DTYPE[head_dtype]
 
 
 def cache_path(
@@ -53,8 +61,8 @@ def _builder_params(builder: SparseIndexBuilder) -> str:
             "b": builder.b,
             "head_terms": builder.head_terms,
             "head_budget_bytes": builder.head_budget_bytes,
-            "widths": list(builder.widths),
-            "min_bucket_docs": builder.min_bucket_docs,
+            "head_cap": builder.head_cap,
+            "head_dtype": builder.head_dtype,
         },
         sort_keys=True,
     )
@@ -63,42 +71,18 @@ def _builder_params(builder: SparseIndexBuilder) -> str:
 def save_index(
     index: SparseIndex, path: Union[str, Path], builder: SparseIndexBuilder
 ) -> None:
-    if index.doc_term_ids is None or index.doc_tfs is None:
+    if index.raw_indptr is None:
         raise ValueError(
             "Index was built without keep_raw_rows=True; cannot cache"
         )
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    indptr = np.zeros(index.num_docs + 1, dtype=np.int64)
-    for i, t in enumerate(index.doc_term_ids):
-        indptr[i + 1] = indptr[i] + len(t)
-    flat_tids = (
-        np.concatenate(index.doc_term_ids)
-        if index.num_docs
-        else np.empty(0, np.int32)
-    )
-    flat_tfs = (
-        np.concatenate(index.doc_tfs)
-        if index.num_docs
-        else np.empty(0, np.float32)
-    )
     layout = index.layout
-    packed = {
-        "packed_head": layout.head_weights,
-        "packed_doc_map": layout.doc_map,
-        "packed_valid": layout.valid,
-        "packed_meta": np.asarray(
-            [
-                [b.width, b.row_offset, b.num_rows]
-                for b in layout.buckets
-            ],
-            dtype=np.int64,
-        ).reshape(-1, 3),
-    }
-    for i, b in enumerate(layout.buckets):
-        if b.term_ids is not None:
-            packed[f"packed_ids_{i}"] = b.term_ids
-            packed[f"packed_w_{i}"] = b.weights
+    head_scales = (
+        layout.head_scales
+        if layout.head_scales is not None
+        else np.zeros(0, np.float32)
+    )
     np.savez_compressed(
         path,
         format_version=_FORMAT_VERSION,
@@ -109,42 +93,48 @@ def save_index(
         avgdl=index.avgdl,
         idf=index.idf,
         doc_lengths=index.doc_lengths,
-        vocabulary=np.asarray(list(index.vocabulary.keys()), dtype=object),
-        doc_ids=np.asarray(index.doc_ids, dtype=object),
-        indptr=indptr,
-        term_ids=flat_tids,
-        tfs=flat_tfs,
+        df=np.zeros(0, np.int64),  # reserved
+        vocabulary_json=json.dumps(list(index.vocabulary.keys())),
+        doc_ids_json=json.dumps(index.doc_ids),
+        indptr=index.raw_indptr,
+        term_ids=index.raw_term_ids,
+        tfs=index.raw_tfs,
         head_terms=layout.head_terms,
-        **packed,
+        head_dtype=layout.head_dtype,
+        packed_head=np.frombuffer(
+            np.ascontiguousarray(layout.head).tobytes(), dtype=np.uint8
+        ),
+        packed_head_rows=layout.head.shape[0],
+        packed_scales=head_scales,
+        packed_post_ptr=layout.post_ptr,
+        packed_post_rows=layout.post_rows,
+        packed_post_weights=layout.post_weights,
+        packed_valid=layout.valid,
     )
     logger.info("Index cached to %s", path)
 
 
 def _load_packed_layout(z, num_docs: int, vocab_size: int) -> HybridLayout:
-    meta = z["packed_meta"]
-    buckets: List[TailBucket] = []
-    for i, (width, row_offset, num_rows) in enumerate(meta):
-        if f"packed_ids_{i}" in z:
-            term_ids, weights = z[f"packed_ids_{i}"], z[f"packed_w_{i}"]
-        else:
-            term_ids = weights = None
-        buckets.append(
-            TailBucket(
-                width=int(width),
-                row_offset=int(row_offset),
-                num_rows=int(num_rows),
-                term_ids=term_ids,
-                weights=weights,
-            )
-        )
+    head_terms = int(z["head_terms"])
+    head_dtype = str(z["head_dtype"])
+    rows = int(z["packed_head_rows"])
+    dt = _head_np_dtype(head_dtype)
+    head = np.frombuffer(z["packed_head"].tobytes(), dtype=dt)
+    head = head.reshape(rows, head_terms) if head_terms else head.reshape(
+        rows, 0
+    )
+    scales = z["packed_scales"]
     return HybridLayout(
-        head_terms=int(z["head_terms"]),
-        head_weights=z["packed_head"],
-        buckets=buckets,
-        doc_map=z["packed_doc_map"],
+        head_terms=head_terms,
+        head=head,
+        head_scales=scales if scales.size else None,
+        post_ptr=z["packed_post_ptr"],
+        post_rows=z["packed_post_rows"],
+        post_weights=z["packed_post_weights"],
         valid=z["packed_valid"],
         num_docs=num_docs,
         vocab_size=vocab_size,
+        head_dtype=head_dtype,
     )
 
 
@@ -152,7 +142,7 @@ def load_index(
     path: Union[str, Path], builder: SparseIndexBuilder
 ) -> SparseIndex:
     t0 = time.perf_counter()
-    with np.load(path, allow_pickle=True) as z:
+    with np.load(path, allow_pickle=False) as z:
         if int(z["format_version"]) != _FORMAT_VERSION:
             raise ValueError("Incompatible index cache version")
         if str(z["method"]) != builder.method:
@@ -162,8 +152,10 @@ def load_index(
                 f"Cache holds a {z['method']} index; builder wants "
                 f"{builder.method}"
             )
-        vocabulary = {t: i for i, t in enumerate(z["vocabulary"].tolist())}
-        doc_ids = [str(d) for d in z["doc_ids"].tolist()]
+        vocabulary = {
+            t: i for i, t in enumerate(json.loads(str(z["vocabulary_json"])))
+        }
+        doc_ids = [str(d) for d in json.loads(str(z["doc_ids_json"]))]
         idf = z["idf"]
         doc_lengths = z["doc_lengths"]
         avgdl = float(z["avgdl"])
@@ -172,54 +164,50 @@ def load_index(
         indptr = z["indptr"]
         flat_tids = z["term_ids"]
         flat_tfs = z["tfs"]
-        doc_term_ids: List[np.ndarray] = list(
-            np.split(flat_tids, indptr[1:-1])
-        )
-        doc_tfs: List[np.ndarray] = list(np.split(flat_tfs, indptr[1:-1]))
 
         if params_match:
             layout = _load_packed_layout(z, len(doc_ids), len(vocabulary))
+            index = SparseIndex(
+                method=builder.method,
+                vocabulary=vocabulary,
+                doc_ids=doc_ids,
+                layout=layout,
+                idf=idf,
+                doc_lengths=doc_lengths,
+                avgdl=avgdl,
+                k1=builder.k1,
+                b=builder.b,
+                raw_indptr=indptr if builder.keep_raw_rows else None,
+                raw_term_ids=flat_tids if builder.keep_raw_rows else None,
+                raw_tfs=flat_tfs if builder.keep_raw_rows else None,
+            )
             how = "packed"
         else:
-            doc_weights = compute_doc_weights(
-                doc_term_ids,
-                doc_tfs,
-                doc_lengths,
-                idf,
-                builder.method,
-                builder.k1,
-                builder.b,
-                avgdl,
-            )
-            f = choose_head_terms(
-                len(doc_ids),
-                len(vocabulary),
-                builder.head_terms,
-                builder.head_budget_bytes,
-            )
-            layout = pack_hybrid(
-                doc_term_ids,
-                doc_weights,
-                len(vocabulary),
-                head_terms=f,
-                widths=builder.widths,
-                min_bucket_docs=builder.min_bucket_docs,
-            )
+            # Re-weight + re-pack under the new builder parameters; df is
+            # recoverable from the stored IDF-free term matrix by counting.
+            df = np.bincount(
+                flat_tids, minlength=len(vocabulary)
+            ).astype(np.int64)
+            keep = builder.keep_raw_rows
+            builder.keep_raw_rows = True
+            try:
+                index = builder.build_from_term_matrix(
+                    vocabulary,
+                    df,
+                    doc_lengths,
+                    indptr,
+                    flat_tids,
+                    flat_tfs,
+                    doc_ids,
+                )
+            finally:
+                builder.keep_raw_rows = keep
+            if not keep:
+                index.raw_indptr = None
+                index.raw_term_ids = None
+                index.raw_tfs = None
             how = "re-packed"
 
-    index = SparseIndex(
-        method=builder.method,
-        vocabulary=vocabulary,
-        doc_ids=doc_ids,
-        layout=layout,
-        idf=idf,
-        doc_lengths=doc_lengths,
-        avgdl=avgdl,
-        k1=builder.k1,
-        b=builder.b,
-        doc_term_ids=doc_term_ids if builder.keep_raw_rows else None,
-        doc_tfs=doc_tfs if builder.keep_raw_rows else None,
-    )
     logger.info(
         "Loaded cached index (%d docs, %s) in %.2fs",
         len(doc_ids),
@@ -254,6 +242,7 @@ def load_or_build(
     finally:
         builder.keep_raw_rows = keep
     if not keep:
-        index.doc_term_ids = None
-        index.doc_tfs = None
+        index.raw_indptr = None
+        index.raw_term_ids = None
+        index.raw_tfs = None
     return index

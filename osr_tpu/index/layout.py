@@ -1,111 +1,123 @@
-"""Hybrid dense-head / sparse-tail index layout for TPU.
+"""Hybrid dense-head / postings-tail index layout for TPU (v2, "flat").
 
 The reference stores the corpus term-frequency matrix as SciPy CSR and walks
 variable-length rows in a Numba loop (reference rag_system/core/retrieval.py:
-41-76). Neither variable-length rows nor random gathers are where a TPU is
-fast; matmuls are. This layout exploits the Zipf shape of term frequencies:
+41-76). A TPU is fast at matmuls and slow at irregular memory access, and the
+Zipf shape of term frequencies lets the index split cleanly along that line:
 
 1. The vocabulary is numbered by **descending document frequency** at build
    time, so the most common terms occupy ids ``[0, F)``.
-2. The **head** — each document's weights over the top-F terms — is stored
-   as a dense ``(R, F)`` matrix. Head scoring for a query batch is ONE MXU
-   matmul against the first F rows of the dense query matrix (a contiguous
-   slice, no gather). The head absorbs most of each document's token mass
-   (~70-95% for Zipf/natural text), and its per-query HBM cost is tiny
-   because the weight reads amortize over the whole batch.
-3. The **tail** — the per-document rare terms (id >= F) — is short, so it
-   packs into narrow padded (ELL) rows scored by a bandwidth-bound
-   gather-multiply-reduce on the VPU. Documents are bucketed by tail width
-   so nobody pays the longest tail.
+2. The **head** — each document's weights over the top-F terms — is a dense
+   ``(R, F)`` matrix scored for a whole query batch by ONE MXU matmul. The
+   head absorbs most of each document's token mass AND every query's common
+   terms. It is stored quantized (``int8`` per-**column** scales by default):
+   within one column the weights share the term's IDF factor and vary only by
+   the bounded BM25 saturation, so a per-column absmax scale keeps the
+   relative quantization error at the ~1% level. The scale vector folds into
+   the *query* side of the contraction (``(A·diag(s)) @ q == A @ (s*q)``), so
+   the matmul stays int8/bf16 on the MXU.
+3. The **tail** — terms with id >= F — is stored **term-major** as classic
+   inverted-list postings (CSC: ``post_ptr/post_rows/post_weights``). Tail
+   terms are rare by construction (df bounded by the df of rank F), so a
+   query touches only the postings of its own rare terms — a few hundred
+   (doc, weight) pairs instead of a scan over every document. That
+   pointer-chasing residue runs on the HOST (vectorized NumPy or the C++
+   runtime in native/), producing per-query candidate lists that the device
+   merges with the head top-k. Exactness argument: every term with
+   non-positive IDF is forced into the head (see ``choose_head_terms``), so
+   tail contributions are strictly positive, and any document whose total
+   score can reach the top-k either appears in the head top-k or is
+   tail-touched — both candidate channels are kept (proof in
+   osr_tpu/ops/bm25.py:merge docstring).
 
-Rows are ordered bucket-by-bucket; a ``doc_map`` row->global-doc-id array
-and ``valid`` mask recover identities after top-k. Padding slots carry
-weight 0, which is exact: every scoring term is ``weight * query_weight``.
+Rows are document order (padded to a multiple of 8); ``valid`` masks the
+padding. Scoring weights (BM25 saturation x IDF, or TF x IDF) are
+precomputed at build time — see builder.py — so this layout serves BM25 and
+TF-IDF with the same kernels.
 
-Scoring weights (BM25 saturation x IDF, or TF x IDF) are precomputed at
-build time — see builder.py — so this layout serves BM25 and TF-IDF with
-the same kernels.
+This replaces round 1's bucketed-ELL tail, whose doc-major gather cost
+scaled as (total tail slots x batch) — measured 77 ms of a 109 ms batch at
+FiQA scale. Term-major tail work scales with the postings actually touched
+by the batch (~10^5 per 1024 queries instead of 2.5 x 10^9 gather elements).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
-# Candidate tail slot widths. Fine-grained steps at the common small widths
-# keep ELL padding low (padding slots cost gather bandwidth); power-of-two
-# steps beyond.
-DEFAULT_WIDTHS: Tuple[int, ...] = (
-    8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
-    320, 384, 448, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
-)
-
-# Pad each bucket's row count to a multiple of this (TPU sublane friendly).
+# Pad the row count to a multiple of this (TPU sublane friendly).
 DOC_ALIGN = 8
 
-# Default HBM budget for the dense head (bytes of float32 weights).
+# Default HBM budget for the dense head, in ELEMENTS (dtype-independent:
+# bytes = elements * itemsize). 2 GiB elements at int8 = 2 GiB bytes.
 DEFAULT_HEAD_BUDGET_BYTES = 2 * 1024**3
 
 HEAD_ALIGN = 128  # lane-align the head dimension
 
+# Default cap on F: document frequencies fall off as 1/rank, so head columns
+# past the few-thousand mark cost (R x 1) bytes each while absorbing almost
+# no additional token mass or query traffic.
+DEFAULT_HEAD_CAP = 2048
 
-@dataclasses.dataclass
-class TailBucket:
-    """One fixed-width slice of the sparse tail. ``width == 0`` marks the
-    pure-head bucket (documents whose every term is in the head)."""
-
-    width: int
-    row_offset: int  # first row of this bucket in the global row order
-    num_rows: int
-    term_ids: Optional[np.ndarray]  # (num_rows, width) int32, None if width==0
-    weights: Optional[np.ndarray]  # (num_rows, width) float32, None if width==0
-
-    @property
-    def nbytes(self) -> int:
-        n = 0
-        if self.term_ids is not None:
-            n += self.term_ids.nbytes + self.weights.nbytes
-        return n
+HEAD_DTYPES = ("int8", "bf16", "f32")
 
 
 @dataclasses.dataclass
 class HybridLayout:
-    """Device-ready index: dense head + bucketed sparse tail."""
+    """Device-ready head + host-resident postings tail."""
 
     head_terms: int  # F
-    head_weights: np.ndarray  # (R, F) float32, rows in bucket order
-    buckets: List[TailBucket]
-    doc_map: np.ndarray  # (R,) int32 row -> global doc index
-    valid: np.ndarray  # (R,) bool
+    head: np.ndarray  # (R, F) int8 / bfloat16 / float32 (see head_dtype)
+    head_scales: Optional[np.ndarray]  # (F,) f32 per-column scales (int8 only)
+    post_ptr: np.ndarray  # (V - F + 1,) int64 — postings offsets per tail term
+    post_rows: np.ndarray  # (nnz_tail,) int32 — document rows, ascending per term
+    post_weights: np.ndarray  # (nnz_tail,) float32 — precomputed score weights
+    valid: np.ndarray  # (R,) bool — False on alignment-padding rows
     num_docs: int
     vocab_size: int
+    head_dtype: str
 
     @property
     def num_rows(self) -> int:
-        return self.head_weights.shape[0]
+        return self.head.shape[0]
+
+    @property
+    def tail_nnz(self) -> int:
+        return int(self.post_rows.shape[0])
+
+    @property
+    def max_tail_df(self) -> int:
+        if self.post_ptr.shape[0] <= 1:
+            return 0
+        return int(np.diff(self.post_ptr).max(initial=0))
 
     @property
     def nbytes(self) -> int:
-        return (
-            self.head_weights.nbytes
-            + sum(b.nbytes for b in self.buckets)
-            + self.doc_map.nbytes
-        )
+        n = self.head.nbytes + self.post_ptr.nbytes
+        n += self.post_rows.nbytes + self.post_weights.nbytes
+        if self.head_scales is not None:
+            n += self.head_scales.nbytes
+        return n
 
     def stats(self) -> Dict[str, object]:
-        tail_slots = sum(b.num_rows * b.width for b in self.buckets)
         return {
             "num_docs": self.num_docs,
             "num_rows": self.num_rows,
             "vocab_size": self.vocab_size,
             "head_terms": self.head_terms,
-            "head_mb": self.head_weights.nbytes / 2**20,
-            "num_tail_buckets": len(self.buckets),
-            "tail_widths": [b.width for b in self.buckets],
-            "tail_rows": [b.num_rows for b in self.buckets],
-            "tail_slots": tail_slots,
+            "head_dtype": self.head_dtype,
+            "head_mb": self.head.nbytes / 2**20,
+            "tail_nnz": self.tail_nnz,
+            "max_tail_df": self.max_tail_df,
+            "postings_mb": (
+                self.post_ptr.nbytes
+                + self.post_rows.nbytes
+                + self.post_weights.nbytes
+            )
+            / 2**20,
             "memory_mb": self.nbytes / 2**20,
         }
 
@@ -117,164 +129,109 @@ def _round_up(x: int, m: int) -> int:
 def choose_head_terms(
     num_docs: int,
     vocab_size: int,
+    df: np.ndarray,  # (V,) document frequencies in descending order
+    n_nonpositive_idf: int,
     head_terms: Optional[int] = None,
     head_budget_bytes: int = DEFAULT_HEAD_BUDGET_BYTES,
+    head_cap: int = DEFAULT_HEAD_CAP,
 ) -> int:
-    """Pick F. Explicit ``head_terms`` wins; otherwise the largest
-    lane-aligned F that fits the budget, capped at 4096 (diminishing Zipf
-    coverage beyond) and at the vocabulary size."""
+    """Pick F — how many highest-df terms the dense head covers.
+
+    Constraints, in priority order:
+
+    1. ``F >= n_nonpositive_idf``: every term whose IDF is <= 0 (extremely
+       common terms under Robertson IDF, reference retrieval.py:189) must be
+       scored by the head. Tail postings weights are then strictly positive,
+       which the exact head-topk/candidate merge relies on.
+    2. Explicit ``head_terms`` wins above that floor.
+    3. Otherwise the largest lane-aligned F within the byte budget (at 1
+       byte/element — the int8 default), capped at ``head_cap``.
+    """
+    floor = min(n_nonpositive_idf, vocab_size)
     if head_terms is not None:
-        return max(min(head_terms, vocab_size), 0)
+        return max(min(head_terms, vocab_size), floor)
     rows = max(_round_up(num_docs, DOC_ALIGN), 1)
-    by_budget = head_budget_bytes // (rows * 4)
-    f = int(min(4096, by_budget, vocab_size))
+    by_budget = head_budget_bytes // rows
+    f = int(min(head_cap, by_budget, vocab_size))
     if f < vocab_size:  # lane-align the head slice when it isn't the whole V
         f = (f // HEAD_ALIGN) * HEAD_ALIGN
-    return max(f, 0)
+    return max(f, floor, 0)
 
 
-def _choose_widths(
-    lengths: np.ndarray, widths: Sequence[int], min_bucket_docs: int
-) -> List[int]:
-    """Pick the tail widths actually used; undersized buckets merge upward."""
-    max_len = int(lengths.max(initial=0))
-    if max_len == 0:
-        return []
-    usable = [w for w in widths if w < max_len] + [
-        next((w for w in widths if w >= max_len), _round_up(max_len, 8))
-    ]
-    counts = {}
-    prev = 0
-    for w in usable:
-        counts[w] = int(((lengths > prev) & (lengths <= w)).sum())
-        prev = w
-    chosen: List[int] = []
-    carried = 0
-    for w in usable:
-        carried += counts[w]
-        if carried >= min_bucket_docs or w == usable[-1]:
-            if carried > 0:
-                chosen.append(w)
-            carried = 0
-    return chosen
-
-
-def pack_hybrid(
-    doc_term_ids: Sequence[np.ndarray],
-    doc_weights: Sequence[np.ndarray],
+def pack_flat(
+    doc_idx: np.ndarray,  # (nnz,) int64/int32 document index per entry
+    term_ids: np.ndarray,  # (nnz,) int32 term ids (descending-df numbering)
+    weights: np.ndarray,  # (nnz,) float32 precomputed score weights
+    num_docs: int,
     vocab_size: int,
     head_terms: int,
-    widths: Sequence[int] = DEFAULT_WIDTHS,
-    min_bucket_docs: Optional[int] = None,
+    head_dtype: str = "int8",
 ) -> HybridLayout:
-    """Pack per-document sparse rows (term ids in frequency order) into the
-    hybrid layout. ``doc_term_ids[i]`` must be sorted ascending."""
-    num_docs = len(doc_term_ids)
+    """Pack flat (doc, term, weight) triples into the hybrid layout.
+
+    Entries must be doc-major (``doc_idx`` non-decreasing) so that each tail
+    term's postings come out sorted by document row, which the host tail
+    scorer and the device merge rely on.
+    """
+    if head_dtype not in HEAD_DTYPES:
+        raise ValueError(f"Unknown head_dtype: {head_dtype}")
     f = head_terms
-    if min_bucket_docs is None:
-        # Each tail bucket adds a scan to the fused search program (compile
-        # time) and a dispatch-side loop; keep the bucket count bounded as
-        # the corpus grows while still splitting small corpora finely.
-        min_bucket_docs = max(1024, num_docs // 12)
+    rows = max(_round_up(num_docs, DOC_ALIGN), DOC_ALIGN)
 
-    # Split head/tail per doc (ids sorted, so searchsorted splits cleanly).
-    splits = [int(np.searchsorted(t, f)) for t in doc_term_ids]
-    tail_lengths = np.asarray(
-        [len(t) - s for t, s in zip(doc_term_ids, splits)], dtype=np.int64
-    )
+    doc_idx = np.asarray(doc_idx)
+    term_ids = np.asarray(term_ids)
+    weights = np.asarray(weights, dtype=np.float32)
+    in_head = term_ids < f
 
-    chosen = _choose_widths(tail_lengths, widths, min_bucket_docs)
-
-    buckets: List[TailBucket] = []
-    order: List[np.ndarray] = []
-    row_offset = 0
-    assigned = np.zeros(num_docs, dtype=bool)
-
-    # Pure-head bucket first (tail length 0).
-    zero_idx = np.nonzero(tail_lengths == 0)[0]
-    if zero_idx.size:
-        assigned[zero_idx] = True
-        rows = _round_up(zero_idx.size, DOC_ALIGN)
-        buckets.append(
-            TailBucket(
-                width=0,
-                row_offset=row_offset,
-                num_rows=rows,
-                term_ids=None,
-                weights=None,
-            )
+    head_scales: Optional[np.ndarray] = None
+    h_docs, h_terms, h_w = doc_idx[in_head], term_ids[in_head], weights[in_head]
+    if head_dtype == "int8":
+        # Per-column absmax scale; zero columns get scale 1 (nothing to store).
+        colmax = np.zeros(f, dtype=np.float32)
+        if h_terms.size:
+            np.maximum.at(colmax, h_terms, np.abs(h_w))
+        head_scales = np.where(colmax > 0, colmax / 127.0, 1.0).astype(
+            np.float32
         )
-        order.append(zero_idx)
-        order.append(np.full(rows - zero_idx.size, -1, dtype=np.int64))
-        row_offset += rows
+        head = np.zeros((rows, f), dtype=np.int8)
+        if h_terms.size:
+            q = np.rint(h_w / head_scales[h_terms])
+            head[h_docs, h_terms] = np.clip(q, -127, 127).astype(np.int8)
+    else:
+        import ml_dtypes
 
-    for w in chosen:
-        sel = (~assigned) & (tail_lengths <= w)
-        idx = np.nonzero(sel)[0]
-        assigned[idx] = True
-        if idx.size == 0:
-            continue
-        rows = _round_up(idx.size, DOC_ALIGN)
-        term_ids = np.zeros((rows, w), dtype=np.int32)
-        weights = np.zeros((rows, w), dtype=np.float32)
-        # Vectorized ragged fill: one fancy-indexed assignment per bucket.
-        lens = tail_lengths[idx]
-        if lens.sum():
-            flat_ids = np.concatenate(
-                [doc_term_ids[d][splits[d] :] for d in idx]
-            )
-            flat_w = np.concatenate(
-                [doc_weights[d][splits[d] :] for d in idx]
-            )
-            row_rep = np.repeat(np.arange(idx.size), lens)
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            cols = np.arange(int(lens.sum())) - np.repeat(starts, lens)
-            term_ids[row_rep, cols] = flat_ids
-            weights[row_rep, cols] = flat_w
-        buckets.append(
-            TailBucket(
-                width=w,
-                row_offset=row_offset,
-                num_rows=rows,
-                term_ids=term_ids,
-                weights=weights,
-            )
-        )
-        order.append(idx)
-        order.append(np.full(rows - idx.size, -1, dtype=np.int64))
-        row_offset += rows
+        dt = ml_dtypes.bfloat16 if head_dtype == "bf16" else np.float32
+        head = np.zeros((rows, f), dtype=dt)
+        if h_terms.size:
+            head[h_docs, h_terms] = h_w.astype(dt)
 
-    if num_docs and not assigned.all():  # pragma: no cover
-        raise AssertionError("unassigned docs in pack_hybrid")
+    # Term-major postings for the tail, rows ascending within each term
+    # (stable sort on term id preserves the doc-major input order).
+    in_tail = ~in_head
+    t_docs = doc_idx[in_tail].astype(np.int32)
+    t_terms = term_ids[in_tail] - f
+    t_w = weights[in_tail]
+    n_tail_terms = vocab_size - f
+    order = np.argsort(t_terms, kind="stable")
+    post_rows = np.ascontiguousarray(t_docs[order])
+    post_weights = np.ascontiguousarray(t_w[order])
+    counts = np.bincount(t_terms, minlength=max(n_tail_terms, 0))
+    post_ptr = np.zeros(n_tail_terms + 1, dtype=np.int64)
+    if n_tail_terms > 0:
+        np.cumsum(counts[:n_tail_terms], out=post_ptr[1:])
 
-    row_docs = (
-        np.concatenate(order) if order else np.empty(0, dtype=np.int64)
-    )
-    total_rows = row_docs.shape[0]
-    valid = row_docs >= 0
-    doc_map = np.where(valid, row_docs, 0).astype(np.int32)
-
-    # Dense head, rows in bucket order (one fancy-indexed assignment).
-    head = np.zeros((total_rows, f), dtype=np.float32)
-    if f and num_docs:
-        real_rows = np.nonzero(valid)[0]
-        head_lens = np.asarray([splits[d] for d in row_docs[real_rows]])
-        if head_lens.sum():
-            flat_cols = np.concatenate(
-                [doc_term_ids[d][: splits[d]] for d in row_docs[real_rows]]
-            )
-            flat_w = np.concatenate(
-                [doc_weights[d][: splits[d]] for d in row_docs[real_rows]]
-            )
-            row_rep = np.repeat(real_rows, head_lens)
-            head[row_rep, flat_cols] = flat_w
+    valid = np.zeros(rows, dtype=bool)
+    valid[:num_docs] = True
 
     return HybridLayout(
         head_terms=f,
-        head_weights=head,
-        buckets=buckets,
-        doc_map=doc_map,
+        head=head,
+        head_scales=head_scales,
+        post_ptr=post_ptr,
+        post_rows=post_rows,
+        post_weights=post_weights,
         valid=valid,
         num_docs=num_docs,
         vocab_size=vocab_size,
+        head_dtype=head_dtype,
     )

@@ -1,0 +1,315 @@
+"""Host-side tail scoring and final merge: term-at-a-time postings traversal.
+
+The tail of the hybrid index (osr_tpu/index/layout.py) is a classic inverted
+file over the RARE terms only. Scoring it is a pointer-chasing workload —
+exactly what the reference's Numba CSR kernels do for the WHOLE index
+(reference rag_system/core/retrieval.py:41-76) — so it runs on the host,
+while the MXU handles the dense head. Because tail terms are df-bounded by
+construction, a query touches ~10^2 postings, not the corpus.
+
+Division of labor per batch (measured rationale in ops/bm25.py docstring):
+
+1. :func:`tail_candidates_flat` (host): walk the query batch's postings,
+   sum duplicate (query, row) contributions, emit a FLAT query-major
+   candidate list.
+2. ``ops.bm25.fused_search`` (device): head matmul + head top-k, and — on
+   the device-merge path only — one flat gather of the candidates' head
+   scores.
+3. :func:`merge_host` (host): totals = head + tail per candidate, mask
+   head-top entries that are tail-touched, exact top-k per query.
+
+Each step dispatches to the threaded C++ runtime (native/osr_native.cc)
+when built; the NumPy implementations here are the behavioral reference
+(equality property-tested in tests/test_native.py).
+
+Candidates are unique and ascending per query (duplicates summed in step
+1), which the merge's membership binary-search relies on.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+# Fixed menu of flat candidate widths so the fused device program compiles
+# once per width and is reused (device-merge path only; the host-merge path
+# uses exact sizes). Fine steps: uploads through a remote-TPU tunnel cost
+# ~30 ms/MB, so padding waste is real money.
+FLAT_WIDTH_MENU = (
+    4096, 16384, 65536, 131072, 196608, 262144, 327680, 393216, 458752,
+    524288,
+)
+
+
+def pad_flat_width(n: int) -> int:
+    for w in FLAT_WIDTH_MENU:
+        if n <= w:
+            return w
+    w = FLAT_WIDTH_MENU[-1]
+    while w < n:
+        w += 131072
+    return w
+
+
+@dataclasses.dataclass
+class FlatCandidates:
+    """Query-major flat candidate list (optional padding at the end)."""
+
+    rows: np.ndarray  # (M,) int32 document rows, ascending within a query
+    cols: np.ndarray  # (M,) int32 owning query index
+    tail: np.ndarray  # (M,) float32 summed tail contributions
+    ptr: np.ndarray  # (B+1,) int64 per-query segment offsets
+    total: int  # real entries; [total:] is padding
+
+
+def _empty_candidates(batch_size: int, pad_to_menu: bool) -> FlatCandidates:
+    m = FLAT_WIDTH_MENU[0] if pad_to_menu else 0
+    return FlatCandidates(
+        rows=np.zeros(m, dtype=np.int32),
+        cols=np.zeros(m, dtype=np.int32),
+        tail=np.zeros(m, dtype=np.float32),
+        ptr=np.zeros(batch_size + 1, dtype=np.int64),
+        total=0,
+    )
+
+
+def tail_candidates_flat(
+    post_ptr: np.ndarray,  # (T+1,) int64
+    post_rows: np.ndarray,  # (nnz,) int32
+    post_weights: np.ndarray,  # (nnz,) float32
+    tail_ids: np.ndarray,  # (Nt,) int32 tail-LOCAL ids (t - F), flat
+    tail_counts: np.ndarray,  # (Nt,) float32 query term counts, flat
+    tail_ptr: np.ndarray,  # (nq+1,) int64 per-query segments
+    batch_size: int,
+    num_rows: int,
+    pad_to_menu: bool = True,
+    use_native: bool = True,
+) -> FlatCandidates:
+    """Tail scorer: flat (query, row) candidates with summed contributions.
+
+    Dispatches to the threaded C++ walker when available; the vectorized
+    NumPy body below is the reference (one flat pass: gather each posting's
+    (row, weight), multiply by the query term count, then sum duplicates per
+    (query, row) via one sort — no Python-level per-query loop).
+    """
+    nq = len(tail_ptr) - 1
+    if nq > batch_size:
+        raise ValueError(f"{nq} queries exceed batch size {batch_size}")
+    if len(tail_ids) == 0:
+        return _empty_candidates(batch_size, pad_to_menu)
+
+    if use_native:
+        try:
+            from osr_tpu.native import tail_candidates_native
+
+            rows, cols, tail, qptr, total = tail_candidates_native(
+                post_ptr, post_rows, post_weights,
+                tail_ids, tail_counts, tail_ptr,
+            )
+            ptr = np.zeros(batch_size + 1, dtype=np.int64)
+            ptr[: nq + 1] = qptr
+            ptr[nq + 1 :] = qptr[-1]
+            if pad_to_menu:
+                m = pad_flat_width(total)
+                rows = np.resize(rows[:total], m)
+                cols = np.resize(cols[:total], m)
+                tail = np.resize(tail[:total], m)
+                rows[total:] = 0
+                cols[total:] = 0
+                tail[total:] = 0.0
+            else:
+                rows, cols, tail = rows[:total], cols[:total], tail[:total]
+            return FlatCandidates(rows, cols, tail, ptr, total)
+        except ImportError:
+            pass
+
+    qi = np.repeat(np.arange(nq, dtype=np.int64), np.diff(tail_ptr))
+    tl = np.asarray(tail_ids, dtype=np.int64)
+    ct = np.asarray(tail_counts, dtype=np.float32)
+
+    starts = post_ptr[tl]
+    df = (post_ptr[tl + 1] - starts).astype(np.int64)
+    total_postings = int(df.sum())
+    if total_postings == 0:
+        return _empty_candidates(batch_size, pad_to_menu)
+
+    # Flat posting indices: for each (query, term), starts[j] + 0..df[j]-1.
+    ends = np.cumsum(df)
+    flat = np.arange(total_postings, dtype=np.int64)
+    flat += np.repeat(starts - (ends - df), df)
+    rows = post_rows[flat].astype(np.int64)
+    vals = post_weights[flat] * np.repeat(ct, df)
+    qidx = np.repeat(qi, df)
+
+    # Sum duplicate (query, row) pairs; unique() sorts by (query, row), so
+    # the output is query-major with ascending unique rows per query.
+    key = qidx * np.int64(num_rows + 1) + rows
+    ukey, inv = np.unique(key, return_inverse=True)
+    sums = np.bincount(inv, weights=vals).astype(np.float32)
+    uq = (ukey // (num_rows + 1)).astype(np.int32)
+    urow = (ukey % (num_rows + 1)).astype(np.int32)
+
+    total = int(ukey.shape[0])
+    m = pad_flat_width(total) if pad_to_menu else total
+    out_rows = np.zeros(m, dtype=np.int32)
+    out_cols = np.zeros(m, dtype=np.int32)
+    out_tail = np.zeros(m, dtype=np.float32)
+    out_rows[:total] = urow
+    out_cols[:total] = uq
+    out_tail[:total] = sums
+    ptr = np.zeros(batch_size + 1, dtype=np.int64)
+    np.cumsum(np.bincount(uq, minlength=batch_size), out=ptr[1:])
+    return FlatCandidates(out_rows, out_cols, out_tail, ptr, total)
+
+
+def cand_head_scores_host(
+    head: np.ndarray,  # (R, F) int8 | bf16 | f32
+    head_dtype: str,
+    head_scales: Optional[np.ndarray],  # (F,) f32 for int8
+    cand: FlatCandidates,
+    head_flat_ids: np.ndarray,  # (Nh,) int32 per-query head terms, flat
+    head_flat_counts: np.ndarray,  # (Nh,) float32
+    head_ptr: np.ndarray,  # (nq+1,) int64
+    use_native: bool = True,
+) -> np.ndarray:
+    """Head scores of the flat candidates, computed from the host-resident
+    head matrix (avoids any device gather/transfer on the host-merge path).
+    """
+    total = cand.total
+    if total == 0:
+        return np.zeros(0, dtype=np.float32)
+    if use_native:
+        try:
+            from osr_tpu.native import cand_head_dot_native
+
+            return cand_head_dot_native(
+                head, head_dtype, head_scales,
+                cand.rows, cand.cols, total,
+                head_flat_ids, head_flat_counts, head_ptr,
+            )
+        except ImportError:
+            pass
+    # NumPy reference: (total, Qh) gather over the owning query's head terms.
+    nq = len(head_ptr) - 1
+    n_head = np.diff(head_ptr)
+    qh_max = int(n_head.max(initial=0))
+    if qh_max == 0:
+        return np.zeros(total, dtype=np.float32)
+    tid_pad = np.zeros((nq, qh_max), dtype=np.int64)
+    cnt_pad = np.zeros((nq, qh_max), dtype=np.float32)
+    rows_r = np.repeat(np.arange(nq, dtype=np.int64), n_head)
+    cols_r = np.arange(len(head_flat_ids), dtype=np.int64) - np.repeat(
+        head_ptr[:-1], n_head
+    )
+    tid_pad[rows_r, cols_r] = head_flat_ids
+    cnt_pad[rows_r, cols_r] = head_flat_counts
+    q = cand.cols[:total].astype(np.int64)
+    w = np.asarray(
+        head[cand.rows[:total][:, None], tid_pad[q]], dtype=np.float32
+    )
+    if head_dtype == "int8" and head_scales is not None:
+        w = w * head_scales[tid_pad[q]]
+    return (w * cnt_pad[q]).sum(axis=1).astype(np.float32)
+
+
+def merge_host(
+    head_scores: np.ndarray,  # (B, k) device head top-k scores
+    head_rows: np.ndarray,  # (B, k) int32 device head top-k rows
+    cand: FlatCandidates,
+    cand_head: np.ndarray,  # (>= total,) candidate head scores
+    num_rows: int,
+    k: int,
+    use_native: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact final top-k per query: (head top-k) UNION (candidate totals).
+
+    Head-top entries that are tail-touched are masked (the candidate
+    channel holds their exact totals); see ops/bm25.py:fused_search for the
+    exactness argument.
+    """
+    b, kh = head_scores.shape
+    total = cand.total
+    totals = cand_head[:total].astype(np.float32) + cand.tail[:total]
+
+    if use_native:
+        try:
+            from osr_tpu.native import merge_topk_native
+
+            ptr = cand.ptr
+            if len(ptr) != b + 1:
+                ptr = np.concatenate(
+                    [ptr, np.full(b + 1 - len(ptr), ptr[-1], ptr.dtype)]
+                )
+            return merge_topk_native(
+                np.asarray(head_scores), np.asarray(head_rows),
+                cand.rows, totals, ptr, total, k,
+            )
+        except ImportError:
+            pass
+
+    # Tail-touched membership for head-top rows: one global binary search
+    # over the (query, row)-sorted flat keys.
+    key_flat = (
+        cand.cols[:total].astype(np.int64) * np.int64(num_rows + 1)
+        + cand.rows[:total]
+    )
+    head_keys = (
+        np.repeat(np.arange(b, dtype=np.int64), kh) * np.int64(num_rows + 1)
+        + head_rows.ravel()
+    )
+    pos = np.searchsorted(key_flat, head_keys)
+    touched = np.zeros(b * kh, dtype=bool)
+    in_b = pos < total
+    touched[in_b] = key_flat[pos[in_b]] == head_keys[in_b]
+    head_masked = np.where(
+        touched.reshape(b, kh), -np.inf, head_scores
+    ).astype(np.float32)
+
+    # Pad candidate totals to (B, Cmax) (row-major copy, no device work).
+    seg = np.diff(cand.ptr[: b + 1]).astype(np.int64)
+    cmax = int(seg.max(initial=0))
+    cand_s = np.full((b, cmax), -np.inf, dtype=np.float32)
+    cand_r = np.zeros((b, cmax), dtype=np.int32)
+    if total:
+        col = np.arange(total, dtype=np.int64) - cand.ptr[cand.cols[:total]]
+        cand_s[cand.cols[:total], col] = totals
+        cand_r[cand.cols[:total], col] = cand.rows[:total]
+
+    all_s = np.concatenate([head_masked, cand_s], axis=1)
+    all_r = np.concatenate([head_rows.astype(np.int32), cand_r], axis=1)
+    kk = min(k, all_s.shape[1])
+    if kk < all_s.shape[1]:
+        part = np.argpartition(-all_s, kk - 1, axis=1)[:, :kk]
+    else:
+        part = np.broadcast_to(
+            np.arange(all_s.shape[1]), (b, all_s.shape[1])
+        )
+    part_s = np.take_along_axis(all_s, part, axis=1)
+    order = np.argsort(-part_s, axis=1, kind="stable")
+    top_s = np.take_along_axis(part_s, order, axis=1)
+    top_r = np.take_along_axis(
+        np.take_along_axis(all_r, part, axis=1), order, axis=1
+    )
+    return top_s, top_r
+
+
+def dense_tail_scores(
+    post_ptr: np.ndarray,
+    post_rows: np.ndarray,
+    post_weights: np.ndarray,
+    tail_ids: np.ndarray,  # (Nt,) int32 LOCAL ids, flat
+    tail_counts: np.ndarray,
+    tail_ptr: np.ndarray,  # (nq+1,)
+    num_rows: int,
+) -> np.ndarray:
+    """(nq, num_rows) dense tail score matrix — the oracle/test path."""
+    nq = len(tail_ptr) - 1
+    out = np.zeros((nq, num_rows), dtype=np.float32)
+    for q in range(nq):
+        lo, hi = int(tail_ptr[q]), int(tail_ptr[q + 1])
+        for t, cnt in zip(tail_ids[lo:hi], tail_counts[lo:hi]):
+            a, z = int(post_ptr[t]), int(post_ptr[t + 1])
+            np.add.at(out[q], post_rows[a:z], post_weights[a:z] * float(cnt))
+    return out

@@ -78,6 +78,29 @@ def _load() -> ctypes.CDLL:
     lib.tokenize_ascii.restype = c_i64
     lib.tokenize_ascii.argtypes = [c_char_p, c_i64, c_char_p, p_i64, p_i64, c_i64]
 
+    lib.vocab_build.restype = c_void_p
+    lib.vocab_build.argtypes = [c_char_p, p_i64, c_i64]
+    lib.vocab_free.restype = None
+    lib.vocab_free.argtypes = [c_void_p]
+    lib.encode_queries.restype = c_i64
+    lib.encode_queries.argtypes = [
+        c_void_p, c_char_p, p_i64, c_i64, p_i32, p_f32, p_i64, c_i64,
+    ]
+    lib.tail_candidates.restype = c_i64
+    lib.tail_candidates.argtypes = [
+        p_i64, p_i32, p_f32, p_i32, p_f32, p_i64, c_i64,
+        p_i32, p_i32, p_f32, p_i64, c_i64,
+    ]
+    lib.cand_head_dot.restype = None
+    lib.cand_head_dot.argtypes = [
+        c_void_p, c_i64, p_f32, c_i64, p_i32, p_i32, c_i64,
+        p_i32, p_f32, p_i64, p_f32,
+    ]
+    lib.merge_topk.restype = None
+    lib.merge_topk.argtypes = [
+        p_f32, p_i32, c_i64, c_i64, p_i32, p_f32, p_i64, c_i64, p_f32, p_i32,
+    ]
+
     lib.zlib_decompress.restype = c_i64
     lib.zlib_decompress.argtypes = [c_char_p, c_i64, c_char_p, c_i64]
     lib.zlib_compress_bound.restype = c_i64
@@ -179,3 +202,136 @@ def zlib_compress(raw: bytes, level: int = 6) -> bytes:
     if got < 0:
         raise ValueError("native zlib_compress failed")
     return out.raw[:got]
+
+
+def _as_i32_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _as_f32_ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+class NativeVocab:
+    """C++ vocabulary handle for batch query encoding.
+
+    Terms must be passed in term-id order (id = position); queries encode to
+    sorted unique (term id, count) pairs, OOV dropped — byte-identical to the
+    Python Tokenizer.encode_counts path on ASCII input.
+    """
+
+    def __init__(self, terms_in_id_order):
+        buf = "".join(terms_in_id_order).encode("ascii")
+        offs = np.zeros(len(terms_in_id_order) + 1, dtype=np.int64)
+        np.cumsum(
+            [len(t.encode("ascii")) for t in terms_in_id_order],
+            out=offs[1:],
+        )
+        self._handle = _lib.vocab_build(buf, _as_i64_ptr(offs), len(offs) - 1)
+        if not self._handle:
+            raise RuntimeError("vocab_build failed")
+
+    def __del__(self):
+        h = getattr(self, "_handle", None)
+        if h:
+            _lib.vocab_free(h)
+            self._handle = None
+
+    def encode_queries(self, texts):
+        """Encode a batch of ASCII queries -> (tids, counts, ptr) flat."""
+        encoded = [t.encode("ascii") for t in texts]
+        buf = b"".join(encoded)
+        offs = np.zeros(len(encoded) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in encoded], out=offs[1:])
+        # Upper bound on pairs: total word characters / 1 is loose; use
+        # token-count bound ceil(len/2)+1 per query.
+        cap = sum(len(e) // 2 + 1 for e in encoded)
+        tids = np.empty(max(cap, 1), dtype=np.int32)
+        counts = np.empty(max(cap, 1), dtype=np.float32)
+        ptr = np.zeros(len(encoded) + 1, dtype=np.int64)
+        total = _lib.encode_queries(
+            self._handle, buf, _as_i64_ptr(offs), len(encoded),
+            _as_i32_ptr(tids), _as_f32_ptr(counts), _as_i64_ptr(ptr), cap,
+        )
+        if total < 0:
+            raise RuntimeError("encode_queries capacity exceeded")
+        return tids[:total].copy(), counts[:total].copy(), ptr
+
+
+def tail_candidates_native(
+    post_ptr, post_rows, post_weights, q_tids, q_counts, q_ptr, cap_hint=None
+):
+    """Flat tail-candidate scoring (see osr_tpu/index/postings.py)."""
+    nq = len(q_ptr) - 1
+    post_ptr = np.ascontiguousarray(post_ptr, dtype=np.int64)
+    post_rows = np.ascontiguousarray(post_rows, dtype=np.int32)
+    post_weights = np.ascontiguousarray(post_weights, dtype=np.float32)
+    q_tids = np.ascontiguousarray(q_tids, dtype=np.int32)
+    q_counts = np.ascontiguousarray(q_counts, dtype=np.float32)
+    q_ptr = np.ascontiguousarray(q_ptr, dtype=np.int64)
+    # Exact upper bound: sum of the query terms' posting-list lengths.
+    cap = int((post_ptr[q_tids + 1] - post_ptr[q_tids]).sum()) if len(q_tids) else 0
+    cap = max(cap, 1)
+    rows = np.empty(cap, dtype=np.int32)
+    cols = np.empty(cap, dtype=np.int32)
+    tail = np.empty(cap, dtype=np.float32)
+    qptr = np.zeros(nq + 1, dtype=np.int64)
+    total = _lib.tail_candidates(
+        _as_i64_ptr(post_ptr), _as_i32_ptr(post_rows),
+        _as_f32_ptr(post_weights), _as_i32_ptr(q_tids),
+        _as_f32_ptr(q_counts), _as_i64_ptr(q_ptr), nq,
+        _as_i32_ptr(rows), _as_i32_ptr(cols), _as_f32_ptr(tail),
+        _as_i64_ptr(qptr), cap,
+    )
+    if total < 0:
+        raise RuntimeError("tail_candidates capacity exceeded")
+    return rows, cols, tail, qptr, int(total)
+
+
+_HEAD_KIND = {"int8": 0, "f32": 1, "bf16": 2}
+
+
+def cand_head_dot_native(
+    head, head_dtype, head_scales, rows, cols, total,
+    qh_tids, qh_counts, qh_ptr,
+):
+    """out[m] = head-score of candidate m's (row, owning query)."""
+    kind = _HEAD_KIND[head_dtype]
+    f = head.shape[1]
+    head_c = np.ascontiguousarray(head)
+    scales = (
+        np.ascontiguousarray(head_scales, dtype=np.float32)
+        if head_scales is not None
+        else np.zeros(1, dtype=np.float32)
+    )
+    rows = np.ascontiguousarray(rows[:total], dtype=np.int32)
+    cols = np.ascontiguousarray(cols[:total], dtype=np.int32)
+    qh_tids = np.ascontiguousarray(qh_tids, dtype=np.int32)
+    qh_counts = np.ascontiguousarray(qh_counts, dtype=np.float32)
+    qh_ptr = np.ascontiguousarray(qh_ptr, dtype=np.int64)
+    out = np.zeros(max(total, 1), dtype=np.float32)
+    _lib.cand_head_dot(
+        head_c.ctypes.data_as(ctypes.c_void_p), kind, _as_f32_ptr(scales),
+        f, _as_i32_ptr(rows), _as_i32_ptr(cols), total,
+        _as_i32_ptr(qh_tids), _as_f32_ptr(qh_counts), _as_i64_ptr(qh_ptr),
+        _as_f32_ptr(out),
+    )
+    return out[:total]
+
+
+def merge_topk_native(head_s, head_r, c_rows, c_tot, c_ptr, total, k):
+    """Exact host merge (see postings.merge_host) in C++."""
+    b, kh = head_s.shape
+    head_s = np.ascontiguousarray(head_s, dtype=np.float32)
+    head_r = np.ascontiguousarray(head_r, dtype=np.int32)
+    c_rows = np.ascontiguousarray(c_rows[:total], dtype=np.int32)
+    c_tot = np.ascontiguousarray(c_tot[:total], dtype=np.float32)
+    c_ptr = np.ascontiguousarray(c_ptr, dtype=np.int64)
+    out_s = np.empty((b, k), dtype=np.float32)
+    out_r = np.empty((b, k), dtype=np.int32)
+    _lib.merge_topk(
+        _as_f32_ptr(head_s), _as_i32_ptr(head_r), b, kh,
+        _as_i32_ptr(c_rows), _as_f32_ptr(c_tot), _as_i64_ptr(c_ptr), k,
+        _as_f32_ptr(out_s), _as_i32_ptr(out_r),
+    )
+    return out_s, out_r

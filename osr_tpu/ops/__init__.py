@@ -1,17 +1,23 @@
 from osr_tpu.ops.bm25 import (
-    build_query_matrix,
-    hybrid_scores,
-    hybrid_score_topk,
-    bucket_scores,
+    dense_head_scores,
+    fused_search,
+    head_scores,
+    scatter_query_head,
 )
-from osr_tpu.ops.topk import topk, merge_topk, approx_topk_threshold
+from osr_tpu.ops.topk import (
+    approx_topk_threshold,
+    block_topk,
+    merge_topk,
+    topk,
+)
 
 __all__ = [
-    "build_query_matrix",
-    "hybrid_scores",
-    "hybrid_score_topk",
-    "bucket_scores",
-    "topk",
-    "merge_topk",
+    "dense_head_scores",
+    "fused_search",
+    "head_scores",
+    "scatter_query_head",
     "approx_topk_threshold",
+    "block_topk",
+    "merge_topk",
+    "topk",
 ]

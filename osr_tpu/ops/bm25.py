@@ -1,32 +1,33 @@
-"""Batched sparse scoring on TPU (the BM25/TF-IDF kernel).
+"""Batched sparse scoring on TPU (the BM25/TF-IDF kernel), v2.
 
 TPU-native replacement for the reference's Numba CSR kernels
 ``simd_bm25_score`` / ``simd_tfidf_score`` (reference
 rag_system/core/retrieval.py:41-76, rag_system/pipeline/
-evaluate_rag_pipeline.py:57-121). Designed around three facts measured on
-v5e: (a) matmuls on the MXU are nearly free next to HBM traffic, (b) XLA
-row-gathers run far below streaming bandwidth, (c) every dispatch pays a
-fixed host-device cost — so the whole batch (query scatter, dense-head
-matmul, sparse-tail gathers, masking, top-k) is ONE fused jit dispatch.
+evaluate_rag_pipeline.py:57-121), operating on the flat hybrid layout of
+osr_tpu/index/layout.py:
 
-Pipeline per query batch (see index/layout.py for the layout):
+- **Head** (common terms): ONE MXU matmul per query batch. The head is
+  int8 with per-column scales by default; the scale vector folds into the
+  query side (``(A diag(s)) @ q == A @ (s*q)``), so the contraction runs
+  int8 x bf16 on the MXU with f32 accumulation. ``f32`` mode runs at
+  HIGHEST precision for exact-formula parity tests.
+- **Tail** (rare terms): scored on the host (osr_tpu/index/postings.py)
+  into per-query candidate lists, passed in as fixed-shape arrays.
+- **Merge**: exact, on the HOST. The true top-k is contained in (head
+  top-k) UNION (tail-touched candidates) — proof in the fused_search
+  docstring. The device contributes the head top-k and a flat gather of
+  the candidates' head scores; the host (osr_tpu/index/postings.py:
+  merge_host) sums, dedups and reselects. Measured on v5e: any padded
+  per-query (B, C) gather/scatter formulation of the merge costs
+  ~25 ns/element in XLA (~100 ms/batch) while the host does the same
+  random access at ~ns — the split follows the hardware.
+- **Top-k** over head scores: ``exact`` uses ``lax.top_k`` (the transpose
+  fuses); ``approx`` uses the TPU-native ``lax.approx_max_k``
+  PartialReduce (recall 0.95, ~3x faster at 57k rows).
 
-1. ``build_query_matrix``: scatter the (B, Q) padded sparse queries into a
-   dense (V+1, B) matrix ``qw`` in HBM. Query term weights are small integer
-   counts, exactly representable in bfloat16 — the tail gathers read ``qw``
-   as bf16 to halve gather traffic with zero accuracy loss.
-2. Head: ``head_weights (R, F) @ qw[:F] (F, B)`` — a contiguous slice (the
-   vocabulary is frequency-ordered, no gather) feeding one MXU matmul in
-   f32/HIGHEST so score parity with the exact-formula oracle holds.
-3. Tail buckets: gather-multiply-reduce over padded rare-term rows,
-   chunked via ``lax.map`` so the (C, K, B) gather intermediate stays
-   VMEM-sized; accumulated into the head scores by static row ranges.
-4. Mask alignment-padding rows to -inf, ``lax.top_k``, map rows to global
-   doc ids.
-
-Scores are exact w.r.t. the reference formulas (weights are f32, query
-counts exact in bf16, f32 accumulation) — validated at atol 1e-3 in
-tests/test_sparse_scoring.py like the reference's own kernel tests.
+The whole device step (query scatter, head matmul, dequant, mask, top-k,
+candidate gather) is ONE jit dispatch; measured per-stage costs on v5e are
+recorded in DEVELOPMENT.md.
 """
 
 from __future__ import annotations
@@ -38,38 +39,28 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-# Element budget for one (chunk, K, B) bf16 gather intermediate (~8MB at
-# B=128), keeping the fused gather/reduce working set inside VMEM.
-_CHUNK_ELEMENT_BUDGET = 32768
+NEG_INF = jnp.float32(-jnp.inf)
 
 
-def chunk_rows_for_width(width: int, num_rows: int) -> int:
-    """Tail rows to score per lax.map step for a given slot width."""
-    c = max(8, _CHUNK_ELEMENT_BUDGET // max(width, 1))
-    return min(c, max(num_rows, 1))
-
-
-@functools.partial(jax.jit, static_argnames=("vocab_rows",))
-def build_query_matrix(
-    term_ids: jax.Array,  # (B, Q) int32, padding ids >= vocab_rows
+@functools.partial(jax.jit, static_argnames=("head_terms",))
+def scatter_query_head(
+    term_ids: jax.Array,  # (B, Q) int32; ids >= head_terms are dropped
     term_weights: jax.Array,  # (B, Q) float32, padded with 0
     *,
-    vocab_rows: int,
+    head_terms: int,
 ) -> jax.Array:
-    """Scatter a padded sparse query batch into a dense (vocab_rows, B)
-    matrix. Callers must pass count-aggregated (term, weight) pairs — one
-    entry per unique query term, like the Counter-built query TF vector of
-    the reference (reference retrieval.py:241-249) — padded with ids >=
-    ``vocab_rows`` (dropped by the scatter)."""
+    """Scatter padded sparse queries into a dense (F, B) float32 matrix.
+
+    Entries must be count-aggregated (one per unique term, like the
+    reference's Counter-built query TF vector, reference retrieval.py:
+    241-249), so (term, query) pairs are unique and XLA uses the vectorized
+    scatter. Padding/tail ids (>= F) are discarded by mode='drop'.
+    """
     batch, q = term_ids.shape
-    qw = jnp.zeros((vocab_rows, batch), dtype=jnp.float32)
+    qw = jnp.zeros((head_terms, batch), dtype=jnp.float32)
     cols = jnp.broadcast_to(
         jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, q)
     )
-    # (term, query) pairs are unique (queries arrive count-aggregated) and
-    # padding uses an out-of-bounds row id that mode='drop' discards, so XLA
-    # can use the vectorized unique-indices scatter instead of a serial
-    # read-modify-write loop.
     return qw.at[term_ids.reshape(-1), cols.reshape(-1)].add(
         term_weights.reshape(-1).astype(jnp.float32),
         mode="drop",
@@ -77,61 +68,39 @@ def build_query_matrix(
     )
 
 
-def _ell_rows_scores(
-    qw_gather: jax.Array,  # (V+1, B) bf16
-    term_ids: jax.Array,  # (D, K) int32
-    weights: jax.Array,  # (D, K) float32
-    *,
-    chunk_rows: int,
+def head_scores(
+    head: jax.Array,  # (R, F) int8 | bf16 | f32
+    head_scales: Optional[jax.Array],  # (F,) f32, int8 mode only
+    qhead: jax.Array,  # (F, B) f32 query counts
 ) -> jax.Array:
-    """Tail scores for one bucket: (D, B) float32.
+    """(R, B) f32 head scores — one MXU matmul.
 
-    The gather output is bf16 (query counts are exact in bf16); the
-    multiply/accumulate is explicit f32 elementwise so XLA cannot truncate
-    the f32 weights to bf16 on an MXU path.
+    int8 mode: per-column scales are applied to the query counts, the
+    scaled queries round to bf16 (query counts are small integers, and the
+    scale multiplication adds <=0.4% relative error), and the contraction
+    runs with f32 accumulation. f32 mode runs HIGHEST precision for exact
+    score parity with the formula oracle; bf16 mode stores true weights in
+    bf16 (~0.4% relative) with exact bf16 query counts.
     """
-    d, k = term_ids.shape
-    b = qw_gather.shape[1]
-    if d == 0 or k == 0:
-        return jnp.zeros((d, b), dtype=jnp.float32)
-    c = min(chunk_rows, d)
-    pad = (-d) % c
-    if pad:
-        term_ids = jnp.pad(term_ids, ((0, pad), (0, 0)))
-        weights = jnp.pad(weights, ((0, pad), (0, 0)))
-    nchunks = (d + pad) // c
-
-    def chunk(args):
-        ti, w = args  # (C, K), (C, K)
-        g = qw_gather[ti]  # (C, K, B) bf16 gather
-        return (g.astype(jnp.float32) * w[..., None]).sum(axis=1)  # (C, B)
-
-    out = lax.map(
-        chunk,
-        (term_ids.reshape(nchunks, c, k), weights.reshape(nchunks, c, k)),
-    )
-    return out.reshape(d + pad, b)[:d]
-
-
-def _head_scores(head_weights: jax.Array, qw: jax.Array) -> jax.Array:
-    """(R, F) @ (F, B) on the MXU.
-
-    f32 weights run at HIGHEST precision for exact score parity; bf16
-    weights (the 2x-memory-saving mode for very large corpora, engine
-    ``head_dtype='bf16'``) run the native bf16 MXU path with f32
-    accumulation — rankings are preserved, absolute scores carry ~0.4%
-    relative error (query counts remain exact in bf16)."""
-    f = head_weights.shape[1]
-    qhead = qw[:f]
-    if head_weights.dtype == jnp.bfloat16:
+    if head.shape[1] == 0:
+        return jnp.zeros((head.shape[0], qhead.shape[1]), dtype=jnp.float32)
+    if head.dtype == jnp.int8:
+        q = (qhead * head_scales[:, None]).astype(jnp.bfloat16)
         return lax.dot_general(
-            head_weights,
+            head.astype(jnp.bfloat16),
+            q,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    if head.dtype == jnp.bfloat16:
+        return lax.dot_general(
+            head,
             qhead.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     return lax.dot_general(
-        head_weights,
+        head,
         qhead,
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST,
@@ -140,101 +109,132 @@ def _head_scores(head_weights: jax.Array, qw: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("vocab_rows", "k", "tail_meta", "topk_mode"),
+    jax.jit, static_argnames=("head_terms", "k", "topk_mode")
 )
-def hybrid_score_topk(
-    q_term_ids: jax.Array,  # (B, Q) int32
-    q_weights: jax.Array,  # (B, Q) float32
-    head_weights: jax.Array,  # (R, F) float32
-    tail_term_ids: Tuple[jax.Array, ...],  # per tail bucket (rows_i, K_i)
-    tail_weights: Tuple[jax.Array, ...],
+def fused_search(
+    q_head_ids: jax.Array,  # (B, Qh) int32, padding >= head_terms
+    q_head_weights: jax.Array,  # (B, Qh) f32
+    cand_flat_rows: jax.Array,  # (M,) int32 candidate rows, query-major
+    cand_flat_cols: jax.Array,  # (M,) int32 owning query per candidate
+    head: jax.Array,  # (R, F)
+    head_scales: Optional[jax.Array],  # (F,) or None
     valid: jax.Array,  # (R,) bool
-    doc_map: jax.Array,  # (R,) int32
     *,
-    vocab_rows: int,
+    head_terms: int,
     k: int,
-    tail_meta: Tuple[Tuple[int, int], ...],  # (row_offset, chunk_rows) per bucket
-    topk_mode: str = "exact",  # 'exact' | 'fast' (see ops/topk.py:fast_topk)
-) -> Tuple[jax.Array, jax.Array]:
-    """The full batched search step in one dispatch.
+    topk_mode: str = "exact",  # 'exact' | 'approx'
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """The batched device search step in one dispatch.
 
-    Returns (scores (B, k'), global_doc_ids (B, k')), k' = min(k, R).
+    Returns (head_top_scores (B, k'), head_top_rows (B, k'),
+    cand_head_scores (M,)), k' = min(k, R). The final exact merge of the
+    head top-k with the tail-touched candidates happens on the HOST
+    (osr_tpu/index/postings.py:merge_host) because per-(row, query) lookups
+    are ~ns on the host but ~25 ns/element as an XLA gather; only the flat
+    M-element candidate gather (real candidates, not padded-per-query)
+    stays on device, where the head scores live.
+
+    Exactness of the split (proof): tail weights are strictly positive
+    (layout.py forces non-positive-IDF terms into the head), so every
+    document's total score >= its head score. If a document is neither
+    tail-touched nor in the head top-k, the k head-top documents all have
+    head scores — hence totals — at or above its total, so it cannot be in
+    the true top-k. Head-top entries that ARE tail-touched carry an
+    understated head-only score; the host merge masks them and uses their
+    exact totals from the candidate channel.
     """
-    scores = hybrid_scores(
-        q_term_ids,
-        q_weights,
-        head_weights,
-        tail_term_ids,
-        tail_weights,
-        vocab_rows=vocab_rows,
-        tail_meta=tail_meta,
-    )  # (R, B)
-    kk = min(k, scores.shape[0])
-    if topk_mode == "fast":
-        from osr_tpu.ops.topk import fast_topk_columns
-
-        top_scores, top_rows = fast_topk_columns(scores, valid, k=kk)
+    qhead = scatter_query_head(
+        q_head_ids, q_head_weights, head_terms=head_terms
+    )
+    hs = head_scores(head, head_scales, qhead)  # (R, B)
+    hs = jnp.where(valid[:, None], hs, NEG_INF)
+    r = hs.shape[0]
+    kk = min(k, r)
+    if topk_mode == "approx":
+        head_top, head_rows = lax.approx_max_k(
+            hs.T, kk, recall_target=0.95
+        )
+        head_rows = head_rows.astype(jnp.int32)
     else:
-        masked = jnp.where(valid[:, None], scores, -jnp.inf)
-        top_scores, top_rows = lax.top_k(masked.T, kk)  # (B, kk)
-    return top_scores, doc_map[top_rows]
+        head_top, head_rows = lax.top_k(hs.T, kk)
+        head_rows = head_rows.astype(jnp.int32)
+    cand_head = hs[cand_flat_rows, cand_flat_cols]  # (M,)
+    return head_top, head_rows, cand_head
+
+
+def pack_query_batch(
+    head_ids: "np.ndarray", head_weights: "np.ndarray"
+) -> "np.ndarray":
+    """Pack (B, Q) int32 ids + (B, Q) f32 weights into ONE (B, Q, 2) int32
+    array (weights bitcast). Host<->device transfers through a remote-TPU
+    tunnel pay a large fixed cost per operation; one packed upload replaces
+    two."""
+    import numpy as np
+
+    return np.ascontiguousarray(
+        np.stack([head_ids, head_weights.view(np.int32)], axis=-1)
+    )
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("vocab_rows", "tail_meta"),
+    jax.jit, static_argnames=("head_terms", "k", "topk_mode")
 )
-def hybrid_scores(
-    q_term_ids: jax.Array,
-    q_weights: jax.Array,
-    head_weights: jax.Array,
-    tail_term_ids: Tuple[jax.Array, ...],
-    tail_weights: Tuple[jax.Array, ...],
+def fused_search_packed(
+    q_packed: jax.Array,  # (B, Qh, 2) int32: [ids, bitcast f32 weights]
+    cand_flat_rows: jax.Array,  # (M,) int32
+    cand_flat_cols: jax.Array,  # (M,) int32
+    head: jax.Array,
+    head_scales: Optional[jax.Array],
+    valid: jax.Array,
     *,
-    vocab_rows: int,
-    tail_meta: Tuple[Tuple[int, int], ...],
-) -> jax.Array:
-    """Dense (R, B) scores over all index rows (head + tail)."""
-    r = head_weights.shape[0]
-    b = q_term_ids.shape[0]
-    qw = build_query_matrix(q_term_ids, q_weights, vocab_rows=vocab_rows)
-    if head_weights.shape[1]:
-        scores = _head_scores(head_weights, qw)
-    else:
-        scores = jnp.zeros((r, b), dtype=jnp.float32)
-    qw_b = qw.astype(jnp.bfloat16)
-    for (offset, chunk_rows), ti, w in zip(
-        tail_meta, tail_term_ids, tail_weights
-    ):
-        tail = _ell_rows_scores(qw_b, ti, w, chunk_rows=chunk_rows)
-        scores = scores.at[offset : offset + ti.shape[0], :].add(tail)
-    return scores
+    head_terms: int,
+    k: int,
+    topk_mode: str = "exact",
+) -> Tuple[jax.Array, jax.Array]:
+    """Transfer-minimal variant of :func:`fused_search`: one packed input
+    array, and the head top-k packed into one (B, 2k) f32 output (rows
+    bitcast into the second half). Candidate head scores are the second
+    output (only fetched on the device-merge path)."""
+    ids = q_packed[..., 0]
+    weights = lax.bitcast_convert_type(q_packed[..., 1], jnp.float32)
+    top, rows, cand_head = fused_search(
+        ids,
+        weights,
+        cand_flat_rows,
+        cand_flat_cols,
+        head,
+        head_scales,
+        valid,
+        head_terms=head_terms,
+        k=k,
+        topk_mode=topk_mode,
+    )
+    # Rows travel as f32 VALUES, not bitcasts: int32 bit patterns of small
+    # integers are f32 denormals, which the TPU flushes to zero. Values are
+    # exact for row counts below 2^24 (16.7M documents per chip).
+    packed = jnp.concatenate([top, rows.astype(jnp.float32)], axis=1)
+    return packed, cand_head
 
 
-# ---------------------------------------------------------------------------
-# Per-bucket primitives used by the sharded (shard_map) path, where each
-# bucket's rows are partitioned across the document mesh axis.
-# ---------------------------------------------------------------------------
+def unpack_topk(packed: "np.ndarray") -> Tuple["np.ndarray", "np.ndarray"]:
+    """Split the packed (B, 2k) f32 result into (scores, int32 rows)."""
+    import numpy as np
+
+    k = packed.shape[1] // 2
+    return packed[:, :k], packed[:, k:].astype(np.int32)
 
 
-def bucket_scores(
-    qw: jax.Array,  # (V+1, B) float32
-    head_slice: jax.Array,  # (rows, F) float32
-    term_ids: Optional[jax.Array],  # (rows, K) int32 or None (pure head)
-    weights: Optional[jax.Array],
+@functools.partial(jax.jit, static_argnames=("head_terms",))
+def dense_head_scores(
+    q_head_ids: jax.Array,
+    q_head_weights: jax.Array,
+    head: jax.Array,
+    head_scales: Optional[jax.Array],
     *,
-    chunk_rows: int,
+    head_terms: int,
 ) -> jax.Array:
-    """(rows, B) scores of one bucket. Not jitted: inlined by callers."""
-    if head_slice.shape[1]:
-        scores = _head_scores(head_slice, qw)
-    else:
-        scores = jnp.zeros(
-            (head_slice.shape[0], qw.shape[1]), dtype=jnp.float32
-        )
-    if term_ids is not None and term_ids.shape[1]:
-        scores = scores + _ell_rows_scores(
-            qw.astype(jnp.bfloat16), term_ids, weights, chunk_rows=chunk_rows
-        )
-    return scores
+    """(R, B) head scores for the oracle/score_all path (host adds tail)."""
+    qhead = scatter_query_head(
+        q_head_ids, q_head_weights, head_terms=head_terms
+    )
+    return head_scores(head, head_scales, qhead)

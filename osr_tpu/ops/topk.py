@@ -84,6 +84,51 @@ def fast_topk_columns(
     return vals, jnp.take_along_axis(cand_rows, pos, axis=-1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def block_topk(
+    scores: jax.Array,  # (R, B): candidates along ROWS, queries along columns
+    *,
+    k: int,
+    block_rows: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k per query via block-max pruning.
+
+    ``lax.top_k`` over the full R rows is sort-cost-bound (~13 ms at
+    R=57664, B=1024 on v5e). Instead: (1) reduce each 128-row block to its
+    max — a bandwidth-bound pass; (2) select the top-k BLOCKS per query —
+    a cheap top-k over R/128 values; (3) gather those blocks' scores and run
+    the exact top-k over k*128 candidates.
+
+    Exactness: a document in the true top-k has score s; its block's max is
+    >= s. If that block were not among the k selected blocks, all k selected
+    blocks would have max >= s, each contributing a document scoring >= s —
+    so the document ranks at best k+1-th, a contradiction (exact ties can
+    swap membership among equal-scored documents, as with any top-k).
+
+    Returns (values (B, k'), row indices (B, k')), k' = min(k, R).
+    """
+    r, b = scores.shape
+    kk = min(k, r)
+    pad = (-r) % block_rows
+    if pad:
+        scores = jnp.pad(
+            scores, ((0, pad), (0, 0)), constant_values=-jnp.inf
+        )
+    g = (r + pad) // block_rows
+    block_max = scores.reshape(g, block_rows, b).max(axis=1)  # (G, B)
+    nb = min(kk, g)
+    _, top_blocks = lax.top_k(block_max.T, nb)  # (B, nb)
+    row_idx = (
+        top_blocks[:, :, None] * block_rows
+        + jnp.arange(block_rows, dtype=jnp.int32)[None, None, :]
+    )  # (B, nb, block)
+    cols = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    cand = scores[row_idx, cols].reshape(b, nb * block_rows)
+    vals, pos = lax.top_k(cand, kk)
+    rows = jnp.take_along_axis(row_idx.reshape(b, -1), pos, axis=1)
+    return vals, rows.astype(jnp.int32)
+
+
 def merge_topk(
     scores_parts: Sequence[jax.Array],  # each (B, k_i)
     ids_parts: Sequence[jax.Array],  # each (B, k_i) global ids

@@ -2,20 +2,28 @@
 
 The distributed layer the reference lacks (SURVEY.md §2.4, §5.8): index rows
 are sharded across the ``d`` mesh axis, queries across the ``q`` axis. Each
-chip scores its document-row shard (dense head matmul + sparse-tail gather,
-see osr_tpu/ops/bm25.py) and selects a local top-k *with global doc ids*;
-one ``all_gather`` over ICI moves only O(B x n_d x k) candidates, and a
-final top-k merges them. Document text fetch stays host-side.
+chip scores its document-row shard of the dense head with one MXU matmul
+and selects a local top-k *with global doc ids*; one ``all_gather`` over
+ICI moves only O(B x n_d x k) candidates, and a final top-k merges them.
 
-Exactness: per-shard top-k + merge returns exactly the global top-k (each of
-the true top-k docs lives on some shard, where it ranks within the local
-top-k). Verified against the single-device engine in tests/test_sharded.py.
+The tail-touched candidate list (computed on the host, globally —
+osr_tpu/index/postings.py) is replicated to every chip; each chip gathers
+the head scores of the candidates that fall in ITS (row range, query range)
+and a ``psum`` over both mesh axes reassembles the full flat vector (each
+candidate is owned by exactly one chip, so the sum is exact). The final
+head-topk/candidate merge runs on the host, identical to the single-device
+engine. Document text fetch stays host-side.
+
+Exactness: per-shard top-k + merge returns exactly the global top-k (each
+true top-k doc lives on some shard, where it ranks within the local top-k);
+the candidate channel is exact by construction. Verified against the
+single-device engine in tests/test_sharded.py.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Mapping, Sequence, Tuple
+from typing import Dict, Mapping, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,16 +32,15 @@ from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from osr_tpu.index.builder import SparseIndex
+from osr_tpu.index.postings import merge_host, tail_candidates_flat
 from osr_tpu.index.tokenizer import Tokenizer
-from osr_tpu.ops.bm25 import (
-    bucket_scores,
-    build_query_matrix,
-    chunk_rows_for_width,
+from osr_tpu.ops.bm25 import NEG_INF, head_scores, scatter_query_head
+from osr_tpu.retrieval.encoding import (
+    EncodedBatch,
+    QueryEncoder,
+    encode_query_batch,
 )
-from osr_tpu.retrieval.encoding import encode_query_batch
 from osr_tpu.parallel.mesh import DOC_AXIS, QUERY_AXIS
-
-NEG_INF = float("-inf")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -42,115 +49,98 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "vocab_rows", "k", "bucket_meta"),
+    static_argnames=("mesh", "head_terms", "k"),
 )
-def sharded_hybrid_score_topk(
-    q_term_ids: jax.Array,  # (B, Q) int32, sharded over q
-    q_weights: jax.Array,  # (B, Q) float32, sharded over q
-    heads: Tuple[jax.Array, ...],  # per bucket (rows_i, F), sharded over d
-    term_ids: Tuple[jax.Array, ...],  # per bucket (rows_i, K_i) (K may be 0)
-    weights: Tuple[jax.Array, ...],
-    valids: Tuple[jax.Array, ...],  # per bucket (rows_i,) bool
-    doc_maps: Tuple[jax.Array, ...],  # per bucket (rows_i,) GLOBAL doc ids
+def sharded_search(
+    q_head_ids: jax.Array,  # (B, Q) int32, sharded over q
+    q_head_weights: jax.Array,  # (B, Q) float32, sharded over q
+    cand_flat_rows: jax.Array,  # (M,) int32 GLOBAL rows, replicated
+    cand_flat_cols: jax.Array,  # (M,) int32 GLOBAL query index, replicated
+    head: jax.Array,  # (R_padded, F), sharded over d
+    head_scales,  # (F,) f32 or None, replicated
+    valid: jax.Array,  # (R_padded,) bool, sharded over d
     *,
     mesh: Mesh,
-    vocab_rows: int,
+    head_terms: int,
     k: int,
-    bucket_meta: Tuple[Tuple[bool, int], ...],  # (has_tail, chunk_rows)
-) -> Tuple[jax.Array, jax.Array]:
-    """The full sharded search step in ONE program: per-shard scoring of
-    every bucket, local top-k with global ids, all-gather candidate
-    exchange over ICI, final merge."""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """The sharded device step in ONE program: per-shard head matmul, local
+    top-k with global ids, all-gather merge over ICI, and the flat
+    candidate head-score gather reassembled with a psum."""
+    r_padded = head.shape[0]
+    n_d = mesh.shape[DOC_AXIS]
+    n_q = mesh.shape[QUERY_AXIS]
+    b_total = q_head_ids.shape[0]
+    b_local = b_total // n_q
 
-    def local(qt, qwts, heads, tis, ws, vs, dmaps):
-        qw = build_query_matrix(qt, qwts, vocab_rows=vocab_rows)
-        cand_scores = []
-        cand_ids = []
-        # Per-bucket local top-k first: the merge input is bounded at
-        # (B, n_buckets*k) instead of keeping every bucket's full
-        # (rows_local, B) score matrix live through one concatenation.
-        for head, ti, w, v, dmap, (has_tail, chunk_rows) in zip(
-            heads, tis, ws, vs, dmaps, bucket_meta
-        ):
-            scores = bucket_scores(
-                qw,
-                head,
-                ti if has_tail else None,
-                w if has_tail else None,
-                chunk_rows=chunk_rows,
-            )  # (rows_local, B)
-            scores = jnp.where(v[:, None], scores, NEG_INF)
-            kb = min(k, scores.shape[0])
-            s_b, rows_b = lax.top_k(scores.T, kb)  # (B_local, kb)
-            cand_scores.append(s_b)
-            cand_ids.append(dmap[rows_b])
-        all_cand_s = jnp.concatenate(cand_scores, axis=1)
-        all_cand_i = jnp.concatenate(cand_ids, axis=1)
-        kk = min(k, all_cand_s.shape[1])
-        local_scores, pos = lax.top_k(all_cand_s, kk)
-        local_ids = jnp.take_along_axis(all_cand_i, pos, axis=-1)
-        # Candidate exchange over ICI: (B_local, n_d * kk) per query shard.
-        all_scores = lax.all_gather(local_scores, DOC_AXIS, axis=1, tiled=True)
-        all_ids = lax.all_gather(local_ids, DOC_AXIS, axis=1, tiled=True)
-        kk2 = min(k, all_scores.shape[1])
-        top_scores, pos = lax.top_k(all_scores, kk2)
-        return top_scores, jnp.take_along_axis(all_ids, pos, axis=-1)
+    def local(qt, qwts, crows, ccols, head_l, scales, valid_l):
+        rows_local = r_padded // n_d
+        qhead = scatter_query_head(qt, qwts, head_terms=head_terms)
+        hs = head_scores(head_l, scales, qhead)  # (rows_local, B_local)
+        hs = jnp.where(valid_l[:, None], hs, NEG_INF)
+        row_lo = lax.axis_index(DOC_AXIS) * rows_local
+        col_lo = lax.axis_index(QUERY_AXIS) * b_local
 
-    n = len(heads)
+        kk = min(k, rows_local)
+        s, idx = lax.top_k(hs.T, kk)  # (B_local, kk) local rows
+        ids = idx.astype(jnp.int32) + row_lo
+        s_all = lax.all_gather(s, DOC_AXIS, axis=1, tiled=True)
+        i_all = lax.all_gather(ids, DOC_AXIS, axis=1, tiled=True)
+        kk2 = min(k, s_all.shape[1])
+        top, pos = lax.top_k(s_all, kk2)
+        top_ids = jnp.take_along_axis(i_all, pos, axis=1)
+
+        # Flat candidate gather: this chip owns candidates whose row is in
+        # its d-shard AND whose query is in its q-shard; elsewhere
+        # contribute 0 and let the psum reassemble the full vector.
+        lrow = crows - row_lo
+        lcol = ccols - col_lo
+        mine = (
+            (lrow >= 0)
+            & (lrow < rows_local)
+            & (lcol >= 0)
+            & (lcol < b_local)
+        )
+        vals = hs[
+            jnp.clip(lrow, 0, rows_local - 1),
+            jnp.clip(lcol, 0, b_local - 1),
+        ]
+        cand_head = lax.psum(
+            jnp.where(mine, vals, 0.0), (DOC_AXIS, QUERY_AXIS)
+        )
+        return top, top_ids, cand_head
+
     return shard_map(
         local,
         mesh=mesh,
         in_specs=(
             P(QUERY_AXIS, None),
             P(QUERY_AXIS, None),
-            (P(DOC_AXIS, None),) * n,
-            (P(DOC_AXIS, None),) * n,
-            (P(DOC_AXIS, None),) * n,
-            (P(DOC_AXIS),) * n,
-            (P(DOC_AXIS),) * n,
+            P(),
+            P(),
+            P(DOC_AXIS, None),
+            P(),
+            P(DOC_AXIS),
         ),
-        out_specs=(P(QUERY_AXIS, None), P(QUERY_AXIS, None)),
+        out_specs=(P(QUERY_AXIS, None), P(QUERY_AXIS, None), P()),
         check_vma=False,
-    )(q_term_ids, q_weights, heads, term_ids, weights, valids, doc_maps)
-
-
-class _ShardedBucket:
-    """One layout bucket (head slice + optional tail) sharded over ``d``."""
-
-    def __init__(self, layout, bucket, mesh: Mesh):
-        n_d = mesh.shape[DOC_AXIS]
-        lo, hi = bucket.row_offset, bucket.row_offset + bucket.num_rows
-        rows = _round_up(bucket.num_rows, n_d)
-        pad = rows - bucket.num_rows
-
-        head = np.pad(layout.head_weights[lo:hi], ((0, pad), (0, 0)))
-        valid = np.pad(layout.valid[lo:hi], (0, pad))
-        doc_map = np.pad(layout.doc_map[lo:hi], (0, pad))
-        self.has_tail = bucket.term_ids is not None and bucket.width > 0
-        if self.has_tail:
-            term_ids = np.pad(bucket.term_ids, ((0, pad), (0, 0)))
-            weights = np.pad(bucket.weights, ((0, pad), (0, 0)))
-        else:
-            term_ids = np.zeros((rows, 0), dtype=np.int32)
-            weights = np.zeros((rows, 0), dtype=np.float32)
-
-        shard_rows = NamedSharding(mesh, P(DOC_AXIS, None))
-        shard_vec = NamedSharding(mesh, P(DOC_AXIS))
-        self.head = jax.device_put(head, shard_rows)
-        self.term_ids = jax.device_put(term_ids, shard_rows)
-        self.weights = jax.device_put(weights, shard_rows)
-        self.valid = jax.device_put(valid, shard_vec)
-        self.doc_map = jax.device_put(doc_map, shard_vec)
-        self.chunk_rows = chunk_rows_for_width(
-            max(bucket.width, 1), max(rows // n_d, 1)
-        )
+    )(
+        q_head_ids,
+        q_head_weights,
+        cand_flat_rows,
+        cand_flat_cols,
+        head,
+        head_scales,
+        valid,
+    )
 
 
 class ShardedSparseSearchEngine:
     """Document-sharded, query-data-parallel BM25/TF-IDF search.
 
     Same host API as :class:`osr_tpu.retrieval.engine.SparseSearchEngine`,
-    but the index lives sharded across every chip of ``mesh``.
+    but the dense head lives sharded across every chip of ``mesh``; the
+    postings tail stays host-resident (it is scored on the host either way).
     """
 
     def __init__(
@@ -162,15 +152,30 @@ class ShardedSparseSearchEngine:
         self.index = index
         self.mesh = mesh
         self.n_q = mesh.shape[QUERY_AXIS]
+        n_d = mesh.shape[DOC_AXIS]
         self.batch_sizes = tuple(
             _round_up(b, self.n_q) for b in sorted(batch_sizes)
         )
         self.tokenizer = Tokenizer(index.vocabulary)
-        self._vocab_rows = index.vocab_size + 1
-        self._buckets = [
-            _ShardedBucket(index.layout, b, mesh)
-            for b in index.layout.buckets
-        ]
+        self.encoder = QueryEncoder(self.tokenizer)
+        layout = index.layout
+        r = layout.num_rows
+        self.r_padded = _round_up(r, n_d * 8)
+        pad = self.r_padded - r
+
+        head = np.pad(np.asarray(layout.head), ((0, pad), (0, 0)))
+        valid = np.pad(layout.valid, (0, pad))
+        shard_rows = NamedSharding(mesh, P(DOC_AXIS, None))
+        shard_vec = NamedSharding(mesh, P(DOC_AXIS))
+        repl = NamedSharding(mesh, P())
+        self._repl = repl
+        self._head = jax.device_put(head, shard_rows)
+        self._scales = (
+            jax.device_put(layout.head_scales, repl)
+            if layout.head_scales is not None
+            else None
+        )
+        self._valid = jax.device_put(valid, shard_vec)
         self._qshard = NamedSharding(mesh, P(QUERY_AXIS, None))
 
     def _pick_batch_size(self, n: int) -> int:
@@ -179,36 +184,50 @@ class ShardedSparseSearchEngine:
                 return b
         return self.batch_sizes[-1]
 
-    def encode_queries(
-        self, texts: Sequence[str]
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def encode_queries(self, texts: Sequence[str]) -> EncodedBatch:
         return encode_query_batch(
-            self.tokenizer,
+            self.encoder,
             texts,
             self._pick_batch_size(len(texts)),
-            self.index.vocab_size,
+            self.index.layout.head_terms,
         )
 
     def search_token_batch(
-        self, term_ids: np.ndarray, term_weights: np.ndarray, top_k: int
+        self, texts: Sequence[str], top_k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        qt = jax.device_put(term_ids, self._qshard)
-        qwts = jax.device_put(term_weights, self._qshard)
-        bs = self._buckets
-        s, i = sharded_hybrid_score_topk(
-            qt,
-            qwts,
-            tuple(b.head for b in bs),
-            tuple(b.term_ids for b in bs),
-            tuple(b.weights for b in bs),
-            tuple(b.valid for b in bs),
-            tuple(b.doc_map for b in bs),
-            mesh=self.mesh,
-            vocab_rows=self._vocab_rows,
-            k=top_k,
-            bucket_meta=tuple((b.has_tail, b.chunk_rows) for b in bs),
+        enc = self.encode_queries(texts)
+        layout = self.index.layout
+        cand = tail_candidates_flat(
+            layout.post_ptr,
+            layout.post_rows,
+            layout.post_weights,
+            enc.tail_ids,
+            enc.tail_counts,
+            enc.tail_ptr,
+            enc.head_ids.shape[0],
+            num_rows=layout.num_rows,
+            pad_to_menu=True,
         )
-        return np.asarray(s), np.asarray(i)
+        head_s, head_r, cand_head = sharded_search(
+            jax.device_put(enc.head_ids, self._qshard),
+            jax.device_put(enc.head_weights, self._qshard),
+            jax.device_put(cand.rows, self._repl),
+            jax.device_put(cand.cols, self._repl),
+            self._head,
+            self._scales,
+            self._valid,
+            mesh=self.mesh,
+            head_terms=layout.head_terms,
+            k=top_k,
+        )
+        return merge_host(
+            np.asarray(head_s),
+            np.asarray(head_r),
+            cand,
+            np.asarray(cand_head),
+            layout.num_rows,
+            top_k,
+        )
 
     def search(
         self, queries: Mapping[str, str], top_k: int = 10
@@ -218,11 +237,13 @@ class ShardedSparseSearchEngine:
             (qid, (text or "").strip()) for qid, text in queries.items()
         ]
         doc_ids = self.index.doc_ids
+        n_docs = len(doc_ids)
         max_b = self.batch_sizes[-1]
         for i in range(0, len(pending), max_b):
             chunk = pending[i : i + max_b]
-            tids, wts = self.encode_queries([t for _, t in chunk])
-            scores, ids = self.search_token_batch(tids, wts, top_k)
+            scores, ids = self.search_token_batch(
+                [t for _, t in chunk], top_k
+            )
             for row, (qid, text) in enumerate(chunk):
                 if not text:
                     results[qid] = {}
@@ -230,7 +251,7 @@ class ShardedSparseSearchEngine:
                 results[qid] = {
                     doc_ids[int(d)]: float(s)
                     for d, s in zip(ids[row], scores[row])
-                    if s > 0
+                    if s > 0 and 0 <= int(d) < n_docs
                 }
         return results
 

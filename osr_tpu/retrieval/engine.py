@@ -5,15 +5,16 @@ rag_system/core/retrieval.py, rag_system/core/retriever_registry.py,
 rag_system/pipeline/evaluate_rag_pipeline.py — see SURVEY.md §0.3); this is
 the one implementation everything here uses.
 
-Host/device split:
+Host/device split (see osr_tpu/index/layout.py for the why):
 
-- host: tokenization, query batching/padding, result-dict assembly, the
-  query cache (reference retrieval.py:287-289 semantics: capped insert-only
-  cache keyed on (query text, top_k)).
-- device: the whole batched search step — query scatter, dense-head MXU
-  matmul, sparse-tail gathers, top-k — as ONE jit dispatch (see
-  osr_tpu/ops/bm25.py), with batches pipelined asynchronously so fixed
-  per-dispatch host/device latency overlaps across batches.
+- host: tokenization, query batching/padding, TAIL scoring (term-major
+  postings walk over the query's rare terms — osr_tpu/index/postings.py),
+  result-dict assembly, the query cache (reference retrieval.py:287-289
+  semantics: capped insert-only cache keyed on (query text, top_k)).
+- device: the dense-head MXU matmul, exact block-pruned top-k and the
+  candidate merge — ONE jit dispatch (osr_tpu/ops/bm25.py:fused_search),
+  with batches pipelined asynchronously so host tail work overlaps device
+  head work across batches.
 
 Batches are padded to a small fixed menu of sizes so the jitted step
 compiles once per batch-size and is reused for the lifetime of the engine.
@@ -30,12 +31,24 @@ import jax.numpy as jnp
 import numpy as np
 
 from osr_tpu.index.builder import SparseIndex
+from osr_tpu.index.postings import (
+    FlatCandidates,
+    cand_head_scores_host,
+    dense_tail_scores,
+    merge_host,
+    tail_candidates_flat,
+)
 from osr_tpu.index.tokenizer import Tokenizer
-from osr_tpu.retrieval.encoding import encode_query_batch
+from osr_tpu.retrieval.encoding import (
+    EncodedBatch,
+    QueryEncoder,
+    encode_query_batch,
+)
 from osr_tpu.ops.bm25 import (
-    chunk_rows_for_width,
-    hybrid_score_topk,
-    hybrid_scores,
+    dense_head_scores,
+    fused_search_packed,
+    pack_query_batch,
+    unpack_topk,
 )
 
 logger = logging.getLogger(__name__)
@@ -43,37 +56,20 @@ logger = logging.getLogger(__name__)
 DEFAULT_BATCH_SIZES = (8, 32, 128)
 
 
-
 class _DeviceIndex:
-    """Device-resident arrays of a :class:`HybridLayout`."""
+    """Device-resident arrays of a :class:`HybridLayout` (head side only —
+    postings stay host-resident by design)."""
 
-    def __init__(self, layout, device, head_dtype="f32"):
+    def __init__(self, layout, device):
         put = lambda a: jax.device_put(a, device)
-        head = layout.head_weights
-        if head_dtype == "bf16":
-            import ml_dtypes
-
-            # Host-side cast: never stages the f32 head on another device.
-            head = head.astype(ml_dtypes.bfloat16)
-        elif head_dtype != "f32":
-            raise ValueError(f"Unknown head_dtype: {head_dtype}")
-        self.head_weights = put(head)
+        self.head = put(layout.head)
+        self.head_scales = (
+            put(layout.head_scales) if layout.head_scales is not None else None
+        )
         self.valid = put(layout.valid)
-        self.doc_map = put(layout.doc_map)
-        tail_ids: List[jax.Array] = []
-        tail_w: List[jax.Array] = []
-        meta: List[Tuple[int, int]] = []
-        for b in layout.buckets:
-            if b.term_ids is None:
-                continue
-            tail_ids.append(put(b.term_ids))
-            tail_w.append(put(b.weights))
-            meta.append(
-                (b.row_offset, chunk_rows_for_width(b.width, b.num_rows))
-            )
-        self.tail_term_ids = tuple(tail_ids)
-        self.tail_weights = tuple(tail_w)
-        self.tail_meta = tuple(meta)
+        # Cached so the host-merge path never re-uploads an empty buffer
+        # (every transfer through a remote-TPU tunnel has a fixed cost).
+        self.empty_i32 = put(np.zeros(0, dtype=np.int32))
 
 
 class SparseSearchEngine:
@@ -86,17 +82,28 @@ class SparseSearchEngine:
         batch_sizes: Sequence[int] = DEFAULT_BATCH_SIZES,
         cache_queries: bool = True,
         query_cache_limit: int = 1000,
-        topk_mode: str = "exact",  # 'fast' halves top-k sort cost, see ops/topk.py
-        head_dtype: str = "f32",  # 'bf16' halves head HBM; ranking-preserving
+        topk_mode: str = "exact",  # 'approx' uses lax.approx_max_k (r=0.95)
+        merge_backend: str = "auto",  # 'host' | 'device' | 'auto'
     ):
         self.index = index
         self.device = device if device is not None else jax.devices()[0]
         self.batch_sizes = tuple(sorted(batch_sizes))
         self.topk_mode = topk_mode
-        self.head_dtype = head_dtype
         self.tokenizer = Tokenizer(index.vocabulary)
-        self._vocab_rows = index.vocab_size + 1  # last row absorbs padding
-        self._dev = _DeviceIndex(index.layout, self.device, head_dtype)
+        self.encoder = QueryEncoder(self.tokenizer)
+        if merge_backend == "auto":
+            # Host merge needs the C++ runtime to be fast; without it the
+            # device-side flat gather is the better (and tested) fallback.
+            try:
+                import osr_tpu.native  # noqa: F401
+
+                merge_backend = "host"
+            except ImportError:
+                merge_backend = "device"
+        if merge_backend not in ("host", "device"):
+            raise ValueError(f"Unknown merge_backend: {merge_backend}")
+        self.merge_backend = merge_backend
+        self._dev = _DeviceIndex(index.layout, self.device)
         # Query cache: (query_text, top_k) -> (ids, scores), insert-only with
         # a cap, matching reference retrieval.py:287-289.
         self._query_cache: Optional[
@@ -109,38 +116,97 @@ class SparseSearchEngine:
     # Device path
     # ------------------------------------------------------------------
 
-    def search_token_batch_device(
-        self, term_ids: jax.Array, term_weights: jax.Array, top_k: int
-    ) -> Tuple[jax.Array, jax.Array]:
-        """Async: returns device arrays (scores (B, k), global doc ids)."""
+    def _tail_candidates(
+        self, enc: EncodedBatch, batch_size: int
+    ) -> FlatCandidates:
+        layout = self.index.layout
+        return tail_candidates_flat(
+            layout.post_ptr,
+            layout.post_rows,
+            layout.post_weights,
+            enc.tail_ids,
+            enc.tail_counts,
+            enc.tail_ptr,
+            batch_size,
+            num_rows=layout.num_rows,
+            pad_to_menu=self.merge_backend == "device",
+        )
+
+    def search_encoded_device(self, enc: EncodedBatch, top_k: int):
+        """Async: dispatch the device step AND run every host stage that
+        does not depend on device results (tail candidates + candidate head
+        scores) so only fetch+merge remain in :meth:`finish_batch` — the
+        single-core host computes while the device/tunnel works.
+
+        Returns an opaque in-flight handle for :meth:`finish_batch`."""
         d = self._dev
-        return hybrid_score_topk(
-            term_ids,
-            term_weights,
-            d.head_weights,
-            d.tail_term_ids,
-            d.tail_weights,
+        cand = self._tail_candidates(enc, enc.head_ids.shape[0])
+        if self.merge_backend == "device":
+            flat_rows = jnp.asarray(cand.rows)
+            flat_cols = jnp.asarray(cand.cols)
+        else:
+            # Host merge: the candidates' head scores are computed from the
+            # host-resident head matrix; the device moves ONLY one packed
+            # query array up and one packed top-k array down (a remote-TPU
+            # tunnel charges a large fixed cost per transfer op).
+            flat_rows = flat_cols = d.empty_i32
+        out = fused_search_packed(
+            jnp.asarray(pack_query_batch(enc.head_ids, enc.head_weights)),
+            flat_rows,
+            flat_cols,
+            d.head,
+            d.head_scales,
             d.valid,
-            d.doc_map,
-            vocab_rows=self._vocab_rows,
+            head_terms=self.index.layout.head_terms,
             k=top_k,
-            tail_meta=d.tail_meta,
             topk_mode=self.topk_mode,
+        )
+        layout = self.index.layout
+        if self.merge_backend == "device":
+            cand_head = None  # comes back from the device with the top-k
+        else:
+            cand_head = cand_head_scores_host(
+                layout.head,
+                layout.head_dtype,
+                layout.head_scales,
+                cand,
+                enc.head_flat_ids,
+                enc.head_flat_counts,
+                enc.head_ptr,
+            )
+        return cand, out, cand_head
+
+    def finish_batch(
+        self, in_flight, top_k: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Collect device results and run the exact host merge."""
+        cand, (packed, cand_head_dev), cand_head = in_flight
+        if cand_head is None:
+            cand_head = np.asarray(cand_head_dev)
+        head_s, head_r = unpack_topk(np.asarray(packed))
+        return merge_host(
+            head_s,
+            head_r,
+            cand,
+            cand_head,
+            self.index.layout.num_rows,
+            top_k,
         )
 
     def search_token_batch(
-        self, term_ids: np.ndarray, term_weights: np.ndarray, top_k: int
+        self, texts: Sequence[str], top_k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        s, i = self.search_token_batch_device(
-            jnp.asarray(term_ids), jnp.asarray(term_weights), top_k
-        )
-        return np.asarray(s), np.asarray(i)
+        """Encode + search one batch of query strings synchronously."""
+        enc = self.encode_queries(texts)
+        in_flight = self.search_encoded_device(enc, top_k)
+        return self.finish_batch(in_flight, top_k)
 
     def score_all(self, texts: Sequence[str]) -> np.ndarray:
         """Dense (len(texts), num_docs) score matrix — the test/oracle API.
 
         Chunks by the engine's largest batch size, so any number of texts
-        is accepted.
+        is accepted. Head scores come from the device (in the layout's head
+        dtype); tail scores are added host-side exactly.
         """
         d = self._dev
         layout = self.index.layout
@@ -148,20 +214,25 @@ class SparseSearchEngine:
         max_b = self.batch_sizes[-1]
         for i in range(0, len(texts), max_b):
             chunk = texts[i : i + max_b]
-            tids, wts = self.encode_queries(chunk)
-            scores = hybrid_scores(
-                jnp.asarray(tids),
-                jnp.asarray(wts),
-                d.head_weights,
-                d.tail_term_ids,
-                d.tail_weights,
-                vocab_rows=self._vocab_rows,
-                tail_meta=d.tail_meta,
+            enc = self.encode_queries(chunk)
+            hs = dense_head_scores(
+                jnp.asarray(enc.head_ids),
+                jnp.asarray(enc.head_weights),
+                d.head,
+                d.head_scales,
+                head_terms=layout.head_terms,
             )  # (R, B)
-            scores = np.asarray(scores).T  # (B, R)
-            out[i : i + len(chunk), layout.doc_map[layout.valid]] = scores[
-                : len(chunk), layout.valid
-            ]
+            scores = np.asarray(hs).T[: len(chunk), : self.index.num_docs]
+            tail = dense_tail_scores(
+                layout.post_ptr,
+                layout.post_rows,
+                layout.post_weights,
+                enc.tail_ids,
+                enc.tail_counts,
+                enc.tail_ptr,
+                layout.num_rows,
+            )[:, : self.index.num_docs]
+            out[i : i + len(chunk)] = scores + tail
         return out
 
     # ------------------------------------------------------------------
@@ -174,19 +245,17 @@ class SparseSearchEngine:
                 return b
         return self.batch_sizes[-1]
 
-    def encode_queries(
-        self, texts: Sequence[str]
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Tokenize + pad a list of query strings to (B, Q) arrays.
+    def encode_queries(self, texts: Sequence[str]) -> EncodedBatch:
+        """Tokenize + pad a list of query strings (head/tail split).
 
         ``len(texts)`` must not exceed the engine's largest batch size
         (raises ValueError otherwise); search() chunks for you.
         """
         return encode_query_batch(
-            self.tokenizer,
+            self.encoder,
             texts,
             self._pick_batch_size(len(texts)),
-            self.index.vocab_size,
+            self.index.layout.head_terms,
         )
 
     def search(
@@ -198,7 +267,8 @@ class SparseSearchEngine:
         (reference retriever_registry.py:228): empty queries and queries with
         no in-vocabulary terms return {}; results keep only scores > 0,
         sorted descending. Batches are dispatched asynchronously and results
-        collected afterwards, so host work and device work overlap.
+        collected afterwards, so host work (tokenize + tail postings) and
+        device work overlap.
         """
         results: Dict[str, Dict[str, float]] = {}
         pending: List[Tuple[str, str]] = []
@@ -217,20 +287,19 @@ class SparseSearchEngine:
             pending.append((qid, text))
 
         max_b = self.batch_sizes[-1]
-        in_flight = []  # (chunk, device scores, device ids)
+        in_flight = []  # (chunk, handle)
         done = []
 
         def collect(entry):
-            chunk, s_dev, i_dev = entry
-            done.append((chunk, np.asarray(s_dev), np.asarray(i_dev)))
+            chunk, handle = entry
+            done.append((chunk, *self.finish_batch(handle, top_k)))
 
         for i in range(0, len(pending), max_b):
             chunk = pending[i : i + max_b]
-            tids, wts = self.encode_queries([t for _, t in chunk])
-            s_dev, i_dev = self.search_token_batch_device(
-                jnp.asarray(tids), jnp.asarray(wts), top_k
+            enc = self.encode_queries([t for _, t in chunk])
+            in_flight.append(
+                (chunk, self.search_encoded_device(enc, top_k))
             )
-            in_flight.append((chunk, s_dev, i_dev))
             # Bounded pipeline: keep a few batches in flight so host and
             # device overlap without unbounded queueing.
             if len(in_flight) > 4:
@@ -255,8 +324,11 @@ class SparseSearchEngine:
         self, ids: np.ndarray, scores: np.ndarray
     ) -> Dict[str, float]:
         doc_ids = self.index.doc_ids
+        n = len(doc_ids)
         return {
-            doc_ids[int(i)]: float(s) for i, s in zip(ids, scores) if s > 0
+            doc_ids[int(i)]: float(s)
+            for i, s in zip(ids, scores)
+            if s > 0 and 0 <= int(i) < n
         }
 
     def clear_cache(self) -> None:
@@ -267,6 +339,7 @@ class SparseSearchEngine:
     def stats(self) -> Dict[str, object]:
         s = self.index.stats()
         s["device"] = str(self.device)
+        s["topk_mode"] = self.topk_mode
         if self._query_cache is not None:
             s["query_cache_size"] = len(self._query_cache)
         return s

@@ -28,24 +28,33 @@ def test_packed_roundtrip_identical(corpus, tmp_path):
     loaded = load_index(tmp_path / "idx.npz", SparseIndexBuilder(method="bm25"))
     assert loaded.vocabulary == index.vocabulary
     assert loaded.doc_ids == index.doc_ids
+    np.testing.assert_array_equal(loaded.layout.head, index.layout.head)
     np.testing.assert_array_equal(
-        loaded.layout.head_weights, index.layout.head_weights
+        loaded.layout.post_rows, index.layout.post_rows
+    )
+    np.testing.assert_array_equal(
+        loaded.layout.post_weights, index.layout.post_weights
     )
     assert _results(loaded, queries) == _results(index, queries)
 
 
 def test_param_change_triggers_repack(corpus, tmp_path):
     queries = zipf_queries(10, 400, 5)
-    builder = SparseIndexBuilder(method="bm25", k1=1.2, keep_raw_rows=True)
+    builder = SparseIndexBuilder(
+        method="bm25", k1=1.2, keep_raw_rows=True, head_dtype="f32"
+    )
     index = builder.build(corpus)
     save_index(index, tmp_path / "idx.npz", builder)
 
     # Different k1: weights must be recomputed from the raw rows, and scores
     # must match a fresh build with the new parameters.
     loaded = load_index(
-        tmp_path / "idx.npz", SparseIndexBuilder(method="bm25", k1=2.0)
+        tmp_path / "idx.npz",
+        SparseIndexBuilder(method="bm25", k1=2.0, head_dtype="f32"),
     )
-    fresh = SparseIndexBuilder(method="bm25", k1=2.0).build(corpus)
+    fresh = SparseIndexBuilder(
+        method="bm25", k1=2.0, head_dtype="f32"
+    ).build(corpus)
     got = _results(loaded, queries)
     want = _results(fresh, queries)
     for qid in queries:

@@ -46,16 +46,14 @@ def test_native_counting_equals_python():
     got = SparseIndexBuilder._count_corpus_native(texts)
     want = SparseIndexBuilder._count_corpus_python(texts)
     assert got is not None
-    g_vocab, g_df, g_dl, g_tids, g_tfs = got
-    w_vocab, w_df, w_dl, w_tids, w_tfs = want
+    g_vocab, g_df, g_dl, g_indptr, g_tids, g_tfs = got
+    w_vocab, w_df, w_dl, w_indptr, w_tids, w_tfs = want
     assert g_vocab == w_vocab
     np.testing.assert_array_equal(g_df, w_df)
     np.testing.assert_array_equal(g_dl, w_dl)
-    assert len(g_tids) == len(w_tids)
-    for a, b in zip(g_tids, w_tids):
-        np.testing.assert_array_equal(a, b)
-    for a, b in zip(g_tfs, w_tfs):
-        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(g_indptr, w_indptr)
+    np.testing.assert_array_equal(g_tids, w_tids)
+    np.testing.assert_array_equal(g_tfs, w_tfs)
 
 
 def test_native_path_falls_back_on_unicode():
@@ -67,7 +65,9 @@ def test_index_built_via_native_matches_oracle():
     corpus = zipf_corpus(num_docs=100, vocab_size=300, avg_len=30)
     queries = zipf_queries(num_queries=8, vocab_size=300)
     oracle = DenseOracleScorer(corpus, method="bm25")
-    engine = SparseSearchEngine(SparseIndexBuilder().build(corpus))
+    engine = SparseSearchEngine(
+        SparseIndexBuilder(head_dtype="f32").build(corpus)
+    )
     got = engine.score_all(list(queries.values()))
     for i, text in enumerate(queries.values()):
         np.testing.assert_allclose(

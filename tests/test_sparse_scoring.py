@@ -2,7 +2,9 @@
 
 Pattern follows the reference test strategy (SURVEY.md §4): every optimized
 kernel is validated against a naive ground-truth implementation with
-absolute + relative tolerances and ranking-overlap checks.
+absolute + relative tolerances and ranking-overlap checks. Exact score
+parity uses head_dtype='f32' (HIGHEST-precision matmul); the quantized
+int8/bf16 heads are validated by ranking overlap.
 """
 
 import numpy as np
@@ -35,12 +37,12 @@ def full_scores(engine, texts):
 @pytest.mark.parametrize("method", ["bm25", "tfidf"])
 @pytest.mark.parametrize("head_terms", [None, 0, 64])
 def test_scores_match_oracle(corpus, queries, method, head_terms):
-    """Score parity for the pure-dense (head covers all), pure-sparse
-    (head_terms=0) and hybrid (head_terms=64) layouts."""
+    """Score parity for the mostly-postings (head_terms=0 floors at the
+    non-positive-IDF prefix), hybrid (64) and default layouts."""
     oracle = DenseOracleScorer(corpus, method=method)
-    index = SparseIndexBuilder(method=method, head_terms=head_terms).build(
-        corpus
-    )
+    index = SparseIndexBuilder(
+        method=method, head_terms=head_terms, head_dtype="f32"
+    ).build(corpus)
     engine = SparseSearchEngine(index)
 
     texts = list(queries.values())
@@ -50,9 +52,21 @@ def test_scores_match_oracle(corpus, queries, method, head_terms):
         np.testing.assert_allclose(got[i], want, atol=ATOL, rtol=RTOL)
 
 
+def test_head_floor_covers_nonpositive_idf(corpus):
+    """head_terms=0 must still pull every non-positive-IDF term into the
+    head — tail postings weights are strictly positive (exactness of the
+    head-topk/candidate merge relies on it)."""
+    index = SparseIndexBuilder(
+        method="bm25", head_terms=0, head_dtype="f32"
+    ).build(corpus)
+    f = index.layout.head_terms
+    assert f == int(np.searchsorted(index.idf, 0.0, side="right"))
+    assert (index.layout.post_weights > 0).all()
+
+
 def test_search_ranking_matches_oracle(corpus, queries):
     oracle = DenseOracleScorer(corpus, method="bm25")
-    index = SparseIndexBuilder(method="bm25").build(corpus)
+    index = SparseIndexBuilder(method="bm25", head_dtype="f32").build(corpus)
     engine = SparseSearchEngine(index)
     results = engine.search(queries, top_k=10)
 
@@ -68,6 +82,29 @@ def test_search_ranking_matches_oracle(corpus, queries):
         assert set(got.keys()) == set(want.keys()), qid
         for doc_id, s in want.items():
             assert got[doc_id] == pytest.approx(s, abs=ATOL, rel=1e-3)
+
+
+@pytest.mark.parametrize("head_terms", [0, 64, None])
+def test_fused_topk_equals_dense_argsort(corpus, queries, head_terms):
+    """The fused search step (block top-k + candidate merge) must return
+    exactly the top-k of the dense score matrix, across layout splits."""
+    index = SparseIndexBuilder(
+        method="bm25", head_terms=head_terms, head_dtype="f32"
+    ).build(corpus)
+    engine = SparseSearchEngine(index)
+    texts = list(queries.values())
+    dense = engine.score_all(texts)
+    k = 10
+    scores, rows = engine.search_token_batch(texts, k)
+    for i in range(len(texts)):
+        want = np.sort(dense[i])[::-1][:k]
+        np.testing.assert_allclose(
+            np.sort(scores[i])[::-1], want, atol=ATOL, rtol=1e-3
+        )
+        # membership (modulo exact ties at the boundary)
+        got_set = set(rows[i][scores[i] > want[-1] + ATOL].tolist())
+        want_set = set(np.argsort(dense[i])[::-1][:k].tolist())
+        assert got_set <= want_set
 
 
 def test_search_api_edge_cases(corpus):
@@ -96,7 +133,7 @@ def test_query_cache_hit(corpus):
 
 def test_duplicate_query_terms_accumulate(corpus):
     oracle = DenseOracleScorer(corpus, method="bm25")
-    index = SparseIndexBuilder().build(corpus)
+    index = SparseIndexBuilder(head_dtype="f32").build(corpus)
     engine = SparseSearchEngine(index)
     got = full_scores(engine, ["term1 term1 term1 term5"])
     want = oracle.score("term1 term1 term1 term5").astype(np.float32)
@@ -110,28 +147,57 @@ def test_empty_and_tiny_docs():
         "d2": {"text": "alpha beta gamma " * 50},
     }
     oracle = DenseOracleScorer(corpus, method="bm25")
-    index = SparseIndexBuilder().build(corpus)
+    index = SparseIndexBuilder(head_dtype="f32").build(corpus)
     engine = SparseSearchEngine(index)
     got = full_scores(engine, ["alpha beta"])
     want = oracle.score("alpha beta").astype(np.float32)
     np.testing.assert_allclose(got[0], want, atol=ATOL, rtol=RTOL)
 
 
-def test_bf16_head_preserves_ranking(corpus, queries):
-    """head_dtype='bf16' halves head memory; rankings must match f32."""
-    index = SparseIndexBuilder(method="bm25").build(corpus)
-    f32 = SparseSearchEngine(index, head_dtype="f32")
-    bf16 = SparseSearchEngine(index, head_dtype="bf16")
-    r32 = f32.search(queries, top_k=10)
-    r16 = bf16.search(queries, top_k=10)
+def _rank_overlap(results_a, results_b, queries):
+    """Mean top-k doc-set overlap between two engines' search results."""
+    overlaps = []
     for qid in queries:
-        ids32, ids16 = list(r32[qid]), list(r16[qid])
-        if not ids32 and not ids16:
-            continue  # all scores <= 0: both correctly empty
-        overlap = len(set(ids32) & set(ids16)) / max(len(ids32), 1)
-        assert overlap >= 0.9, (qid, overlap)
-        for doc in set(ids32) & set(ids16):
-            assert r16[qid][doc] == pytest.approx(r32[qid][doc], rel=2e-2)
+        a, b = list(results_a[qid]), list(results_b[qid])
+        if not a and not b:
+            continue
+        overlaps.append(len(set(a) & set(b)) / max(len(a), len(b), 1))
+    return float(np.mean(overlaps)) if overlaps else 1.0
+
+
+@pytest.mark.parametrize("quant_dtype", ["bf16", "int8"])
+def test_quantized_head_preserves_ranking(corpus, queries, quant_dtype):
+    """Quantized heads (the memory-parity modes; int8 is the default) must
+    preserve rankings: high top-10 overlap with the exact f32 head, and
+    close scores on the intersection."""
+    f32 = SparseSearchEngine(
+        SparseIndexBuilder(method="bm25", head_dtype="f32").build(corpus)
+    )
+    q = SparseSearchEngine(
+        SparseIndexBuilder(method="bm25", head_dtype=quant_dtype).build(corpus)
+    )
+    r32 = f32.search(queries, top_k=10)
+    rq = q.search(queries, top_k=10)
+    assert _rank_overlap(r32, rq, queries) >= 0.95
+    # int8 quantization error is ABSOLUTE per-term (column max / 254), so
+    # tiny scores can differ wildly in relative terms; accept either bound.
+    rel = 2e-2 if quant_dtype == "bf16" else 8e-2
+    abs_tol = 1e-3 if quant_dtype == "bf16" else 6e-2
+    for qid in queries:
+        for doc in set(r32[qid]) & set(rq[qid]):
+            assert rq[qid][doc] == pytest.approx(
+                r32[qid][doc], rel=rel, abs=abs_tol
+            )
+
+
+def test_approx_topk_mode(corpus, queries):
+    """topk_mode='approx' (lax.approx_max_k) keeps high overlap with exact."""
+    index = SparseIndexBuilder(method="bm25", head_dtype="f32").build(corpus)
+    exact = SparseSearchEngine(index, topk_mode="exact")
+    approx = SparseSearchEngine(index, topk_mode="approx")
+    re_ = exact.search(queries, top_k=10)
+    ra = approx.search(queries, top_k=10)
+    assert _rank_overlap(re_, ra, queries) >= 0.9
 
 
 def test_encode_queries_overflow_raises(corpus):
