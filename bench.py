@@ -7,12 +7,18 @@ Prints ONE JSON line:
 
 Baseline: the reference's measured end-to-end BM25 throughput on FiQA
 (57,638 docs, 6,648 queries, top_k=50) = 314.7 QPS on its Numba CPU pipeline
-(BASELINE.md; reference results/fiqa_bm25_custom_summary.json). The corpus
-here is synthetic but matched to FiQA's scale: same doc count, comparable
-length distribution and vocabulary size, identical tokenizer/scoring
-semantics — so the measured work per query (CSR nnz touched, top-k width)
-matches the reference workload. Real-data quality parity is enforced
-separately by score-parity tests against the exact-formula oracle.
+(BASELINE.md; reference results/fiqa_bm25_custom_summary.json). Two anchors
+are reported: that committed Apple-M1 number, and the reference's OWN code
+executed on THIS machine against the identical corpus
+(``ref_cpu_qps_same_machine`` — its NumPy fallback scoring path, numba not
+installed here). The corpus is synthetic but matched to FiQA's scale: same
+doc count, comparable length distribution and vocabulary size, identical
+tokenizer/scoring semantics. Quality parity is enforced separately by
+score-parity tests against the exact-formula oracle and in-process
+ranking-parity tests against the reference engine
+(tests/test_reference_parity.py).
+
+The primary number uses EXACT top-k (round 1 used an approximate mode).
 """
 
 import json
@@ -21,32 +27,87 @@ import time
 
 import numpy as np
 
+BASELINE_QPS = 314.7  # BASELINE.md: reference Numba pipeline on FiQA (M1)
+NUM_DOCS = 57_638
+NUM_QUERIES = 6_648
+VOCAB = 100_000
+TOP_K = 50
 
-def make_fiqa_scale_corpus(
-    num_docs=57_638, vocab_size=100_000, avg_len=130, seed=42
-):
-    """Zipf corpus at FiQA scale (one sampler: osr_tpu.testing)."""
+
+def make_corpus():
     from osr_tpu.testing import SyntheticDataGenerator
 
-    return SyntheticDataGenerator(seed=seed).zipf_corpus(
-        num_docs, vocab_size, avg_len=avg_len, word_prefix="t", min_len=5
+    return SyntheticDataGenerator(seed=42).zipf_corpus(
+        NUM_DOCS, VOCAB, avg_len=130, word_prefix="t", min_len=5
     )
 
 
-def make_queries(num_queries=6_648, vocab_size=100_000, avg_terms=11, seed=7):
+def make_queries():
     from osr_tpu.testing import SyntheticDataGenerator
 
-    return SyntheticDataGenerator(seed=seed - 1).queries(
-        num_queries, vocab_size, avg_terms=avg_terms, word_prefix="t",
-        min_terms=2,
+    return SyntheticDataGenerator(seed=6).queries(
+        NUM_QUERIES, VOCAB, avg_terms=11, word_prefix="t", min_terms=2
     )
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def measure_reference_cpu(corpus, queries, n_queries=192, budget_s=150.0):
+    """Run the reference's OWN engine (NumPy fallback path) on this machine:
+    the same-machine CPU anchor (VERDICT round-1 item 3)."""
+    import importlib.util
+    import os
+    import tempfile
+    from pathlib import Path
+
+    path = Path("/root/reference/rag_system/pipeline/evaluate_rag_pipeline.py")
+    if not path.exists():
+        return None
+    try:
+        spec = importlib.util.spec_from_file_location("ref_pipeline", path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[spec.name] = mod
+        spec.loader.exec_module(mod)
+        hardware = {"avx2": False, "cores": 1, "threads": 1, "memory_gb": 8}
+        cwd = os.getcwd()
+        with tempfile.TemporaryDirectory() as td:
+            os.chdir(td)  # the reference writes .rag_cache into CWD
+            try:
+                t0 = time.perf_counter()
+                r = mod.OptimizedRetriever(
+                    {"type": "bm25", "params": {"k1": 1.2, "b": 0.75}},
+                    hardware,
+                )
+                r.use_cache = False
+                r.query_cache = None
+                r.build_index_from_corpus(corpus)
+                ref_build = time.perf_counter() - t0
+                sub = dict(list(queries.items())[:n_queries])
+                # Warm one tiny batch, then time.
+                r.search(dict(list(sub.items())[:8]), top_k=TOP_K)
+                t0 = time.perf_counter()
+                done = 0
+                for i in range(0, len(sub), 64):
+                    chunk = dict(list(sub.items())[i : i + 64])
+                    r.search(chunk, top_k=TOP_K)
+                    done += len(chunk)
+                    if time.perf_counter() - t0 > budget_s:
+                        break
+                ref_qps = done / (time.perf_counter() - t0)
+            finally:
+                os.chdir(cwd)
+        return {"qps": ref_qps, "build_s": ref_build, "n_queries": done}
+    except Exception as e:  # pragma: no cover
+        log(f"reference CPU anchor failed: {e}")
+        return None
 
 
 def main():
     import jax
 
-    # Persistent compilation cache: cold-start compiles (~2 min at B=512
-    # through the remote-compile tunnel) happen once per machine.
+    # Persistent compilation cache: cold-start compiles happen once/machine.
     jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -54,60 +115,76 @@ def main():
     from osr_tpu.retrieval.engine import SparseSearchEngine
 
     device = jax.devices()[0]
-    print(f"# device: {device}", file=sys.stderr)
+    log(f"device: {device}")
 
     t0 = time.perf_counter()
-    corpus = make_fiqa_scale_corpus()
+    corpus = make_corpus()
     queries = make_queries()
-    gen_time = time.perf_counter() - t0
-    print(f"# corpus+queries generated in {gen_time:.1f}s", file=sys.stderr)
+    log(f"corpus+queries generated in {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
     index = SparseIndexBuilder(method="bm25", k1=1.2, b=0.75).build(corpus)
     build_time = time.perf_counter() - t0
-    print(
-        f"# index built in {build_time:.1f}s: {index.stats()}",
-        file=sys.stderr,
-    )
+    stats = index.stats()
+    log(f"index built in {build_time:.1f}s: {stats}")
 
+    # One batch covering the whole query set amortizes the remote-tunnel's
+    # fixed per-transfer cost (see DEVELOPMENT.md perf analysis).
+    big_b = ((NUM_QUERIES + 7) // 8) * 8
     engine = SparseSearchEngine(
-        index, device=device, batch_sizes=(1024,), cache_queries=False, topk_mode="fast"
+        index,
+        device=device,
+        batch_sizes=(big_b,),
+        cache_queries=False,
+        topk_mode="exact",
     )
+    log(f"merge_backend={engine.merge_backend}")
 
-    top_k = 50
-    qitems = list(queries.items())
-
-    # Warmup / compile: two batches (compile + one steady-state run).
-    warm = dict(qitems[:2048])
     t0 = time.perf_counter()
-    engine.search(warm, top_k=top_k)
-    warmup_s = time.perf_counter() - t0
-    print(f"# warmup (compile) {warmup_s:.1f}s", file=sys.stderr)
+    results = engine.search(queries, top_k=TOP_K)
+    log(f"warmup (compile) {time.perf_counter() - t0:.1f}s")
 
-    # Timed runs over all queries: best of 3 passes. The TPU tunnel in this
-    # environment has high run-to-run variance (same code has measured
-    # 360-930 QPS); best-of reflects the engine, not the tunnel's mood.
     qps_passes = []
-    results = {}
-    # A cold remote-compile can take minutes; shed timed passes to keep the
-    # whole run inside conservative harness timeouts.
-    n_passes = 3 if warmup_s < 240 else 2
-    for _ in range(n_passes):
+    for _ in range(3):
         t0 = time.perf_counter()
-        results = engine.search(queries, top_k=top_k)
-        elapsed = time.perf_counter() - t0
-        qps_passes.append(len(queries) / elapsed)
-        print(f"# pass qps: {qps_passes[-1]:.1f}", file=sys.stderr)
+        results = engine.search(queries, top_k=TOP_K)
+        qps_passes.append(NUM_QUERIES / (time.perf_counter() - t0))
+        log(f"pass qps (exact): {qps_passes[-1]:.1f}")
     qps = max(qps_passes)
 
-    # p50 single-batch latency at the engine's native batch size.
-    lat = []
-    for i in range(0, 5 * 1024, 1024):
-        batch = dict(qitems[i : i + 1024])
+    # Approximate-top-k secondary leg (lax.approx_max_k, recall 0.95).
+    approx = SparseSearchEngine(
+        index, device=device, batch_sizes=(big_b,), cache_queries=False,
+        topk_mode="approx",
+    )
+    approx.search(queries, top_k=TOP_K)  # compile
+    qps_approx = 0.0
+    for _ in range(2):
         t0 = time.perf_counter()
-        engine.search(batch, top_k=top_k)
-        lat.append((time.perf_counter() - t0) / len(batch) * 1000)
-    p50_ms = float(np.percentile(lat, 50))
+        approx.search(queries, top_k=TOP_K)
+        qps_approx = max(qps_approx, NUM_QUERIES / (time.perf_counter() - t0))
+    log(f"approx qps: {qps_approx:.1f}")
+
+    # TRUE single-stream latency: one query per dispatch (B=1 padded to 8).
+    lat_engine = SparseSearchEngine(
+        index, device=device, batch_sizes=(8,), cache_queries=False,
+        topk_mode="exact",
+    )
+    qitems = list(queries.items())
+    lat_engine.search(dict(qitems[:1]), top_k=TOP_K)  # compile
+    lats = []
+    for i in range(40):
+        t0 = time.perf_counter()
+        lat_engine.search(dict(qitems[i : i + 1]), top_k=TOP_K)
+        lats.append((time.perf_counter() - t0) * 1000)
+    p50_b1 = float(np.percentile(lats, 50))
+    p95_b1 = float(np.percentile(lats, 95))
+    log(f"B=1 latency p50={p50_b1:.1f}ms p95={p95_b1:.1f}ms")
+
+    # Same-machine reference CPU anchor.
+    ref = measure_reference_cpu(corpus, queries)
+    if ref:
+        log(f"reference on this machine: {ref}")
 
     # Secondary: INT8 dense retrieval at the same corpus size (where the
     # reference's int8 path measured 0.19x vs fp32; BASELINE.md).
@@ -119,32 +196,39 @@ def main():
         [str(i) for i in range(index.num_docs)], emb, quantization="symmetric"
     )
     qv = emb[:1024]
-    dense.search_vectors(qv, top_k=top_k)  # compile
+    dense.search_vectors(qv, top_k=TOP_K)  # compile
     dense_best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        dense.search_vectors(qv, top_k=top_k)
+        dense.search_vectors(qv, top_k=TOP_K)
         dense_best = min(dense_best, time.perf_counter() - t0)
     dense_qps = len(qv) / dense_best
-    print(f"# dense int8 qps: {dense_qps:.0f}", file=sys.stderr)
+    log(f"dense int8 qps: {dense_qps:.0f}")
 
     n_nonempty = sum(1 for r in results.values() if r)
-    baseline_qps = 314.7  # BASELINE.md: reference Numba pipeline on FiQA
     out = {
         "metric": "bm25_qps_fiqa_scale",
         "value": round(qps, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / baseline_qps, 2),
-        "p50_latency_ms_per_query": round(p50_ms, 4),
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "topk_mode": "exact",
+        "qps_approx_topk": round(qps_approx, 1),
+        "p50_latency_ms_b1": round(p50_b1, 2),
+        "p95_latency_ms_b1": round(p95_b1, 2),
         "index_build_s": round(build_time, 2),
         "num_docs": index.num_docs,
-        "num_queries": len(queries),
-        "top_k": top_k,
+        "num_queries": NUM_QUERIES,
+        "top_k": TOP_K,
         "nonempty_results": n_nonempty,
         "index_memory_mb": round(index.layout.nbytes / 2**20, 1),
+        "head_dtype": stats["head_dtype"],
         "dense_int8_qps": round(dense_qps, 1),
         "device": str(device),
     }
+    if ref:
+        out["ref_cpu_qps_same_machine"] = round(ref["qps"], 1)
+        out["ref_cpu_build_s_same_machine"] = round(ref["build_s"], 2)
+        out["vs_ref_same_machine"] = round(qps / ref["qps"], 1)
     print(json.dumps(out))
 
 
