@@ -171,6 +171,58 @@ class BM25Suite(BenchmarkSuite):
             )
         )
 
+        # Pallas fused head kernel vs the XLA chain (TPU only: the Mosaic
+        # kernel has no CPU lowering outside interpret mode). Values must
+        # be bit-identical; timing recorded for the report.
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            import jax.numpy as jnp
+
+            from osr_tpu.ops.bm25 import head_scores as _hs
+            from osr_tpu.ops.pallas.head import masked_head_scores
+
+            lay = self.index_int8.layout
+            enc = self.engine_int8.encode_queries(texts[:8])
+            from osr_tpu.ops.bm25 import scatter_query_head
+
+            qhead = scatter_query_head(
+                jnp.asarray(enc.head_ids),
+                jnp.asarray(enc.head_weights),
+                head_terms=lay.head_terms,
+            )
+            head_dev = jnp.asarray(lay.head)
+            scales_dev = jnp.asarray(lay.head_scales)
+            valid_dev = jnp.asarray(lay.valid)
+            t0 = time.perf_counter()
+            want = jnp.where(
+                valid_dev[:, None], _hs(head_dev, scales_dev, qhead), -jnp.inf
+            )
+            want = np.asarray(want)
+            t_xla = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            got = np.asarray(
+                masked_head_scores(head_dev, scales_dev, qhead, valid_dev)
+            )
+            t_pallas = time.perf_counter() - t0
+            finite = np.isfinite(want)
+            identical = bool(
+                np.array_equal(got[finite], want[finite])
+                and (np.isinf(got) == np.isinf(want)).all()
+            )
+            out.append(
+                BenchmarkResult(
+                    name="pallas_head_kernel_parity",
+                    passed=identical,
+                    duration_s=t_xla + t_pallas,
+                    metrics={
+                        "bit_identical": identical,
+                        "xla_s": t_xla,
+                        "pallas_s": t_pallas,
+                    },
+                )
+            )
+
         # Throughput vs the scipy CSR baseline (matrix built untimed so
         # only the scoring matvec is measured).
         w = _build_csr(self.index)

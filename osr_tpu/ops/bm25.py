@@ -109,7 +109,8 @@ def head_scores(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("head_terms", "k", "topk_mode")
+    jax.jit,
+    static_argnames=("head_terms", "k", "topk_mode", "head_backend"),
 )
 def fused_search(
     q_head_ids: jax.Array,  # (B, Qh) int32, padding >= head_terms
@@ -123,6 +124,7 @@ def fused_search(
     head_terms: int,
     k: int,
     topk_mode: str = "exact",  # 'exact' | 'approx'
+    head_backend: str = "xla",  # 'pallas' = fused Mosaic int8 kernel
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The batched device search step in one dispatch.
 
@@ -146,8 +148,15 @@ def fused_search(
     qhead = scatter_query_head(
         q_head_ids, q_head_weights, head_terms=head_terms
     )
-    hs = head_scores(head, head_scales, qhead)  # (R, B)
-    hs = jnp.where(valid[:, None], hs, NEG_INF)
+    if head_backend == "pallas":
+        if head.dtype != jnp.int8:
+            raise ValueError("head_backend='pallas' requires an int8 head")
+        from osr_tpu.ops.pallas.head import masked_head_scores
+
+        hs = masked_head_scores(head, head_scales, qhead, valid)
+    else:
+        hs = head_scores(head, head_scales, qhead)  # (R, B)
+        hs = jnp.where(valid[:, None], hs, NEG_INF)
     r = hs.shape[0]
     kk = min(k, r)
     if topk_mode == "approx":
@@ -177,7 +186,8 @@ def pack_query_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("head_terms", "k", "topk_mode")
+    jax.jit,
+    static_argnames=("head_terms", "k", "topk_mode", "head_backend"),
 )
 def fused_search_packed(
     q_packed: jax.Array,  # (B, Qh, 2) int32: [ids, bitcast f32 weights]
@@ -190,6 +200,7 @@ def fused_search_packed(
     head_terms: int,
     k: int,
     topk_mode: str = "exact",
+    head_backend: str = "xla",
 ) -> Tuple[jax.Array, jax.Array]:
     """Transfer-minimal variant of :func:`fused_search`: one packed input
     array, and the head top-k packed into one (B, 2k) f32 output (rows
@@ -208,6 +219,7 @@ def fused_search_packed(
         head_terms=head_terms,
         k=k,
         topk_mode=topk_mode,
+        head_backend=head_backend,
     )
     # Rows travel as f32 VALUES, not bitcasts: int32 bit patterns of small
     # integers are f32 denormals, which the TPU flushes to zero. Values are

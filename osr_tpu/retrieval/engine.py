@@ -84,11 +84,15 @@ class SparseSearchEngine:
         query_cache_limit: int = 1000,
         topk_mode: str = "exact",  # 'approx' uses lax.approx_max_k (r=0.95)
         merge_backend: str = "auto",  # 'host' | 'device' | 'auto'
+        head_backend: str = "xla",  # 'pallas' = fused Mosaic int8 kernel
     ):
         self.index = index
         self.device = device if device is not None else jax.devices()[0]
         self.batch_sizes = tuple(sorted(batch_sizes))
         self.topk_mode = topk_mode
+        if head_backend == "pallas" and index.layout.head_dtype != "int8":
+            raise ValueError("head_backend='pallas' requires an int8 head")
+        self.head_backend = head_backend
         self.tokenizer = Tokenizer(index.vocabulary)
         self.encoder = QueryEncoder(self.tokenizer)
         if merge_backend == "auto":
@@ -160,6 +164,7 @@ class SparseSearchEngine:
             head_terms=self.index.layout.head_terms,
             k=top_k,
             topk_mode=self.topk_mode,
+            head_backend=self.head_backend,
         )
         layout = self.index.layout
         if self.merge_backend == "device":

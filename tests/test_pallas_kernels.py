@@ -99,3 +99,34 @@ def test_dense_engine_pallas_backend_matches_xla(embeddings):
 
     with pytest.raises(ValueError):
         DenseSearchEngine(doc_ids, emb, backend="pallas", quantization="asymmetric")
+
+
+def test_pallas_head_scores_match_xla():
+    """Fused Mosaic head-scoring kernel == the XLA int8 chain, exactly
+    (same bf16 operand rounding, f32 accumulation, -inf mask)."""
+    import jax
+
+    from osr_tpu.ops.bm25 import head_scores
+    from osr_tpu.ops.pallas.head import masked_head_scores
+
+    rng = np.random.RandomState(0)
+    r, f, b = 300, 160, 17  # deliberately unaligned: exercises padding
+    head = rng.randint(-127, 128, (r, f)).astype(np.int8)
+    scales = (rng.rand(f).astype(np.float32) + 0.1) / 127.0
+    qhead = rng.randint(0, 4, (f, b)).astype(np.float32)
+    valid = rng.rand(r) > 0.1
+
+    got = masked_head_scores(
+        jnp.asarray(head),
+        jnp.asarray(scales),
+        jnp.asarray(qhead),
+        jnp.asarray(valid),
+        interpret=jax.devices()[0].platform != "tpu",
+    )
+    want = head_scores(
+        jnp.asarray(head), jnp.asarray(scales), jnp.asarray(qhead)
+    )
+    want = jnp.where(jnp.asarray(valid)[:, None], want, -jnp.inf)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-6
+    )
