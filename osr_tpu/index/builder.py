@@ -215,16 +215,11 @@ class SparseIndexBuilder:
         )
         vocabulary = {terms[t]: int(f) for f, t in enumerate(order)}
         df = df_temp[np.asarray(order, dtype=np.int64)]
+        # Rows keep first-seen term order (matching the Python Counter
+        # path); nothing downstream needs per-row sorted ids — pack_flat
+        # splits by an order-free mask and re-sorts the tail term-major.
         flat_final = final_of_temp[temp_ids]
-        # Sort (doc, term) pairs so each row is ascending in final id.
-        row_sizes = np.diff(indptr)
-        doc_idx = np.repeat(
-            np.arange(len(texts), dtype=np.int64), row_sizes
-        )
-        perm = np.lexsort((flat_final, doc_idx))
-        flat_final = np.ascontiguousarray(flat_final[perm])
-        flat_counts = np.ascontiguousarray(counts[perm])
-        return vocabulary, df, doc_lengths, indptr, flat_final, flat_counts
+        return vocabulary, df, doc_lengths, indptr, flat_final, counts
 
     @staticmethod
     def _count_corpus_python(texts: List[str]):
@@ -249,18 +244,16 @@ class SparseIndexBuilder:
         flat_tids = np.empty(nnz, dtype=np.int32)
         flat_tfs = np.empty(nnz, dtype=np.float32)
         pos = 0
+        # Rows keep first-seen term order (identical to the native path).
         for counts in doc_counts:
             n = len(counts)
             if n:
-                tids = np.fromiter(
+                flat_tids[pos : pos + n] = np.fromiter(
                     (vocabulary[t] for t in counts), dtype=np.int32, count=n
                 )
-                tfs = np.fromiter(
+                flat_tfs[pos : pos + n] = np.fromiter(
                     counts.values(), dtype=np.float32, count=n
                 )
-                order = np.argsort(tids)
-                flat_tids[pos : pos + n] = tids[order]
-                flat_tfs[pos : pos + n] = tfs[order]
             pos += n
         return vocabulary, df, doc_lengths, indptr, flat_tids, flat_tfs
 
