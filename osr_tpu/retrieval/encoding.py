@@ -178,3 +178,74 @@ def encode_query_batch(
         tail_ptr,
         nq,
     )
+
+
+def encode_weighted_batch(
+    vocabulary,
+    queries: Sequence[dict],
+    batch_size: int,
+    head_terms: int,
+) -> EncodedBatch:
+    """Encode already-weighted sparse queries ({term: weight}) — the
+    learned-sparse (SPLADE) query path: weights are used verbatim instead
+    of token counts. OOV terms are dropped; weights must be non-negative
+    (the exact head/tail merge requires non-negative tail contributions).
+    """
+    if len(queries) > batch_size:
+        raise ValueError(
+            f"{len(queries)} queries exceed the engine batch size "
+            f"{batch_size}; chunk the batch first"
+        )
+    nq = len(queries)
+    ptr = np.zeros(nq + 1, dtype=np.int64)
+    tids_l, ws_l = [], []
+    for i, vec in enumerate(queries):
+        pairs = sorted(
+            (vocabulary[t], float(w))
+            for t, w in vec.items()
+            if t in vocabulary
+        )
+        for tid, w in pairs:
+            if w < 0:
+                raise ValueError(
+                    "learned-sparse query weights must be non-negative"
+                )
+            tids_l.append(tid)
+            ws_l.append(w)
+        ptr[i + 1] = len(tids_l)
+    tids = np.asarray(tids_l, dtype=np.int32)
+    counts = np.asarray(ws_l, dtype=np.float32)
+
+    in_head = tids < head_terms
+    qidx = np.repeat(np.arange(nq, dtype=np.int64), np.diff(ptr))
+    n_head = np.bincount(qidx[in_head], minlength=nq).astype(np.int64)
+    n_tail = np.bincount(qidx[~in_head], minlength=nq).astype(np.int64)
+    head_flat_ids = tids[in_head]
+    head_flat_counts = counts[in_head]
+    head_ptr = np.zeros(nq + 1, dtype=np.int64)
+    np.cumsum(n_head, out=head_ptr[1:])
+    tail_ids = (tids[~in_head] - head_terms).astype(np.int32)
+    tail_counts = counts[~in_head]
+    tail_ptr = np.zeros(nq + 1, dtype=np.int64)
+    np.cumsum(n_tail, out=tail_ptr[1:])
+
+    q = pad_query_width(int(n_head.max(initial=1)) or 1)
+    head_ids = np.full((batch_size, q), head_terms, dtype=np.int32)
+    head_weights = np.zeros((batch_size, q), dtype=np.float32)
+    if head_flat_ids.size:
+        rows = np.repeat(np.arange(nq, dtype=np.int64), n_head)
+        cols = np.arange(head_flat_ids.shape[0], dtype=np.int64)
+        cols -= np.repeat(head_ptr[:-1], n_head)
+        head_ids[rows, cols] = head_flat_ids
+        head_weights[rows, cols] = head_flat_counts
+    return EncodedBatch(
+        head_ids,
+        head_weights,
+        head_flat_ids,
+        head_flat_counts,
+        head_ptr,
+        tail_ids,
+        tail_counts,
+        tail_ptr,
+        nq,
+    )

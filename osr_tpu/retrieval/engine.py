@@ -325,6 +325,36 @@ class SparseSearchEngine:
                 results[qid] = self._to_result(row_ids, row_scores)
         return results
 
+    def search_weighted(
+        self,
+        queries: Mapping[str, Mapping[str, float]],
+        top_k: int = 10,
+    ) -> Dict[str, Dict[str, float]]:
+        """Learned-sparse (SPLADE) search: queries are {term: weight}
+        mappings used verbatim (no tokenization/counting). Same result
+        contract as :meth:`search`."""
+        from osr_tpu.retrieval.encoding import encode_weighted_batch
+
+        results: Dict[str, Dict[str, float]] = {}
+        qids = [q for q, vec in queries.items() if vec]
+        for q, vec in queries.items():
+            if not vec:
+                results[q] = {}
+        max_b = self.batch_sizes[-1]
+        for i in range(0, len(qids), max_b):
+            chunk = qids[i : i + max_b]
+            enc = encode_weighted_batch(
+                self.index.vocabulary,
+                [queries[q] for q in chunk],
+                self._pick_batch_size(len(chunk)),
+                self.index.layout.head_terms,
+            )
+            handle = self.search_encoded_device(enc, top_k)
+            scores, ids = self.finish_batch(handle, top_k)
+            for row, qid in enumerate(chunk):
+                results[qid] = self._to_result(ids[row], scores[row])
+        return results
+
     def _to_result(
         self, ids: np.ndarray, scores: np.ndarray
     ) -> Dict[str, float]:

@@ -163,6 +163,79 @@ class QuantizedDenseRetriever:
         pass  # dense engine keeps no query cache
 
 
+class LearnedSparseRetriever:
+    """SPLADE-style retrieval over EXTERNAL learned (term, weight) vectors
+    (osr_tpu/index/learned.py). The reference lists splade as a benchmark
+    method (reference bench/fiqa_benchmark.py:47-52) but never ingests real
+    learned vectors; this retriever does.
+
+    Document vectors come from ``vectors`` (an in-memory
+    {doc_id: {term: w}} mapping) or ``vectors_path`` (npz/jsonl). Query
+    vectors come from ``query_encoder_fn(text) -> {term: w}``,
+    ``query_vectors`` ({qid: {term: w}}), or — the degenerate fallback —
+    the query's own tokens with weight 1 (sound for SPLADE-style vocab
+    overlap, not a replacement for a real query encoder).
+    """
+
+    def __init__(
+        self,
+        vectors: Optional[Mapping[str, Mapping[str, float]]] = None,
+        vectors_path: Optional[str] = None,
+        query_vectors: Optional[Mapping[str, Mapping[str, float]]] = None,
+        query_encoder_fn: Optional[Callable] = None,
+        head_terms: Optional[int] = None,
+        **_: Any,
+    ):
+        if vectors is None and vectors_path is None:
+            raise ValueError(
+                "LearnedSparseRetriever needs `vectors` or `vectors_path` "
+                "(without learned vectors, route splade to the tfidf "
+                "fallback: params.scoring='sparse')"
+            )
+        from osr_tpu.index.learned import LearnedSparseIndexBuilder
+
+        self._builder = LearnedSparseIndexBuilder(head_terms=head_terms)
+        self._source = vectors if vectors is not None else vectors_path
+        self.query_vectors = query_vectors or {}
+        self.query_encoder_fn = query_encoder_fn
+        self.index = None
+        self.engine: Optional[SparseSearchEngine] = None
+
+    def build_index_from_corpus(
+        self, corpus: Optional[Mapping[str, Any]] = None
+    ) -> None:
+        """``corpus`` is accepted for duck-type compatibility; the index is
+        built from the learned vectors (their doc ids are authoritative)."""
+        self.index = self._builder.build(self._source)
+        self.engine = SparseSearchEngine(self.index)
+
+    def _query_vec(self, qid: str, text: str) -> Mapping[str, float]:
+        if qid in self.query_vectors:
+            return self.query_vectors[qid]
+        if self.query_encoder_fn is not None:
+            return self.query_encoder_fn(text)
+        from osr_tpu.index.tokenizer import term_counts
+
+        return dict(term_counts(text))
+
+    def search(
+        self, queries: Mapping[str, str], top_k: int = 10
+    ) -> Dict[str, Dict[str, float]]:
+        if self.engine is None:
+            raise ValueError(
+                "Index not built. Call build_index_from_corpus() first."
+            )
+        weighted = {
+            qid: self._query_vec(qid, text or "")
+            for qid, text in queries.items()
+        }
+        return self.engine.search_weighted(weighted, top_k=top_k)
+
+    def clear_cache(self) -> None:
+        if self.engine is not None:
+            self.engine.clear_cache()
+
+
 class HybridRetriever:
     """Weighted late fusion of a sparse and a dense retriever
     (capability of the reference's ms_marco hybrid experiment:
@@ -241,6 +314,11 @@ class RetrieverRegistry:
         params.pop("top_k", None)  # search-time parameter, not constructor
         if m in cls.SPARSE_METHODS:
             return SparseRetriever(method=m, model=model, **params)
+        if m == "splade" and (
+            "vectors" in params or "vectors_path" in params
+        ):
+            # Real learned-sparse ingestion when external vectors are given.
+            return LearnedSparseRetriever(**params)
         if m in cls.DENSE_METHODS:
             scoring = params.pop("scoring", "dense")
             if scoring == "sparse":

@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Corpus-size scaling benchmark on the real TPU (VERDICT round-1 item 6;
+reference analogue: tests/large_corpus_test.py, benchmark_efficiency.py:
+101-134).
+
+Runs one corpus size per invocation (pass --docs); appends a JSON line to
+test_results/scaling.jsonl with build time, index memory, head auto-sizing,
+QPS and per-query latency — the data behind the per-chip capacity model in
+DEVELOPMENT.md.
+
+Usage: python tools/bench_scaling.py --docs 1000000 --vocab 400000
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, required=True)
+    ap.add_argument("--vocab", type=int, default=None)
+    ap.add_argument("--queries", type=int, default=2048)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--topk", type=int, default=50)
+    ap.add_argument(
+        "--out", default=str(Path(__file__).parents[1] / "test_results" / "scaling.jsonl")
+    )
+    args = ap.parse_args()
+    vocab = args.vocab or min(4 * args.docs, 400_000)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.retrieval.engine import SparseSearchEngine
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(
+        args.docs, vocab, avg_len=130, word_prefix="t", min_len=5
+    )
+    queries = gen.queries(
+        args.queries, vocab, avg_terms=11, word_prefix="t", min_terms=2
+    )
+    gen_s = time.perf_counter() - t0
+    print(f"# generated in {gen_s:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+    build_s = time.perf_counter() - t0
+    stats = index.stats()
+    print(f"# built in {build_s:.1f}s: {stats}", file=sys.stderr)
+
+    engine = SparseSearchEngine(
+        index,
+        device=dev,
+        batch_sizes=(args.batch,),
+        cache_queries=False,
+        topk_mode="exact",
+    )
+    t0 = time.perf_counter()
+    res = engine.search(queries, top_k=args.topk)
+    warm_s = time.perf_counter() - t0
+    qps = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = engine.search(queries, top_k=args.topk)
+        qps = max(qps, len(queries) / (time.perf_counter() - t0))
+
+    row = {
+        "num_docs": args.docs,
+        "vocab_size": stats["vocab_size"],
+        "head_terms": stats["head_terms"],
+        "head_mb": round(stats["head_mb"], 1),
+        "postings_mb": round(stats["postings_mb"], 1),
+        "index_memory_mb": round(stats["memory_mb"], 1),
+        "max_tail_df": stats["max_tail_df"],
+        "tail_nnz": stats["tail_nnz"],
+        "build_s": round(build_s, 2),
+        "warmup_s": round(warm_s, 1),
+        "qps_exact": round(qps, 1),
+        "ms_per_query": round(1000.0 / qps, 3) if qps else None,
+        "num_queries": args.queries,
+        "batch": args.batch,
+        "top_k": args.topk,
+        "nonempty": sum(1 for r in res.values() if r),
+        "device": str(dev),
+    }
+    out_path = Path(args.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(out_path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
