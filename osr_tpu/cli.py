@@ -102,6 +102,32 @@ def _cmd_validate(args) -> int:
 
 
 def _cmd_bench(args) -> int:
+    if args.config:
+        # Config-driven suite runner (reference bench/core/
+        # benchmark_runner.py semantics): suites, sizes, seed, threads.
+        from osr_tpu.benchmarks.runner import (
+            load_benchmark_config,
+            run_from_config,
+        )
+
+        cfg = load_benchmark_config(args.config)
+        if args.output:
+            cfg.output_dir = args.output
+        overall = run_from_config(cfg)
+        print(
+            json.dumps(
+                {
+                    "all_passed": overall["all_passed"],
+                    "total_benchmarks": overall["total_benchmarks"],
+                    "total_passed": overall["total_passed"],
+                    "output_dir": cfg.output_dir,
+                }
+            )
+        )
+        return 0 if overall["all_passed"] else 1
+    if not args.dataset:
+        raise SystemExit("bench requires --dataset or --config")
+
     from osr_tpu.pipeline.efficiency import run_comprehensive_benchmark
     from osr_tpu.storage.loaders import (
         extract_query_text,
@@ -172,8 +198,12 @@ def main(argv=None) -> int:
     p.add_argument("--stats", action="store_true")
     p.set_defaults(fn=_cmd_validate)
 
-    p = sub.add_parser("bench", help="efficiency benchmark on a dataset")
-    p.add_argument("--dataset", required=True)
+    p = sub.add_parser(
+        "bench",
+        help="efficiency benchmark on a dataset, or config-driven suites",
+    )
+    p.add_argument("--dataset")
+    p.add_argument("--config", help="YAML benchmark spec (suites/seed/threads)")
     p.add_argument("--top-k", type=int, default=10)
     p.add_argument("--max-queries", type=int)
     p.add_argument("--output")

@@ -160,3 +160,66 @@ def test_yaml_config_runner(tmp_path):
     bad.write_text(yaml.safe_dump({"suites": {"nope": {}}}))
     with pytest.raises(ValueError):
         load_benchmark_config(bad)
+
+
+def test_yaml_benchmark_runner(tmp_path):
+    """python -m osr_tpu.cli bench --config reproduces the test_results
+    tree from a YAML spec (reference bench/core/benchmark_runner.py)."""
+    import yaml
+
+    from osr_tpu.benchmarks.runner import (
+        BenchmarkConfig,
+        load_benchmark_config,
+        run_from_config,
+    )
+
+    cfg_path = tmp_path / "spec.yaml"
+    cfg_path.write_text(
+        yaml.safe_dump(
+            {
+                "name": "tiny",
+                "seed": 7,
+                "num_threads": 1,
+                "output_dir": str(tmp_path / "out"),
+                "suites": {
+                    "topk": {"n": 2000, "batch": 4, "k": 20},
+                    "quantization": {},
+                },
+            }
+        )
+    )
+    cfg = load_benchmark_config(cfg_path)
+    assert isinstance(cfg, BenchmarkConfig)
+    overall = run_from_config(cfg)
+    assert overall["all_passed"], overall
+    assert (tmp_path / "out" / "topk_results.json").exists()
+    assert (tmp_path / "out" / "quantization_results.json").exists()
+    assert overall["config"]["seed"] == 7
+
+    # unknown suite / key rejected
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("suites: {nope: {}}\n")
+    with pytest.raises(ValueError, match="Unknown benchmark suites"):
+        load_benchmark_config(bad)
+    bad.write_text("bogus_key: 1\n")
+    with pytest.raises(ValueError, match="Unknown benchmark config keys"):
+        load_benchmark_config(bad)
+
+
+def test_cli_bench_config(tmp_path):
+    import yaml
+
+    from osr_tpu.cli import main
+
+    cfg_path = tmp_path / "spec.yaml"
+    cfg_path.write_text(
+        yaml.safe_dump(
+            {
+                "suites": {"topk": {"n": 1000, "batch": 2, "k": 10}},
+                "output_dir": str(tmp_path / "res"),
+            }
+        )
+    )
+    rc = main(["bench", "--config", str(cfg_path)])
+    assert rc == 0
+    assert (tmp_path / "res" / "topk_results.json").exists()

@@ -33,6 +33,12 @@ def main():
     ap.add_argument(
         "--out", default=str(Path(__file__).parents[1] / "test_results" / "scaling.jsonl")
     )
+    ap.add_argument(
+        "--save-index", help="build, dump raw index arrays to DIR, exit"
+    )
+    ap.add_argument(
+        "--load-index", help="skip generation/build; load raw index from DIR"
+    )
     args = ap.parse_args()
     vocab = args.vocab or min(4 * args.docs, 400_000)
 
@@ -48,22 +54,97 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
 
-    t0 = time.perf_counter()
     gen = SyntheticDataGenerator(seed=42)
-    corpus = gen.zipf_corpus(
-        args.docs, vocab, avg_len=130, word_prefix="t", min_len=5
-    )
     queries = gen.queries(
         args.queries, vocab, avg_terms=11, word_prefix="t", min_terms=2
     )
-    gen_s = time.perf_counter() - t0
-    print(f"# generated in {gen_s:.1f}s", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    index = SparseIndexBuilder(method="bm25").build(corpus)
-    build_s = time.perf_counter() - t0
+    if args.load_index:
+        import json as _json
+
+        from osr_tpu.index.builder import SparseIndex
+        from osr_tpu.index.layout import HybridLayout
+
+        d = Path(args.load_index)
+        meta = _json.loads((d / "meta.json").read_text())
+        terms = _json.loads((d / "vocab.json").read_text())
+        ld = lambda n: np.load(d / f"{n}.npy", allow_pickle=False)
+        layout = HybridLayout(
+            head_terms=meta["head_terms"],
+            head=ld("head"),
+            head_scales=ld("head_scales") if meta["head_dtype"] == "int8" else None,
+            post_ptr=ld("post_ptr"),
+            post_rows=ld("post_rows"),
+            post_weights=ld("post_weights"),
+            valid=ld("valid"),
+            num_docs=meta["num_docs"],
+            vocab_size=meta["vocab_size"],
+            head_dtype=meta["head_dtype"],
+        )
+        index = SparseIndex(
+            method="bm25",
+            vocabulary={t: i for i, t in enumerate(terms)},
+            doc_ids=[str(i) for i in range(meta["num_docs"])],
+            layout=layout,
+            idf=ld("idf"),
+            doc_lengths=ld("doc_lengths"),
+            avgdl=meta["avgdl"],
+            k1=1.2,
+            b=0.75,
+        )
+        build_s = meta["build_s"]
+        print(f"# loaded index from {d}", file=sys.stderr)
+    else:
+        t0 = time.perf_counter()
+        corpus = gen.zipf_corpus(
+            args.docs, vocab, avg_len=130, word_prefix="t", min_len=5
+        )
+        print(
+            f"# generated in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        t0 = time.perf_counter()
+        index = SparseIndexBuilder(method="bm25").build(corpus)
+        build_s = time.perf_counter() - t0
+        print(f"# built in {build_s:.1f}s", file=sys.stderr)
+        del corpus
+
+    if args.save_index:
+        import json as _json
+
+        d = Path(args.save_index)
+        d.mkdir(parents=True, exist_ok=True)
+        lay = index.layout
+        np.save(d / "head.npy", lay.head, allow_pickle=False)
+        if lay.head_scales is not None:
+            np.save(d / "head_scales.npy", lay.head_scales, allow_pickle=False)
+        np.save(d / "post_ptr.npy", lay.post_ptr, allow_pickle=False)
+        np.save(d / "post_rows.npy", lay.post_rows, allow_pickle=False)
+        np.save(d / "post_weights.npy", lay.post_weights, allow_pickle=False)
+        np.save(d / "valid.npy", lay.valid, allow_pickle=False)
+        np.save(d / "idf.npy", index.idf, allow_pickle=False)
+        np.save(d / "doc_lengths.npy", index.doc_lengths, allow_pickle=False)
+        terms = [""] * index.vocab_size
+        for t, i in index.vocabulary.items():
+            terms[i] = t
+        (d / "vocab.json").write_text(_json.dumps(terms))
+        (d / "meta.json").write_text(
+            _json.dumps(
+                {
+                    "head_terms": lay.head_terms,
+                    "head_dtype": lay.head_dtype,
+                    "num_docs": lay.num_docs,
+                    "vocab_size": lay.vocab_size,
+                    "avgdl": index.avgdl,
+                    "build_s": build_s,
+                }
+            )
+        )
+        print(f"# index saved to {d}", file=sys.stderr)
+        return
+
     stats = index.stats()
-    print(f"# built in {build_s:.1f}s: {stats}", file=sys.stderr)
+    print(f"# stats: {stats}", file=sys.stderr)
 
     engine = SparseSearchEngine(
         index,

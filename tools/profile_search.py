@@ -1,11 +1,10 @@
 #!/usr/bin/env python3
-"""Component-level timing of the fused sparse search step on real TPU.
+"""Per-stage profiling of the v2 search pipeline on real TPU.
 
-Times each stage of the ops/bm25.py pipeline in isolation (own jit, own
-dispatch) and the fused step, then prints a roofline-style table: measured
-time vs the HBM bytes each stage must touch. Guides optimization (VERDICT
-round-1 item 2: "profile the fused search step and publish roofline
-numbers").
+Times every host and device stage of the engine (steady-state, pipelined
+fetch-forced timing — `jax.block_until_ready` under-reports through the
+remote-TPU tunnel) and prints the breakdown behind DEVELOPMENT.md's
+roofline analysis.
 
 Usage: python tools/profile_search.py [--docs 57638] [--batch 1024]
 """
@@ -20,152 +19,128 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def timeit(fn, *args, n=5, **kw):
-    import jax
-
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=57_638)
     ap.add_argument("--vocab", type=int, default=100_000)
     ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--queries", type=int, default=6648)
     ap.add_argument("--topk", type=int, default=50)
-    ap.add_argument("--head-dtype", default=None, help="engine head dtype")
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-    from jax import lax
 
     from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.index.postings import cand_head_scores_host, merge_host
+    from osr_tpu.ops import bm25 as ops
     from osr_tpu.retrieval.engine import SparseSearchEngine
     from osr_tpu.testing import SyntheticDataGenerator
-    from osr_tpu.ops import bm25 as ops
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
+    B = args.batch
 
     corpus = SyntheticDataGenerator(seed=42).zipf_corpus(
         args.docs, args.vocab, avg_len=130, word_prefix="t", min_len=5
     )
     queries = SyntheticDataGenerator(seed=6).queries(
-        args.queries, args.vocab, avg_terms=11, word_prefix="t", min_terms=2
+        6 * B, args.vocab, avg_terms=11, word_prefix="t", min_terms=2
     )
     t0 = time.perf_counter()
     index = SparseIndexBuilder(method="bm25").build(corpus)
-    print(f"# build: {time.perf_counter()-t0:.2f}s", file=sys.stderr)
+    print(f"# build: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
     print(f"# stats: {index.stats()}", file=sys.stderr)
 
-    kw = {} if args.head_dtype is None else {"head_dtype": args.head_dtype}
     engine = SparseSearchEngine(
-        index, device=dev, batch_sizes=(args.batch,), cache_queries=False,
-        **kw,
+        index, device=dev, batch_sizes=(B,), cache_queries=False
     )
-    d = engine._dev
-    B = args.batch
-    texts = [t for _, t in list(queries.items())[:B]]
-    tids_np, wts_np = engine.encode_queries(texts)
-    tids = jax.device_put(jnp.asarray(tids_np), dev)
-    wts = jax.device_put(jnp.asarray(wts_np), dev)
-    V1 = engine._vocab_rows
-    R = index.layout.num_rows
-    F = index.layout.head_terms
+    print(f"# merge_backend: {engine.merge_backend}", file=sys.stderr)
+    texts = [t for _, t in queries.items()]
+    layout = index.layout
 
-    rows = []
+    # Warm compile.
+    enc0 = engine.encode_queries(texts[:B])
+    h0 = engine.search_encoded_device(enc0, args.topk)
+    engine.finish_batch(h0, args.topk)
 
-    def add(name, secs, mbytes, note=""):
-        rows.append((name, secs * 1e3, mbytes, mbytes / 1024 / secs, note))
+    # --- serial host stages -------------------------------------------
+    import collections
 
-    # 1. query scatter
-    t, qw = timeit(
-        lambda a, b: ops.build_query_matrix(a, b, vocab_rows=V1), tids, wts
-    )
-    qw_mb = V1 * B * qw.dtype.itemsize / 2**20
-    add("scatter qw", t, qw_mb, f"(V+1,B)={V1}x{B} {qw.dtype}")
-
-    # 2. head matmul alone
-    head_fn = jax.jit(lambda hw, q: ops._head_scores(hw, q))
-    t, _ = timeit(head_fn, d.head_weights, qw)
-    head_mb = (
-        d.head_weights.size * d.head_weights.dtype.itemsize + R * B * 4
-    ) / 2**20
-    add("head matmul", t, head_mb, f"(R,F)=({R},{F}) {d.head_weights.dtype}")
-
-    # 3. all tail buckets
-    def tail_fn(qwm, t_ids, t_w):
-        qb = qwm.astype(jnp.bfloat16)
-        outs = []
-        for (off, cr), ti, w in zip(d.tail_meta, t_ids, t_w):
-            outs.append(ops._ell_rows_scores(qb, ti, w, chunk_rows=cr))
-        return outs
-
-    tail_jit = jax.jit(tail_fn)
-    t, _ = timeit(tail_jit, qw, d.tail_term_ids, d.tail_weights)
-    tail_bytes = sum(
-        ti.size * ti.dtype.itemsize + w.size * w.dtype.itemsize
-        for ti, w in zip(d.tail_term_ids, d.tail_weights)
-    )
-    gather_bytes = sum(ti.size * B * 2 for ti in d.tail_term_ids)
-    add(
-        "tail gathers",
-        t,
-        (tail_bytes + gather_bytes) / 2**20,
-        f"slots={sum(ti.size for ti in d.tail_term_ids)} +bf16 gather out",
-    )
-
-    # 4. full scoring (scatter+head+tail)
-    score_fn = lambda a, b: ops.hybrid_scores(
-        a, b, d.head_weights, d.tail_term_ids, d.tail_weights,
-        vocab_rows=V1, tail_meta=d.tail_meta,
-    )
-    t, scores = timeit(score_fn, tids, wts)
-    add("scores fused", t, (R * B * 4) / 2**20, "scatter+head+tail")
-
-    # 5. top-k variants on the (R, B) score matrix
-    valid = d.valid
-    kk = args.topk
-
-    exact = jax.jit(
-        lambda s: lax.top_k(jnp.where(valid[:, None], s, -jnp.inf).T, kk)
-    )
-    t, _ = timeit(exact, scores)
-    add("topk exact", t, R * B * 4 / 2**20, "lax.top_k over R")
-
-    from osr_tpu.ops.topk import fast_topk_columns
-
-    fast = jax.jit(lambda s: fast_topk_columns(s, valid, k=kk))
-    t, _ = timeit(fast, scores)
-    add("topk fast", t, R * B * 6 / 2**20, "bf16 coarse + rerank")
-
-    # 6. the real fused dispatch
-    for mode in ("exact", "fast"):
-        full = lambda a, b: ops.hybrid_score_topk(
-            a, b, d.head_weights, d.tail_term_ids, d.tail_weights,
-            d.valid, d.doc_map, vocab_rows=V1, k=kk,
-            tail_meta=d.tail_meta, topk_mode=mode,
+    t = collections.defaultdict(float)
+    n = 5
+    handles = []
+    for i in range(n):
+        lo = i * B
+        t0 = time.perf_counter()
+        enc = engine.encode_queries(texts[lo : lo + B])
+        t["host encode"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cand = engine._tail_candidates(enc, B)
+        t["host tail candidates"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ch = cand_head_scores_host(
+            layout.head,
+            layout.head_dtype,
+            layout.head_scales,
+            cand,
+            enc.head_flat_ids,
+            enc.head_flat_counts,
+            enc.head_ptr,
         )
-        t, _ = timeit(full, tids, wts)
-        add(f"FULL ({mode})", t, 0, f"B={B} -> {B/t:.0f} qps")
+        t["host cand head-dot"] += time.perf_counter() - t0
+        handles.append((enc, cand, ch))
 
-    print(
-        f"\n{'stage':<16}{'ms':>9}{'~MB':>10}{'GB/s':>9}  note"
+    # --- device steady state (pipelined, fetch-forced) -----------------
+    d = engine._dev
+    packs = [
+        jnp.asarray(ops.pack_query_batch(e.head_ids, e.head_weights))
+        for e, _, _ in handles
+    ]
+    jax.block_until_ready(packs)
+
+    def run(qp):
+        return ops.fused_search_packed(
+            qp,
+            d.empty_i32,
+            d.empty_i32,
+            d.head,
+            d.head_scales,
+            d.valid,
+            head_terms=layout.head_terms,
+            k=args.topk,
+            topk_mode=engine.topk_mode,
+        )
+
+    for qp in packs:
+        o = run(qp)
+        np.asarray(o[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        for qp in packs:
+            last = run(qp)
+    np.asarray(last[0]).ravel()[:1]
+    t["device fused (scatter+mm+mask+topk)"] = (
+        (time.perf_counter() - t0) / reps
     )
-    for name, ms, mb, gbs, note in rows:
-        print(f"{name:<16}{ms:9.2f}{mb:10.0f}{gbs:9.0f}  {note}")
+
+    # --- host merge -----------------------------------------------------
+    outs = [run(qp) for qp in packs]
+    fetched = [
+        ops.unpack_topk(np.asarray(o[0])) for o in outs
+    ]
+    t0 = time.perf_counter()
+    for (hs, hr), (enc, cand, ch) in zip(fetched, handles):
+        merge_host(hs, hr, cand, ch, layout.num_rows, args.topk)
+    t["host merge"] = time.perf_counter() - t0
+
+    print(f"\nper-batch stage costs (B={B}, n={n}):")
+    for name, secs in t.items():
+        per = secs / n if name.startswith("host") else secs / n
+        print(f"  {name:<38}{per * 1e3:8.2f} ms")
 
 
 if __name__ == "__main__":
