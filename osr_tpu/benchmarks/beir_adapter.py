@@ -1,0 +1,106 @@
+"""BEIR-compatible retrieval adapter.
+
+Duck-types BEIR's ``BaseSearch`` interface
+(``search(corpus, queries, top_k, score_function, **kwargs)`` returning
+``{qid: {doc_id: score}}``) WITHOUT importing beir — plug an instance into
+``beir.retrieval.evaluation.EvaluateRetrieval(retriever=...)`` where beir
+is installed, or drive it directly against BEIR-format dicts.
+
+Capability parity with the reference's ``MemoryMappedRetrieval``
+(reference bench/core/memmap_retrieval.py:12-105), upgraded twice: the
+document store is this framework's single compressed mmap store (not a
+second implementation), and ``search`` performs REAL BM25/TF-IDF ranking
+on the TPU engine (the reference returned reciprocal-rank dummy scores,
+:51-80 — it only exercised storage).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+from typing import Dict, List, Mapping, Optional, Union
+
+from osr_tpu.index.builder import SparseIndexBuilder
+from osr_tpu.retrieval.engine import SparseSearchEngine
+from osr_tpu.storage.doc_store import DocumentStore
+from osr_tpu.storage.documents import Document
+
+
+class BEIRCompatibleSearch:
+    """BEIR ``BaseSearch``-shaped retrieval over the TPU engine + mmap store.
+
+    Usage (with beir installed — not required here):
+
+        from beir.retrieval.evaluation import EvaluateRetrieval
+        retriever = EvaluateRetrieval(BEIRCompatibleSearch(), k_values=[10])
+        results = retriever.retrieve(corpus, queries)
+    """
+
+    def __init__(
+        self,
+        method: str = "bm25",
+        k1: float = 1.2,
+        b: float = 0.75,
+        store_path: Optional[Union[str, Path]] = None,
+        batch_size: int = 128,
+        **engine_kwargs,
+    ):
+        self.builder = SparseIndexBuilder(method=method, k1=k1, b=b)
+        self.store_path = store_path
+        self.batch_size = batch_size
+        self.engine_kwargs = engine_kwargs
+        self.engine: Optional[SparseSearchEngine] = None
+        self.store: Optional[DocumentStore] = None
+        self.index_stats: Dict[str, object] = {}
+
+    def index(self, corpus: Mapping[str, Mapping[str, str]]) -> Dict:
+        """Build the mmap document store + the TPU index (the reference's
+        ``index()`` built only the store)."""
+        path = self.store_path or (
+            Path(tempfile.mkdtemp(prefix="osr_beir_")) / "corpus.osrd"
+        )
+        self.store = DocumentStore(path, create=True)
+        self.store.add_documents(
+            Document(
+                id=str(d),
+                text=rec.get("text", ""),
+                title=rec.get("title", ""),
+            )
+            for d, rec in corpus.items()
+        )
+        # BEIR scores title + text together (reference
+        # bench/fiqa_benchmark.py:117-123 tokenizes title + text).
+        searchable = {
+            d: {"text": (rec.get("title", "") + " " + rec.get("text", "")).strip()}
+            for d, rec in corpus.items()
+        }
+        index = self.builder.build(searchable)
+        self.index_stats = index.stats()
+        self.engine = SparseSearchEngine(
+            index, batch_sizes=(self.batch_size,), **self.engine_kwargs
+        )
+        return dict(self.index_stats)
+
+    def search(
+        self,
+        corpus: Mapping[str, Mapping[str, str]],
+        queries: Mapping[str, str],
+        top_k: int,
+        score_function: str = "bm25",
+        return_sorted: bool = True,
+        **kwargs,
+    ) -> Dict[str, Dict[str, float]]:
+        """BEIR BaseSearch.search: (re)index if needed, rank for real."""
+        if self.engine is None:
+            self.index(corpus)
+        return self.engine.search(dict(queries), top_k=top_k)
+
+    def get_documents(self, doc_ids: List[str]):
+        """mmap store fetch (answer-text path stays host-side)."""
+        if self.store is None:
+            raise ValueError("index() first")
+        return self.store.get_documents(doc_ids)
+
+    def close(self) -> None:
+        if self.store is not None:
+            self.store.close()

@@ -223,3 +223,36 @@ def test_cli_bench_config(tmp_path):
     rc = main(["bench", "--config", str(cfg_path)])
     assert rc == 0
     assert (tmp_path / "res" / "topk_results.json").exists()
+
+
+def test_beir_compatible_search_adapter(tmp_path):
+    """BEIRCompatibleSearch duck-types beir's BaseSearch: search(corpus,
+    queries, top_k) -> {qid: {doc_id: score}} with REAL ranking, plus the
+    mmap store for document fetch."""
+    from tests.reference_impl import DenseOracleScorer, zipf_corpus
+
+    from osr_tpu.benchmarks.beir_adapter import BEIRCompatibleSearch
+
+    corpus_raw = zipf_corpus(num_docs=120, vocab_size=400, avg_len=40)
+    corpus = {
+        d: {"text": rec["text"], "title": ""} for d, rec in corpus_raw.items()
+    }
+    queries = {"q1": "term200 term340", "q2": "term150"}
+    s = BEIRCompatibleSearch(
+        method="bm25", store_path=tmp_path / "c.osrd", cache_queries=False
+    )
+    try:
+        results = s.search(corpus, queries, top_k=5)
+        assert set(results) == {"q1", "q2"}
+        oracle = DenseOracleScorer(corpus_raw, method="bm25")
+        want_idx, want_scores = oracle.topk("term200 term340", 5)
+        want = {
+            oracle.doc_ids[i] for i, sc in zip(want_idx, want_scores) if sc > 0
+        }
+        assert set(results["q1"]) == want
+        # store fetch joins text back
+        docs = s.get_documents(list(results["q1"])[:2])
+        assert all(d is not None and d.text for d in docs)
+        assert s.index_stats["num_docs"] == 120
+    finally:
+        s.close()
