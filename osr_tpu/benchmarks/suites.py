@@ -196,7 +196,7 @@ class BM25Suite(BenchmarkSuite):
             valid_dev = jnp.asarray(lay.valid)
             t0 = time.perf_counter()
             want = jnp.where(
-                valid_dev[:, None], _hs(head_dev, scales_dev, qhead), -jnp.inf
+                valid_dev[None, :], _hs(head_dev, scales_dev, qhead), -jnp.inf
             )
             want = np.asarray(want)
             t_xla = time.perf_counter() - t0

@@ -49,19 +49,24 @@ def scatter_query_head(
     *,
     head_terms: int,
 ) -> jax.Array:
-    """Scatter padded sparse queries into a dense (F, B) float32 matrix.
+    """Scatter padded sparse queries into a dense (B, F) float32 matrix.
 
     Entries must be count-aggregated (one per unique term, like the
     reference's Counter-built query TF vector, reference retrieval.py:
     241-249), so (term, query) pairs are unique and XLA uses the vectorized
     scatter. Padding/tail ids (>= F) are discarded by mode='drop'.
+
+    Query-major orientation: everything downstream (matmul output, mask,
+    top-k) is laid out (B, R) so ``lax.top_k`` consumes the score matrix
+    with NO transpose — measured on v5e, a (R, B) orientation costs ~100 ms
+    of un-fused transpose at B=6656 (DEVELOPMENT.md).
     """
     batch, q = term_ids.shape
-    qw = jnp.zeros((head_terms, batch), dtype=jnp.float32)
-    cols = jnp.broadcast_to(
+    qw = jnp.zeros((batch, head_terms), dtype=jnp.float32)
+    rows = jnp.broadcast_to(
         jnp.arange(batch, dtype=jnp.int32)[:, None], (batch, q)
     )
-    return qw.at[term_ids.reshape(-1), cols.reshape(-1)].add(
+    return qw.at[rows.reshape(-1), term_ids.reshape(-1)].add(
         term_weights.reshape(-1).astype(jnp.float32),
         mode="drop",
         unique_indices=True,
@@ -71,9 +76,10 @@ def scatter_query_head(
 def head_scores(
     head: jax.Array,  # (R, F) int8 | bf16 | f32
     head_scales: Optional[jax.Array],  # (F,) f32, int8 mode only
-    qhead: jax.Array,  # (F, B) f32 query counts
+    qhead: jax.Array,  # (B, F) f32 query counts
 ) -> jax.Array:
-    """(R, B) f32 head scores — one MXU matmul.
+    """(B, R) f32 head scores — one MXU matmul, contracting F on both
+    operands so the output is query-major (no transpose anywhere).
 
     int8 mode: per-column scales are applied to the query counts, the
     scaled queries round to bf16 (query counts are small integers, and the
@@ -82,27 +88,28 @@ def head_scores(
     score parity with the formula oracle; bf16 mode stores true weights in
     bf16 (~0.4% relative) with exact bf16 query counts.
     """
+    contract_f = (((1,), (1,)), ((), ()))  # (B, F) x (R, F) -> (B, R)
     if head.shape[1] == 0:
-        return jnp.zeros((head.shape[0], qhead.shape[1]), dtype=jnp.float32)
+        return jnp.zeros((qhead.shape[0], head.shape[0]), dtype=jnp.float32)
     if head.dtype == jnp.int8:
-        q = (qhead * head_scales[:, None]).astype(jnp.bfloat16)
+        q = (qhead * head_scales[None, :]).astype(jnp.bfloat16)
         return lax.dot_general(
-            head.astype(jnp.bfloat16),
             q,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            head.astype(jnp.bfloat16),
+            dimension_numbers=contract_f,
             preferred_element_type=jnp.float32,
         )
     if head.dtype == jnp.bfloat16:
         return lax.dot_general(
-            head,
             qhead.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            head,
+            dimension_numbers=contract_f,
             preferred_element_type=jnp.float32,
         )
     return lax.dot_general(
-        head,
         qhead,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        head,
+        dimension_numbers=contract_f,
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
@@ -155,19 +162,26 @@ def fused_search(
 
         hs = masked_head_scores(head, head_scales, qhead, valid)
     else:
-        hs = head_scores(head, head_scales, qhead)  # (R, B)
-        hs = jnp.where(valid[:, None], hs, NEG_INF)
-    r = hs.shape[0]
+        hs = head_scores(head, head_scales, qhead)  # (B, R)
+        hs = jnp.where(valid[None, :], hs, NEG_INF)
+    r = hs.shape[1]
     kk = min(k, r)
     if topk_mode == "approx":
         head_top, head_rows = lax.approx_max_k(
-            hs.T, kk, recall_target=0.95
+            hs, kk, recall_target=0.95
         )
         head_rows = head_rows.astype(jnp.int32)
+    elif r >= 4096 and r // 128 > 2 * kk:
+        # Exact block-max-pruned selection: 75 ms vs 105 ms for plain
+        # lax.top_k at (B=6656, R=57,640, k=50) on v5e (osr_tpu/ops/topk.py:
+        # block_topk for the exactness argument and measurements).
+        from osr_tpu.ops.topk import block_topk
+
+        head_top, head_rows = block_topk(hs, k=kk)
     else:
-        head_top, head_rows = lax.top_k(hs.T, kk)
+        head_top, head_rows = lax.top_k(hs, kk)
         head_rows = head_rows.astype(jnp.int32)
-    cand_head = hs[cand_flat_rows, cand_flat_cols]  # (M,)
+    cand_head = hs[cand_flat_cols, cand_flat_rows]  # (M,)
     return head_top, head_rows, cand_head
 
 
@@ -245,7 +259,7 @@ def dense_head_scores(
     *,
     head_terms: int,
 ) -> jax.Array:
-    """(R, B) head scores for the oracle/score_all path (host adds tail)."""
+    """(B, R) head scores for the oracle/score_all path (host adds tail)."""
     qhead = scatter_query_head(
         q_head_ids, q_head_weights, head_terms=head_terms
     )

@@ -4,19 +4,22 @@ This is the BM25/TF-IDF batched scoring contraction of
 osr_tpu/ops/bm25.py:head_scores — the north-star "int8/bf16 sparse-dense
 matmul on the MXU" (the dense head IS the sparse term matrix over the
 high-df id range, with the BM25 saturation precomputed into its values;
-see osr_tpu/index/layout.py). One kernel fuses, per (row tile, query tile):
+see osr_tpu/index/layout.py). One kernel fuses, per (query tile, row tile):
 
   1. int8 head tile load (HBM -> VMEM, no bf16 copy ever materialized
      in HBM — the XLA path's convert-then-dot reads 2x the bytes),
   2. upcast + MXU matmul against the per-column-SCALED bf16 query tile
      (the per-column int8 scales fold into the query side:
-     ``(A diag(s)) @ q == A @ (s*q)``),
+     ``(A diag(s)) @ q == A @ (s*q)``), contracting the term axis of BOTH
+     operands so the output is query-major,
   3. f32 accumulation and the validity mask (-inf on padding rows),
 
-writing the (R, B) f32 score matrix directly. The whole head dimension F
-(<= 4096 by layout policy) fits VMEM alongside the row tile, so no K-loop
-is needed: VMEM use = TR*F int8 + F*TB bf16 + TR*TB f32 ~= 1.7 MB at the
-default tiles.
+writing the (B, R) f32 score matrix directly — the orientation
+``lax.top_k`` consumes with no transpose (a (R, B) layout costs ~100 ms
+of un-fused transpose at B=6656 on v5e; DEVELOPMENT.md). The whole head
+dimension F (<= 4096 by layout policy) fits VMEM alongside the row tile,
+so no K-loop is needed: VMEM use = TB*F bf16 + TR*F int8 + TB*TR f32
+~= 1.7 MB at the default tiles.
 
 Numerics match osr_tpu/ops/bm25.py:head_scores (int8 mode) exactly: same
 bf16 operand rounding, f32 accumulation (tests/test_pallas_kernels.py).
@@ -28,6 +31,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -35,55 +39,56 @@ TILE_R = 256
 TILE_B = 128
 
 
-def _head_kernel(head_ref, q_ref, valid_ref, out_ref):
-    """One (TILE_R, TILE_B) output tile: upcast-int8 matmul + mask."""
-    acc = jnp.dot(
-        head_ref[:].astype(jnp.bfloat16),
+def _head_kernel(q_ref, head_ref, valid_ref, out_ref):
+    """One (TILE_B, TILE_R) output tile: upcast-int8 matmul + mask."""
+    acc = lax.dot_general(
         q_ref[:],
+        head_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (TILE_B, TILE_R)
     # f32 mask: Mosaic has no int8 vector comparison on this target.
-    mask = valid_ref[:] > 0.5  # (TILE_R, 1)
+    mask = valid_ref[:] > 0.5  # (1, TILE_R)
     out_ref[:] = jnp.where(mask, acc, -jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def head_scores_pallas(
+    q_scaled: jax.Array,  # (B, F) bfloat16 (counts * per-column scales)
     head: jax.Array,  # (R, F) int8, R % TILE_R == 0, F % 128 == 0
-    q_scaled: jax.Array,  # (F, B) bfloat16 (counts * per-column scales)
-    valid: jax.Array,  # (R, 1) float32 (1.0 = real row)
+    valid: jax.Array,  # (1, R) float32 (1.0 = real row)
     *,
     interpret: bool = False,
 ) -> jax.Array:
-    """(R, B) f32 masked head scores. Shapes must be pre-padded (the
+    """(B, R) f32 masked head scores. Shapes must be pre-padded (the
     engine-facing wrapper below handles padding)."""
     r, f = head.shape
-    b = q_scaled.shape[1]
-    grid = (r // TILE_R, b // TILE_B)
+    b = q_scaled.shape[0]
+    grid = (b // TILE_B, r // TILE_R)
     return pl.pallas_call(
         _head_kernel,
-        out_shape=jax.ShapeDtypeStruct((r, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, r), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
+                    (TILE_B, f),
+                    lambda i, j: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
                     (TILE_R, f),
-                    lambda i, j: (i, 0),
+                    lambda i, j: (j, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (f, TILE_B),
+                    (1, TILE_R),
                     lambda i, j: (0, j),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (TILE_R, 1),
-                    lambda i, j: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (TILE_R, TILE_B),
+                (TILE_B, TILE_R),
                 lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
@@ -94,32 +99,33 @@ def head_scores_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(head, q_scaled, valid)
+    )(q_scaled, head, valid)
 
 
 def masked_head_scores(
     head: jax.Array,  # (R, F) int8
     head_scales: jax.Array,  # (F,) f32
-    qhead: jax.Array,  # (F, B) f32 query counts
+    qhead: jax.Array,  # (B, F) f32 query counts
     valid: jax.Array,  # (R,) bool
     interpret: bool = False,
 ) -> jax.Array:
     """Engine-facing wrapper: scale/round queries, pad to tiles, call the
     kernel, slice back. Drop-in for
-    ``where(valid, ops.bm25.head_scores(...), -inf)`` in int8 mode."""
+    ``where(valid[None, :], ops.bm25.head_scores(...), -inf)`` in int8
+    mode."""
     r, f = head.shape
-    b = qhead.shape[1]
+    b = qhead.shape[0]
     pad_r = (-r) % TILE_R
     pad_b = (-b) % TILE_B
     pad_f = (-f) % 128
-    q = (qhead * head_scales[:, None]).astype(jnp.bfloat16)
+    q = (qhead * head_scales[None, :]).astype(jnp.bfloat16)
     if pad_f:
         head = jnp.pad(head, ((0, 0), (0, pad_f)))
-        q = jnp.pad(q, ((0, pad_f), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, pad_f)))
     if pad_r:
         head = jnp.pad(head, ((0, pad_r), (0, 0)))
     if pad_b:
-        q = jnp.pad(q, ((0, 0), (0, pad_b)))
-    v = jnp.pad(valid.astype(jnp.float32), (0, pad_r))[:, None]
-    out = head_scores_pallas(head, q, v, interpret=interpret)
-    return out[:r, :b]
+        q = jnp.pad(q, ((0, pad_b), (0, 0)))
+    v = jnp.pad(valid.astype(jnp.float32), (0, pad_r))[None, :]
+    out = head_scores_pallas(q, head, v, interpret=interpret)
+    return out[:b, :r]

@@ -58,46 +58,23 @@ def fast_topk(
     return vals, jnp.take_along_axis(coarse_idx, pos, axis=-1)
 
 
-def fast_topk_columns(
-    scores: jax.Array,  # (R, B): candidates along ROWS, queries along columns
-    valid: jax.Array,  # (R,) bool
-    *,
-    k: int,
-    overfetch: int = 2,
-) -> Tuple[jax.Array, jax.Array]:
-    """Column-major variant of :func:`fast_topk` used by the fused search
-    step: the coarse selection transposes a bf16 copy (half the transpose
-    and sort bytes), then candidate scores are re-ranked in exact f32 by a
-    (B, cf) gather from the untransposed matrix. Not jitted: inlined by
-    jitted callers."""
-    r, b = scores.shape
-    kk = min(k, r)
-    cf = min(kk * overfetch, r)
-    coarse = jnp.where(valid[:, None], scores, jnp.float32(-jnp.inf)).astype(
-        jnp.bfloat16
-    )
-    _, cand_rows = lax.top_k(coarse.T, cf)  # (B, cf)
-    cols = jnp.arange(b, dtype=jnp.int32)[:, None]
-    cand_scores = scores[cand_rows, cols]  # exact f32
-    cand_scores = jnp.where(valid[cand_rows], cand_scores, -jnp.inf)
-    vals, pos = lax.top_k(cand_scores, kk)
-    return vals, jnp.take_along_axis(cand_rows, pos, axis=-1)
-
-
-@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+@functools.partial(jax.jit, static_argnames=("k", "block_cols"))
 def block_topk(
-    scores: jax.Array,  # (R, B): candidates along ROWS, queries along columns
+    scores: jax.Array,  # (B, R): queries along rows, candidates along lanes
     *,
     k: int,
-    block_rows: int = 128,
+    block_cols: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k per query via block-max pruning.
+    """Exact top-k per query via block-max pruning (query-major).
 
-    ``lax.top_k`` over the full R rows is sort-cost-bound (~13 ms at
-    R=57664, B=1024 on v5e). Instead: (1) reduce each 128-row block to its
-    max — a bandwidth-bound pass; (2) select the top-k BLOCKS per query —
-    a cheap top-k over R/128 values; (3) gather those blocks' scores and run
-    the exact top-k over k*128 candidates.
+    ``lax.top_k`` over the full R candidates is sort-cost-bound (~114 ms
+    at R=57,640, B=6656 on v5e with the full output consumed). Instead:
+    (1) reduce each 128-lane block to its max — a bandwidth-bound pass;
+    (2) select the top-k BLOCKS per query — a cheap top-k over R/128
+    values; (3) gather those blocks (a contiguous-lane ``take_along_axis``
+    on the second-to-minor axis — fast, unlike coordinate gathers) and run
+    the exact top-k over k*128 candidates. Measured 75 ms vs 105 ms at the
+    shapes above; the win grows with R.
 
     Exactness: a document in the true top-k has score s; its block's max is
     >= s. If that block were not among the k selected blocks, all k selected
@@ -105,27 +82,26 @@ def block_topk(
     so the document ranks at best k+1-th, a contradiction (exact ties can
     swap membership among equal-scored documents, as with any top-k).
 
-    Returns (values (B, k'), row indices (B, k')), k' = min(k, R).
+    Returns (values (B, k'), candidate indices (B, k')), k' = min(k, R).
     """
-    r, b = scores.shape
+    b, r = scores.shape
     kk = min(k, r)
-    pad = (-r) % block_rows
+    pad = (-r) % block_cols
     if pad:
         scores = jnp.pad(
-            scores, ((0, pad), (0, 0)), constant_values=-jnp.inf
+            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
         )
-    g = (r + pad) // block_rows
-    block_max = scores.reshape(g, block_rows, b).max(axis=1)  # (G, B)
+    g = (r + pad) // block_cols
+    xr = scores.reshape(b, g, block_cols)
+    block_max = xr.max(axis=2)  # (B, G)
     nb = min(kk, g)
-    _, top_blocks = lax.top_k(block_max.T, nb)  # (B, nb)
-    row_idx = (
-        top_blocks[:, :, None] * block_rows
-        + jnp.arange(block_rows, dtype=jnp.int32)[None, None, :]
+    _, top_blocks = lax.top_k(block_max, nb)  # (B, nb)
+    cand = jnp.take_along_axis(
+        xr, top_blocks[:, :, None], axis=1
     )  # (B, nb, block)
-    cols = jnp.arange(b, dtype=jnp.int32)[:, None, None]
-    cand = scores[row_idx, cols].reshape(b, nb * block_rows)
-    vals, pos = lax.top_k(cand, kk)
-    rows = jnp.take_along_axis(row_idx.reshape(b, -1), pos, axis=1)
+    vals, pos = lax.top_k(cand.reshape(b, nb * block_cols), kk)
+    blk = jnp.take_along_axis(top_blocks, pos // block_cols, axis=1)
+    rows = blk * block_cols + pos % block_cols
     return vals, rows.astype(jnp.int32)
 
 

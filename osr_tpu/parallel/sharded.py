@@ -76,13 +76,18 @@ def sharded_search(
     def local(qt, qwts, crows, ccols, head_l, scales, valid_l):
         rows_local = r_padded // n_d
         qhead = scatter_query_head(qt, qwts, head_terms=head_terms)
-        hs = head_scores(head_l, scales, qhead)  # (rows_local, B_local)
-        hs = jnp.where(valid_l[:, None], hs, NEG_INF)
+        hs = head_scores(head_l, scales, qhead)  # (B_local, rows_local)
+        hs = jnp.where(valid_l[None, :], hs, NEG_INF)
         row_lo = lax.axis_index(DOC_AXIS) * rows_local
         col_lo = lax.axis_index(QUERY_AXIS) * b_local
 
         kk = min(k, rows_local)
-        s, idx = lax.top_k(hs.T, kk)  # (B_local, kk) local rows
+        if rows_local >= 4096 and rows_local // 128 > 2 * kk:
+            from osr_tpu.ops.topk import block_topk
+
+            s, idx = block_topk(hs, k=kk)  # exact; see ops/topk.py
+        else:
+            s, idx = lax.top_k(hs, kk)  # (B_local, kk) local rows
         ids = idx.astype(jnp.int32) + row_lo
         s_all = lax.all_gather(s, DOC_AXIS, axis=1, tiled=True)
         i_all = lax.all_gather(ids, DOC_AXIS, axis=1, tiled=True)
@@ -102,8 +107,8 @@ def sharded_search(
             & (lcol < b_local)
         )
         vals = hs[
-            jnp.clip(lrow, 0, rows_local - 1),
             jnp.clip(lcol, 0, b_local - 1),
+            jnp.clip(lrow, 0, rows_local - 1),
         ]
         cand_head = lax.psum(
             jnp.where(mine, vals, 0.0), (DOC_AXIS, QUERY_AXIS)

@@ -226,8 +226,8 @@ class SparseSearchEngine:
                 d.head,
                 d.head_scales,
                 head_terms=layout.head_terms,
-            )  # (R, B)
-            scores = np.asarray(hs).T[: len(chunk), : self.index.num_docs]
+            )  # (B, R)
+            scores = np.asarray(hs)[: len(chunk), : self.index.num_docs]
             tail = dense_tail_scores(
                 layout.post_ptr,
                 layout.post_rows,
@@ -313,16 +313,19 @@ class SparseSearchEngine:
             collect(in_flight.pop(0))
 
         for chunk, scores, ids in done:
+            # One bulk .tolist() per batch: native numpy->Python conversion
+            # is ~5x faster than per-element int()/float() in a dict-comp.
+            ids_l = ids.tolist()
+            scores_l = scores.tolist()
             for row, (qid, text) in enumerate(chunk):
-                row_ids, row_scores = ids[row], scores[row]
                 if self._query_cache is not None:
                     with self._cache_lock:
                         if len(self._query_cache) < self._cache_limit:
                             self._query_cache[(text, top_k)] = (
-                                row_ids,
-                                row_scores,
+                                ids[row],
+                                scores[row],
                             )
-                results[qid] = self._to_result(row_ids, row_scores)
+                results[qid] = self._rows_to_result(ids_l[row], scores_l[row])
         return results
 
     def search_weighted(
@@ -358,12 +361,16 @@ class SparseSearchEngine:
     def _to_result(
         self, ids: np.ndarray, scores: np.ndarray
     ) -> Dict[str, float]:
+        return self._rows_to_result(ids.tolist(), scores.tolist())
+
+    def _rows_to_result(self, ids, scores) -> Dict[str, float]:
+        """ids/scores are plain Python lists (one query's top-k)."""
         doc_ids = self.index.doc_ids
         n = len(doc_ids)
         return {
-            doc_ids[int(i)]: float(s)
+            doc_ids[i]: s
             for i, s in zip(ids, scores)
-            if s > 0 and 0 <= int(i) < n
+            if s > 0 and 0 <= i < n
         }
 
     def clear_cache(self) -> None:

@@ -113,7 +113,7 @@ def test_pallas_head_scores_match_xla():
     r, f, b = 300, 160, 17  # deliberately unaligned: exercises padding
     head = rng.randint(-127, 128, (r, f)).astype(np.int8)
     scales = (rng.rand(f).astype(np.float32) + 0.1) / 127.0
-    qhead = rng.randint(0, 4, (f, b)).astype(np.float32)
+    qhead = rng.randint(0, 4, (b, f)).astype(np.float32)
     valid = rng.rand(r) > 0.1
 
     got = masked_head_scores(
@@ -126,7 +126,7 @@ def test_pallas_head_scores_match_xla():
     want = head_scores(
         jnp.asarray(head), jnp.asarray(scales), jnp.asarray(qhead)
     )
-    want = jnp.where(jnp.asarray(valid)[:, None], want, -jnp.inf)
+    want = jnp.where(jnp.asarray(valid)[None, :], want, -jnp.inf)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-6
     )

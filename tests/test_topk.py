@@ -63,7 +63,8 @@ def test_approx_topk_small_n_exact_fallback(rng):
 
 
 def test_block_topk_exact_vs_argsort():
-    """block_topk (block-max pruned) must be EXACTLY lax.top_k."""
+    """block_topk (block-max pruned) must be EXACTLY lax.top_k (query-major:
+    scores are (B, R))."""
     import jax.numpy as jnp
 
     from osr_tpu.ops.topk import block_topk
@@ -71,17 +72,17 @@ def test_block_topk_exact_vs_argsort():
     rng = np.random.RandomState(7)
     for r, b, k, block in [(1000, 16, 50, 128), (57664 // 8, 4, 10, 128),
                            (64, 3, 10, 128), (300, 2, 300, 64)]:
-        scores = rng.randn(r, b).astype(np.float32)
+        scores = rng.randn(b, r).astype(np.float32)
         # inject heavy ties to stress boundary handling
-        scores[rng.rand(r, b) < 0.1] = 1.5
-        vals, rows = block_topk(jnp.asarray(scores), k=k, block_rows=block)
+        scores[rng.rand(b, r) < 0.1] = 1.5
+        vals, rows = block_topk(jnp.asarray(scores), k=k, block_cols=block)
         vals, rows = np.asarray(vals), np.asarray(rows)
         kk = min(k, r)
-        want = -np.sort(-scores, axis=0)[:kk].T  # (B, kk)
+        want = -np.sort(-scores, axis=1)[:, :kk]  # (B, kk)
         np.testing.assert_allclose(vals, want, rtol=1e-6)
-        # returned rows must actually produce the returned values
+        # returned indices must actually produce the returned values
         for i in range(b):
-            np.testing.assert_allclose(scores[rows[i], i], vals[i])
+            np.testing.assert_allclose(scores[i, rows[i]], vals[i])
             assert len(set(rows[i].tolist())) == kk  # no duplicate rows
 
 
@@ -90,9 +91,9 @@ def test_block_topk_with_neg_inf_rows():
 
     from osr_tpu.ops.topk import block_topk
 
-    scores = np.full((40, 2), -np.inf, dtype=np.float32)
-    scores[3, 0] = 1.0
-    scores[17, 1] = 2.0
-    vals, rows = block_topk(jnp.asarray(scores), k=5, block_rows=8)
+    scores = np.full((2, 40), -np.inf, dtype=np.float32)
+    scores[0, 3] = 1.0
+    scores[1, 17] = 2.0
+    vals, rows = block_topk(jnp.asarray(scores), k=5, block_cols=8)
     assert np.asarray(vals)[0, 0] == 1.0 and np.asarray(rows)[0, 0] == 3
     assert np.asarray(vals)[1, 0] == 2.0 and np.asarray(rows)[1, 0] == 17

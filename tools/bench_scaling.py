@@ -4,9 +4,9 @@ reference analogue: tests/large_corpus_test.py, benchmark_efficiency.py:
 101-134).
 
 Runs one corpus size per invocation (pass --docs); appends a JSON line to
-test_results/scaling.jsonl with build time, index memory, head auto-sizing,
-QPS and per-query latency — the data behind the per-chip capacity model in
-DEVELOPMENT.md.
+bench_results/scaling.jsonl (a COMMITTED file — measured evidence) with
+build time, index memory, head auto-sizing, QPS and per-query latency —
+the data behind the per-chip capacity model in DEVELOPMENT.md.
 
 Usage: python tools/bench_scaling.py --docs 1000000 --vocab 400000
 """
@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--topk", type=int, default=50)
     ap.add_argument(
-        "--out", default=str(Path(__file__).parents[1] / "test_results" / "scaling.jsonl")
+        "--out", default=str(Path(__file__).parents[1] / "bench_results" / "scaling.jsonl")
     )
     ap.add_argument(
         "--save-index", help="build, dump raw index arrays to DIR, exit"
