@@ -181,6 +181,44 @@ def main():
     p95_b1 = float(np.percentile(lats, 95))
     log(f"B=1 latency p50={p50_b1:.1f}ms p95={p95_b1:.1f}ms")
 
+    # Device-step roofline: time the fused search program in isolation
+    # (pipelined, fetch-forced) and report achieved HBM bandwidth / MXU
+    # throughput versus v5e peaks (819 GB/s, 197 bf16 TFLOP/s). Traffic
+    # floor: head (int8) read + score-matrix write + block-max read pass.
+    import jax.numpy as jnp
+
+    from osr_tpu.ops import bm25 as ops
+
+    enc = engine.encode_queries([t for _, t in list(queries.items())[:big_b]])
+    packed_q = jnp.asarray(ops.pack_query_batch(enc.head_ids, enc.head_weights))
+    d = engine._dev
+    lay = index.layout
+
+    def dev_step():
+        return ops.fused_search_packed(
+            packed_q, d.empty_i32, d.empty_i32, d.head, d.head_scales,
+            d.valid, head_terms=lay.head_terms, k=TOP_K, topk_mode="exact",
+        )[0]
+
+    np.asarray(dev_step())  # warm (already compiled by the passes above)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out_dev = dev_step()
+    np.asarray(out_dev)
+    device_step_s = (time.perf_counter() - t0) / reps
+    r_rows, f_terms = lay.head.shape
+    bytes_moved = r_rows * f_terms + 2 * big_b * r_rows * 4
+    flops = 2.0 * big_b * r_rows * f_terms
+    roofline = {
+        "device_step_ms": round(device_step_s * 1e3, 1),
+        "hbm_gbps_effective": round(bytes_moved / device_step_s / 1e9, 1),
+        "hbm_gbps_peak_v5e": 819,
+        "mxu_tflops_effective": round(flops / device_step_s / 1e12, 2),
+        "mxu_tflops_peak_v5e_bf16": 197,
+    }
+    log(f"device roofline: {roofline}")
+
     # Same-machine reference CPU anchor.
     ref = measure_reference_cpu(corpus, queries)
     if ref:
@@ -224,6 +262,7 @@ def main():
         "head_dtype": stats["head_dtype"],
         "dense_int8_qps": round(dense_qps, 1),
         "device": str(device),
+        **roofline,
     }
     if ref:
         out["ref_cpu_qps_same_machine"] = round(ref["qps"], 1)
