@@ -20,6 +20,7 @@
 // Exposed via a plain C ABI for ctypes (no pybind11 dependency).
 
 #include <algorithm>
+#include <cmath>
 #include <limits>
 #include <cstdint>
 #include <cstring>
@@ -75,8 +76,61 @@ struct TfResult {
 
 struct TfState {
   TfResult result;
-  Arena arena;
-  std::vector<std::string_view> terms;  // temp id -> bytes
+  std::string lowered;                  // lowercased copy of the corpus
+  std::vector<std::string_view> terms;  // temp id -> bytes (into `lowered`)
+};
+
+// Open-addressing term table: power-of-two capacity, linear probing,
+// FNV-1a hashes computed inline during the token scan. ~3x faster than
+// unordered_map<string_view,...> for the tf_build workload (no node
+// allocations, no bucket pointer chase).
+struct TermTable {
+  struct Slot {
+    const char* p = nullptr;  // nullptr = empty
+    uint32_t len = 0;
+    uint64_t h = 0;
+    int32_t id = 0;
+  };
+  std::vector<Slot> slots;
+  size_t mask = 0;
+  size_t count = 0;
+
+  void init(size_t expect) {
+    size_t cap = 1 << 10;
+    while (cap < expect * 2) cap <<= 1;
+    slots.assign(cap, Slot{});
+    mask = cap - 1;
+  }
+
+  void grow() {
+    std::vector<Slot> old = std::move(slots);
+    slots.assign(old.size() * 2, Slot{});
+    mask = slots.size() - 1;
+    for (const Slot& s : old) {
+      if (!s.p) continue;
+      size_t i = static_cast<size_t>(s.h) & mask;
+      while (slots[i].p) i = (i + 1) & mask;
+      slots[i] = s;
+    }
+  }
+
+  // Returns the existing id, or assigns `next_id` and returns -1 (caller
+  // registers the new term).
+  int32_t find_or_insert(const char* p, uint32_t len, uint64_t h,
+                         int32_t next_id) {
+    if ((count + 1) * 10 > slots.size() * 7) grow();
+    size_t i = static_cast<size_t>(h) & mask;
+    while (slots[i].p) {
+      if (slots[i].h == h && slots[i].len == len &&
+          std::memcmp(slots[i].p, p, len) == 0) {
+        return slots[i].id;
+      }
+      i = (i + 1) & mask;
+    }
+    slots[i] = Slot{p, len, h, next_id};
+    ++count;
+    return -1;
+  }
 };
 
 }  // namespace
@@ -123,13 +177,20 @@ extern "C" {
 
 void* tf_build(const char* buf, int64_t nbytes, const int64_t* doc_offs,
                int64_t ndocs) {
-  (void)nbytes;
   auto* st = new TfState();
   TfResult& r = st->result;
-  std::unordered_map<std::string_view, int32_t> vocab;
-  vocab.reserve(1 << 16);
-  std::string token;
-  token.reserve(64);
+
+  // Lowercase the whole corpus once; tokens are then zero-copy views into
+  // this buffer (token boundaries are unchanged by lowering — A-Z and a-z
+  // are both word bytes).
+  st->lowered.resize(static_cast<size_t>(nbytes));
+  char* low = st->lowered.data();
+  for (int64_t i = 0; i < nbytes; ++i) {
+    low[i] = lower_byte(static_cast<unsigned char>(buf[i]));
+  }
+
+  TermTable table;
+  table.init(1 << 15);
 
   r.indptr.reserve(ndocs + 1);
   r.indptr.push_back(0);
@@ -139,31 +200,32 @@ void* tf_build(const char* buf, int64_t nbytes, const int64_t* doc_offs,
   std::vector<int64_t> epoch_of;
   std::vector<int64_t> slot_of;
 
+  constexpr uint64_t kFnvOffset = 1469598103934665603ULL;
+  constexpr uint64_t kFnvPrime = 1099511628211ULL;
+
   for (int64_t d = 0; d < ndocs; ++d) {
-    const char* p = buf + doc_offs[d];
-    const char* end = buf + doc_offs[d + 1];
+    const char* p = low + doc_offs[d];
+    const char* end = low + doc_offs[d + 1];
     int64_t n_tokens = 0;
     while (p < end) {
       while (p < end && !is_word_byte(static_cast<unsigned char>(*p))) ++p;
       if (p >= end) break;
-      token.clear();
+      const char* tok = p;
+      uint64_t h = kFnvOffset;
       while (p < end && is_word_byte(static_cast<unsigned char>(*p))) {
-        token.push_back(lower_byte(static_cast<unsigned char>(*p)));
+        h = (h ^ static_cast<unsigned char>(*p)) * kFnvPrime;
         ++p;
       }
+      uint32_t tlen = static_cast<uint32_t>(p - tok);
       ++n_tokens;
-      int32_t id;
-      auto it = vocab.find(std::string_view(token));
-      if (it == vocab.end()) {
-        std::string_view interned = st->arena.intern(token);
-        id = static_cast<int32_t>(st->terms.size());
-        st->terms.push_back(interned);
-        vocab.emplace(interned, id);
+      int32_t next_id = static_cast<int32_t>(st->terms.size());
+      int32_t id = table.find_or_insert(tok, tlen, h, next_id);
+      if (id < 0) {
+        id = next_id;
+        st->terms.emplace_back(tok, tlen);
         epoch_of.push_back(-1);
         slot_of.push_back(0);
         r.df.push_back(0);
-      } else {
-        id = it->second;
       }
       if (epoch_of[id] != d) {
         epoch_of[id] = d;
@@ -462,6 +524,106 @@ void merge_topk(const float* head_s, const int32_t* head_r, int64_t b,
       }
     }
   });
+}
+
+// ---------------------------------------------------------------------------
+// Fused weight + hybrid-layout pack (see osr_tpu/index/layout.py:pack_flat —
+// the NumPy implementation is the reference; this is the same computation in
+// two O(nnz) passes with no intermediate weight array, no argsort)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Per-(doc, term) score weight, float32 op-for-op identical to
+// builder.compute_weights_flat (NumPy weak-scalar promotion => f32 math;
+// scalars pre-reduced in double exactly like `1.0 - b` in Python).
+struct WeightFn {
+  int method;  // 0 = bm25, 1 = tfidf
+  float k1, b, one_minus_b, k1p1, avgdl;
+  inline float operator()(float tf, float dl, float idf) const {
+    if (method == 1) return idf * tf;
+    float norm = k1 * (one_minus_b + b * dl / avgdl);
+    float sat = tf * k1p1 / (tf + norm);
+    return idf * sat;
+  }
+};
+
+}  // namespace
+
+// Packs the flat doc-major term matrix into the int8-head + postings-tail
+// layout. Returns tail_nnz (must equal the caller-computed capacity), or -1
+// if the tail overflows `tail_cap`. `head` is (rows x f) and is fully
+// written (zeros included); `post_ptr` is (v - f + 1).
+int64_t pack_hybrid_int8(const int64_t* indptr, int64_t ndocs, int64_t rows,
+                         const int32_t* term_ids, const float* tfs,
+                         const float* doc_lengths, const float* idf,
+                         int64_t f, int64_t v, int method, double k1,
+                         double b, double avgdl, int8_t* head, float* scales,
+                         int64_t* post_ptr, int32_t* post_rows, float* post_w,
+                         int64_t tail_cap) {
+  WeightFn wf{method,
+              static_cast<float>(k1),
+              static_cast<float>(b),
+              static_cast<float>(1.0 - b),
+              static_cast<float>(k1 + 1.0),
+              static_cast<float>(avgdl)};
+  std::memset(head, 0, static_cast<size_t>(rows) * static_cast<size_t>(f));
+  int64_t n_tail_terms = v - f;
+  std::vector<float> colmax(static_cast<size_t>(f), 0.0f);
+  std::vector<int64_t> tail_counts(
+      static_cast<size_t>(n_tail_terms > 0 ? n_tail_terms : 0), 0);
+
+  // Pass 1: per-column absmax over head entries; per-term tail counts.
+  for (int64_t d = 0; d < ndocs; ++d) {
+    float dl = doc_lengths[d];
+    for (int64_t j = indptr[d]; j < indptr[d + 1]; ++j) {
+      int64_t t = term_ids[j];
+      if (t < f) {
+        float w = wf(tfs[j], dl, idf[t]);
+        float a = std::fabs(w);
+        if (a > colmax[static_cast<size_t>(t)])
+          colmax[static_cast<size_t>(t)] = a;
+      } else {
+        ++tail_counts[static_cast<size_t>(t - f)];
+      }
+    }
+  }
+  for (int64_t t = 0; t < f; ++t) {
+    scales[t] = colmax[static_cast<size_t>(t)] > 0.0f
+                    ? colmax[static_cast<size_t>(t)] / 127.0f
+                    : 1.0f;
+  }
+  post_ptr[0] = 0;
+  for (int64_t t = 0; t < n_tail_terms; ++t) {
+    post_ptr[t + 1] = post_ptr[t] + tail_counts[static_cast<size_t>(t)];
+  }
+  if (n_tail_terms > 0 && post_ptr[n_tail_terms] > tail_cap) return -1;
+
+  // Pass 2: head quantize-scatter + tail counting-sort fill. Doc-major input
+  // order keeps each term's postings sorted by row (matches the NumPy
+  // path's stable argsort).
+  std::vector<int64_t> cursor(tail_counts.size());
+  if (n_tail_terms > 0)
+    std::memcpy(cursor.data(), post_ptr, tail_counts.size() * sizeof(int64_t));
+  for (int64_t d = 0; d < ndocs; ++d) {
+    float dl = doc_lengths[d];
+    int8_t* hrow = head + d * f;
+    for (int64_t j = indptr[d]; j < indptr[d + 1]; ++j) {
+      int64_t t = term_ids[j];
+      float w = wf(tfs[j], dl, idf[t]);
+      if (t < f) {
+        float q = std::nearbyintf(w / scales[t]);  // rint: half-to-even
+        if (q > 127.0f) q = 127.0f;
+        if (q < -127.0f) q = -127.0f;
+        hrow[t] = static_cast<int8_t>(q);
+      } else {
+        int64_t pos = cursor[static_cast<size_t>(t - f)]++;
+        post_rows[pos] = static_cast<int32_t>(d);
+        post_w[pos] = w;
+      }
+    }
+  }
+  return n_tail_terms > 0 ? post_ptr[n_tail_terms] : 0;
 }
 
 // ---------------------------------------------------------------------------

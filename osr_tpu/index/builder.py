@@ -257,6 +257,48 @@ class SparseIndexBuilder:
             pos += n
         return vocabulary, df, doc_lengths, indptr, flat_tids, flat_tfs
 
+    def _pack_native(
+        self, indptr, flat_tids, flat_tfs, doc_lengths, idf, num_docs,
+        vocab_size, head_terms, avgdl,
+    ) -> Optional[HybridLayout]:
+        """Fused C++ weight+pack fast path (int8 head only).
+
+        Produces arrays bit-identical to compute_weights_flat + pack_flat
+        (proven by tests/test_native.py::test_pack_hybrid_parity); returns
+        None when the native library isn't available or the head dtype
+        isn't int8, and the caller falls back to the NumPy path.
+        """
+        if self.head_dtype != "int8":
+            return None
+        try:
+            from osr_tpu.native import pack_hybrid_int8_native
+        except ImportError:
+            return None
+        from osr_tpu.index.layout import DOC_ALIGN, _round_up
+
+        rows = max(_round_up(num_docs, DOC_ALIGN), DOC_ALIGN)
+        head, scales, post_ptr, post_rows, post_weights = (
+            pack_hybrid_int8_native(
+                indptr, flat_tids, flat_tfs, doc_lengths, idf,
+                rows, head_terms, vocab_size, self.method,
+                self.k1, self.b, avgdl,
+            )
+        )
+        valid = np.zeros(rows, dtype=bool)
+        valid[:num_docs] = True
+        return HybridLayout(
+            head_terms=head_terms,
+            head=head,
+            head_scales=scales,
+            post_ptr=post_ptr,
+            post_rows=post_rows,
+            post_weights=post_weights,
+            valid=valid,
+            num_docs=num_docs,
+            vocab_size=vocab_size,
+            head_dtype="int8",
+        )
+
     def build(self, corpus: Mapping[str, Union[str, Mapping]]) -> SparseIndex:
         if not corpus:
             raise ValueError("Empty corpus provided")
@@ -306,18 +348,6 @@ class SparseIndexBuilder:
         # a prefix — they MUST land in the head (layout.py exactness).
         n_nonpos = int(np.searchsorted(idf, 0.0, side="right"))
 
-        weights = compute_weights_flat(
-            flat_tids,
-            flat_tfs,
-            indptr,
-            doc_lengths,
-            idf,
-            self.method,
-            self.k1,
-            self.b,
-            avgdl,
-        )
-
         f = choose_head_terms(
             num_docs,
             vocab_size,
@@ -327,18 +357,34 @@ class SparseIndexBuilder:
             self.head_budget_bytes,
             self.head_cap,
         )
-        doc_idx = np.repeat(
-            np.arange(num_docs, dtype=np.int64), np.diff(indptr)
+        layout = self._pack_native(
+            indptr, flat_tids, flat_tfs, doc_lengths, idf, num_docs,
+            vocab_size, f, avgdl,
         )
-        layout = pack_flat(
-            doc_idx,
-            flat_tids,
-            weights,
-            num_docs,
-            vocab_size,
-            head_terms=f,
-            head_dtype=self.head_dtype,
-        )
+        if layout is None:
+            weights = compute_weights_flat(
+                flat_tids,
+                flat_tfs,
+                indptr,
+                doc_lengths,
+                idf,
+                self.method,
+                self.k1,
+                self.b,
+                avgdl,
+            )
+            doc_idx = np.repeat(
+                np.arange(num_docs, dtype=np.int64), np.diff(indptr)
+            )
+            layout = pack_flat(
+                doc_idx,
+                flat_tids,
+                weights,
+                num_docs,
+                vocab_size,
+                head_terms=f,
+                head_dtype=self.head_dtype,
+            )
 
         index = SparseIndex(
             method=self.method,

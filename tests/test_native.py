@@ -61,6 +61,50 @@ def test_native_path_falls_back_on_unicode():
     assert SparseIndexBuilder._count_corpus_native(texts) is None
 
 
+@pytest.mark.parametrize("method", ["bm25", "tfidf"])
+@pytest.mark.parametrize("head_terms", [0, 32, 150])
+def test_pack_hybrid_parity(method, head_terms):
+    """The fused C++ weight+pack produces arrays BIT-identical to the NumPy
+    compute_weights_flat + pack_flat reference path (int8 head)."""
+    from osr_tpu.index.builder import compute_weights_flat, bm25_idf, tfidf_idf
+    from osr_tpu.index.layout import DOC_ALIGN, _round_up, pack_flat
+
+    corpus = zipf_corpus(num_docs=70, vocab_size=150, avg_len=40)
+    texts = [d["text"] for d in corpus.values()]
+    vocab, df, dl, indptr, tids, tfs = SparseIndexBuilder._count_corpus_python(
+        texts
+    )
+    num_docs, vocab_size = len(texts), len(vocab)
+    head_terms = min(head_terms, vocab_size)
+    avgdl = float(dl.mean())
+    idf = (
+        bm25_idf(df, num_docs) if method == "bm25" else tfidf_idf(df, num_docs)
+    )
+    k1, b = 1.2, 0.75
+
+    weights = compute_weights_flat(
+        tids, tfs, indptr, dl, idf, method, k1, b, avgdl
+    )
+    doc_idx = np.repeat(np.arange(num_docs, dtype=np.int64), np.diff(indptr))
+    want = pack_flat(
+        doc_idx, tids, weights, num_docs, vocab_size,
+        head_terms=head_terms, head_dtype="int8",
+    )
+
+    rows = max(_round_up(num_docs, DOC_ALIGN), DOC_ALIGN)
+    head, scales, post_ptr, post_rows, post_w = (
+        native.pack_hybrid_int8_native(
+            indptr, tids, tfs, dl, idf, rows, head_terms, vocab_size,
+            method, k1, b, avgdl,
+        )
+    )
+    np.testing.assert_array_equal(head, want.head)
+    np.testing.assert_array_equal(scales, want.head_scales)
+    np.testing.assert_array_equal(post_ptr, want.post_ptr)
+    np.testing.assert_array_equal(post_rows, want.post_rows)
+    np.testing.assert_array_equal(post_w, want.post_weights)
+
+
 def test_index_built_via_native_matches_oracle():
     corpus = zipf_corpus(num_docs=100, vocab_size=300, avg_len=30)
     queries = zipf_queries(num_queries=8, vocab_size=300)
