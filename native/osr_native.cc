@@ -453,7 +453,13 @@ int64_t tail_candidates(const int64_t* post_ptr, const int32_t* post_rows,
 // Head scores of flat candidates, computed host-side from the resident head
 // matrix: out[m] = sum_j head[rows[m], qh_tids[j]] * (scale) * qh_counts[j]
 // over the owning query's head terms. head_kind: 0 = int8 (per-column
-// `scales`), 1 = float32, 2 = bfloat16 (raw uint16).
+// `scales`), 1 = float32, 2 = bfloat16 (raw uint16), 3 = int8 with the
+// column scales already folded into qh_counts (the fast path — one fewer
+// gather per element; the Python wrapper folds).
+//
+// The workload is memory-latency bound (each candidate touches ~|q| head
+// bytes scattered across a matrix far larger than LLC), so rows a fixed
+// distance ahead are software-prefetched.
 void cand_head_dot(const void* head, int64_t head_kind, const float* scales,
                    int64_t f, const int32_t* rows, const int32_t* cols,
                    int64_t m, const int32_t* qh_tids, const float* qh_counts,
@@ -461,26 +467,89 @@ void cand_head_dot(const void* head, int64_t head_kind, const float* scales,
   const int8_t* h8 = static_cast<const int8_t*>(head);
   const float* h32 = static_cast<const float*>(head);
   const uint16_t* h16 = static_cast<const uint16_t*>(head);
+  constexpr int64_t kAhead = 16;  // prefetch distance (candidates)
   int threads = n_threads_for(m, 4096);
   parallel_ranges(m, threads, [&](int64_t lo, int64_t hi, int) {
     for (int64_t i = lo; i < hi; ++i) {
+      if ((head_kind == 0 || head_kind == 3) && i + kAhead < hi) {
+        const int8_t* pbase =
+            h8 + static_cast<int64_t>(rows[i + kAhead]) * f;
+        int64_t pq = cols[i + kAhead];
+        for (int64_t j = qh_ptr[pq]; j < qh_ptr[pq + 1]; ++j) {
+          __builtin_prefetch(pbase + qh_tids[j], 0, 0);
+        }
+      }
       int64_t row = rows[i];
       int64_t q = cols[i];
       float acc = 0.0f;
-      for (int64_t j = qh_ptr[q]; j < qh_ptr[q + 1]; ++j) {
-        int64_t t = qh_tids[j];
-        float w;
-        if (head_kind == 0) {
-          w = static_cast<float>(h8[row * f + t]) * scales[t];
-        } else if (head_kind == 1) {
-          w = h32[row * f + t];
-        } else {
-          uint32_t bits = static_cast<uint32_t>(h16[row * f + t]) << 16;
-          std::memcpy(&w, &bits, sizeof(w));
+      if (head_kind == 3) {
+        const int8_t* base = h8 + row * f;
+        for (int64_t j = qh_ptr[q]; j < qh_ptr[q + 1]; ++j) {
+          acc += static_cast<float>(base[qh_tids[j]]) * qh_counts[j];
         }
-        acc += w * qh_counts[j];
+      } else {
+        for (int64_t j = qh_ptr[q]; j < qh_ptr[q + 1]; ++j) {
+          int64_t t = qh_tids[j];
+          float w;
+          if (head_kind == 0) {
+            w = static_cast<float>(h8[row * f + t]) * scales[t];
+          } else if (head_kind == 1) {
+            w = h32[row * f + t];
+          } else {
+            uint32_t bits = static_cast<uint32_t>(h16[row * f + t]) << 16;
+            std::memcpy(&w, &bits, sizeof(w));
+          }
+          acc += w * qh_counts[j];
+        }
       }
       out[i] = acc;
+    }
+  });
+}
+
+// Blocked int8 transpose: dst(F, R) from src(R, F). 64x64 tiles keep both
+// sides cache-resident (a naive strided copy is ~10x slower at GB scale).
+void transpose_i8(const int8_t* src, int64_t r, int64_t f, int8_t* dst) {
+  constexpr int64_t T = 64;
+  int threads = n_threads_for(r * f, 1 << 22);
+  parallel_ranges((r + T - 1) / T, threads, [&](int64_t blo, int64_t bhi,
+                                                int) {
+    for (int64_t bi = blo; bi < bhi; ++bi) {
+      int64_t i0 = bi * T;
+      int64_t i1 = std::min<int64_t>(r, i0 + T);
+      for (int64_t j0 = 0; j0 < f; j0 += T) {
+        int64_t j1 = std::min<int64_t>(f, j0 + T);
+        for (int64_t i = i0; i < i1; ++i) {
+          const int8_t* s = src + i * f;
+          for (int64_t j = j0; j < j1; ++j) {
+            dst[j * r + i] = s[j];
+          }
+        }
+      }
+    }
+  });
+}
+
+// Candidate head scores from a TERM-MAJOR (F, R) int8 head copy. Per
+// (query, term) the candidate rows are ascending, so the inner loop walks
+// one head column forward — hardware-prefetchable streaming instead of the
+// row-major variant's random gathers. Column scales must be pre-folded
+// into qh_counts (the Python wrapper folds). out must be zeroed.
+void cand_head_dot_t(const int8_t* head_t, int64_t r, const int32_t* rows,
+                     const int64_t* c_ptr, int64_t nq,
+                     const int32_t* qh_tids, const float* qh_counts,
+                     const int64_t* qh_ptr, float* out) {
+  int threads = n_threads_for(c_ptr[nq] + nq, 4096);
+  parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
+    for (int64_t q = lo; q < hi; ++q) {
+      int64_t a = c_ptr[q], z = c_ptr[q + 1];
+      for (int64_t j = qh_ptr[q]; j < qh_ptr[q + 1]; ++j) {
+        const int8_t* col = head_t + static_cast<int64_t>(qh_tids[j]) * r;
+        float w = qh_counts[j];
+        for (int64_t i = a; i < z; ++i) {
+          out[i] += static_cast<float>(col[rows[i]]) * w;
+        }
+      }
     }
   });
 }

@@ -173,15 +173,27 @@ def cand_head_scores_host(
     head_flat_counts: np.ndarray,  # (Nh,) float32
     head_ptr: np.ndarray,  # (nq+1,) int64
     use_native: bool = True,
+    head_t: Optional[np.ndarray] = None,  # (F, R) int8 term-major copy
 ) -> np.ndarray:
     """Head scores of the flat candidates, computed from the host-resident
     head matrix (avoids any device gather/transfer on the host-merge path).
+
+    When a term-major ``head_t`` copy is supplied (int8 only), the scorer
+    streams head columns forward over each query's ascending candidate rows
+    instead of gathering rows at random — the engine caches that copy.
     """
     total = cand.total
     if total == 0:
         return np.zeros(0, dtype=np.float32)
     if use_native:
         try:
+            if head_t is not None and head_dtype == "int8":
+                from osr_tpu.native import cand_head_dot_t_native
+
+                return cand_head_dot_t_native(
+                    head_t, head_scales, cand.rows, cand.ptr, total,
+                    head_flat_ids, head_flat_counts, head_ptr,
+                )
             from osr_tpu.native import cand_head_dot_native
 
             return cand_head_dot_native(

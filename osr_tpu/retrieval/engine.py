@@ -108,6 +108,16 @@ class SparseSearchEngine:
             raise ValueError(f"Unknown merge_backend: {merge_backend}")
         self.merge_backend = merge_backend
         self._dev = _DeviceIndex(index.layout, self.device)
+        # Term-major host copy of the int8 head for the candidate scorer
+        # (streaming column access; see postings.cand_head_scores_host).
+        self._head_t: Optional[np.ndarray] = None
+        if merge_backend == "host" and index.layout.head_dtype == "int8":
+            try:
+                from osr_tpu.native import transpose_i8_native
+
+                self._head_t = transpose_i8_native(index.layout.head)
+            except ImportError:
+                pass
         # Query cache: (query_text, top_k) -> (ids, scores), insert-only with
         # a cap, matching reference retrieval.py:287-289.
         self._query_cache: Optional[
@@ -178,6 +188,7 @@ class SparseSearchEngine:
                 enc.head_flat_ids,
                 enc.head_flat_counts,
                 enc.head_ptr,
+                head_t=self._head_t,
             )
         return cand, out, cand_head
 

@@ -215,6 +215,43 @@ def test_merge_host_no_candidates(use_native):
 
 
 @pytest.mark.skipif(len(BACKENDS) < 2, reason="native lib not built")
+def test_cand_head_scores_transposed_equals_numpy():
+    """The term-major streaming scorer (head_t path) matches the NumPy
+    reference; transpose_i8_native round-trips exactly."""
+    pytest.importorskip("osr_tpu.native")
+    from osr_tpu.native import transpose_i8_native
+    from osr_tpu.index.postings import cand_head_scores_host
+
+    rng = np.random.RandomState(7)
+    r_, f, b = 41, 13, 6
+    head = rng.randint(-127, 128, (r_, f)).astype(np.int8)
+    head_t = transpose_i8_native(head)
+    np.testing.assert_array_equal(head_t, head.T)
+    scales = (rng.rand(f).astype(np.float32) + 0.1) / 127
+    hl = [
+        np.sort(rng.choice(f, size=rng.randint(0, 5), replace=False))
+        for _ in range(b)
+    ]
+    cl = [rng.randint(1, 3, len(t)).astype(np.float32) for t in hl]
+    tids, counts, hptr = _flat_queries(hl, cl)
+    # Proper query-major candidates with a consistent ptr.
+    cols = np.sort(rng.randint(0, b, 23)).astype(np.int32)
+    rows = rng.randint(0, r_, 23).astype(np.int32)
+    ptr = np.zeros(b + 1, np.int64)
+    np.cumsum(np.bincount(cols, minlength=b), out=ptr[1:])
+    cand = FlatCandidates(
+        rows=rows, cols=cols, tail=np.zeros(23, np.float32), ptr=ptr, total=23
+    )
+    got_t = cand_head_scores_host(
+        head, "int8", scales, cand, tids, counts, hptr,
+        use_native=True, head_t=head_t,
+    )
+    want = cand_head_scores_host(
+        head, "int8", scales, cand, tids, counts, hptr, use_native=False
+    )
+    np.testing.assert_allclose(got_t, want, rtol=1e-6)
+
+
 def test_cand_head_scores_host_native_equals_numpy():
     from osr_tpu.index.postings import cand_head_scores_host
 
