@@ -397,6 +397,11 @@ int64_t encode_queries(void* vocab_h, const char* buf,
 // For each query, walk its tail terms' postings, sum duplicate rows, emit a
 // flat query-major candidate list (rows ascending per query). Returns total
 // candidates, or -1 if `cap` is too small.
+//
+// Each term's postings are already row-ascending (layout invariant), so a
+// query's candidate list is a k-way MERGE of its ~10 sorted segments —
+// O(n log k) with a small binary heap instead of the O(n log n) sort of the
+// concatenated postings, and duplicate rows are summed as they stream out.
 int64_t tail_candidates(const int64_t* post_ptr, const int32_t* post_rows,
                         const float* post_w, const int32_t* q_tids,
                         const float* q_counts, const int64_t* q_ptr,
@@ -406,25 +411,52 @@ int64_t tail_candidates(const int64_t* post_ptr, const int32_t* post_rows,
       static_cast<size_t>(nq));
   int threads = n_threads_for(q_ptr[nq] + nq, 256);
   parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
-    std::vector<std::pair<int32_t, float>> buf;
+    struct Head {
+      int32_t row;   // current posting row of this segment
+      int32_t seg;   // segment index
+    };
+    std::vector<Head> heap;
+    std::vector<int64_t> pos, end;
+    std::vector<float> cnt;
     for (int64_t q = lo; q < hi; ++q) {
-      buf.clear();
+      int64_t nseg = q_ptr[q + 1] - q_ptr[q];
+      auto& out = rows[static_cast<size_t>(q)];
+      if (nseg == 0) continue;
+      heap.clear();
+      pos.clear();
+      end.clear();
+      cnt.clear();
+      int64_t total_post = 0;
       for (int64_t j = q_ptr[q]; j < q_ptr[q + 1]; ++j) {
         int32_t t = q_tids[j];
-        float c = q_counts[j];
-        for (int64_t p = post_ptr[t]; p < post_ptr[t + 1]; ++p) {
-          buf.emplace_back(post_rows[p], post_w[p] * c);
-        }
+        int64_t a = post_ptr[t], z = post_ptr[t + 1];
+        if (a == z) continue;
+        int32_t s = static_cast<int32_t>(pos.size());
+        pos.push_back(a);
+        end.push_back(z);
+        cnt.push_back(q_counts[j]);
+        heap.push_back({post_rows[a], s});
+        total_post += z - a;
       }
-      std::sort(buf.begin(), buf.end(),
-                [](const auto& a, const auto& b) { return a.first < b.first; });
-      auto& out = rows[static_cast<size_t>(q)];
-      out.reserve(buf.size());
-      for (auto& pr : buf) {
-        if (!out.empty() && out.back().first == pr.first) {
-          out.back().second += pr.second;
+      out.reserve(static_cast<size_t>(total_post));
+      auto less = [](const Head& a, const Head& b) {
+        return a.row > b.row;  // min-heap on row
+      };
+      std::make_heap(heap.begin(), heap.end(), less);
+      while (!heap.empty()) {
+        std::pop_heap(heap.begin(), heap.end(), less);
+        Head h = heap.back();
+        heap.pop_back();
+        int32_t s = h.seg;
+        float v = post_w[pos[s]] * cnt[s];
+        if (!out.empty() && out.back().first == h.row) {
+          out.back().second += v;
         } else {
-          out.push_back(pr);
+          out.emplace_back(h.row, v);
+        }
+        if (++pos[s] < end[s]) {
+          heap.push_back({post_rows[pos[s]], s});
+          std::push_heap(heap.begin(), heap.end(), less);
         }
       }
     }
@@ -539,6 +571,7 @@ void cand_head_dot_t(const int8_t* head_t, int64_t r, const int32_t* rows,
                      const int64_t* c_ptr, int64_t nq,
                      const int32_t* qh_tids, const float* qh_counts,
                      const int64_t* qh_ptr, float* out) {
+  constexpr int64_t kAhead = 16;  // outstanding-miss depth for sparse rows
   int threads = n_threads_for(c_ptr[nq] + nq, 4096);
   parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
     for (int64_t q = lo; q < hi; ++q) {
@@ -546,7 +579,11 @@ void cand_head_dot_t(const int8_t* head_t, int64_t r, const int32_t* rows,
       for (int64_t j = qh_ptr[q]; j < qh_ptr[q + 1]; ++j) {
         const int8_t* col = head_t + static_cast<int64_t>(qh_tids[j]) * r;
         float w = qh_counts[j];
+        // When candidate rows are sparser than a cache line the walk is
+        // latency-bound (one miss per element at corpus scale); issuing
+        // prefetches kAhead elements ahead keeps ~16 misses in flight.
         for (int64_t i = a; i < z; ++i) {
+          if (i + kAhead < z) __builtin_prefetch(col + rows[i + kAhead], 0, 0);
           out[i] += static_cast<float>(col[rows[i]]) * w;
         }
       }

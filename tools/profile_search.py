@@ -89,6 +89,7 @@ def main():
             enc.head_flat_ids,
             enc.head_flat_counts,
             enc.head_ptr,
+            head_t=engine._head_t,
         )
         t["host cand head-dot"] += time.perf_counter() - t0
         handles.append((enc, cand, ch))
