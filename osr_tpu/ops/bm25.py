@@ -155,29 +155,46 @@ def fused_search(
     qhead = scatter_query_head(
         q_head_ids, q_head_weights, head_terms=head_terms
     )
+    r = head.shape[0]
+    kk = min(k, r)
+    use_block_prune = (
+        topk_mode != "approx" and r >= 4096 and r // 128 > 2 * kk
+    )
+    bmax = None
     if head_backend == "pallas":
         if head.dtype != jnp.int8:
             raise ValueError("head_backend='pallas' requires an int8 head")
-        from osr_tpu.ops.pallas.head import masked_head_scores
+        from osr_tpu.ops.pallas.head import (
+            masked_head_scores,
+            masked_head_scores_blockmax,
+        )
 
-        hs = masked_head_scores(head, head_scales, qhead, valid)
+        if use_block_prune:
+            # Fused scores+blockmax: the pruned selection's block-max pass
+            # never re-reads the (B, R) matrix from HBM.
+            hs, bmax = masked_head_scores_blockmax(
+                head, head_scales, qhead, valid
+            )
+        else:
+            hs = masked_head_scores(head, head_scales, qhead, valid)
     else:
         hs = head_scores(head, head_scales, qhead)  # (B, R)
         hs = jnp.where(valid[None, :], hs, NEG_INF)
-    r = hs.shape[1]
-    kk = min(k, r)
     if topk_mode == "approx":
         head_top, head_rows = lax.approx_max_k(
             hs, kk, recall_target=0.95
         )
         head_rows = head_rows.astype(jnp.int32)
-    elif r >= 4096 and r // 128 > 2 * kk:
+    elif use_block_prune:
         # Exact block-max-pruned selection: 75 ms vs 105 ms for plain
         # lax.top_k at (B=6656, R=57,640, k=50) on v5e (osr_tpu/ops/topk.py:
         # block_topk for the exactness argument and measurements).
-        from osr_tpu.ops.topk import block_topk
+        from osr_tpu.ops.topk import block_topk, block_topk_from_max
 
-        head_top, head_rows = block_topk(hs, k=kk)
+        if bmax is not None:
+            head_top, head_rows = block_topk_from_max(hs, bmax, k=kk)
+        else:
+            head_top, head_rows = block_topk(hs, k=kk)
     else:
         head_top, head_rows = lax.top_k(hs, kk)
         head_rows = head_rows.astype(jnp.int32)

@@ -105,6 +105,42 @@ def block_topk(
     return vals, rows.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block_cols"))
+def block_topk_from_max(
+    scores: jax.Array,  # (B, R)
+    block_max: jax.Array,  # (B, G) precomputed per-block maxima
+    *,
+    k: int,
+    block_cols: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`block_topk` steps 2-3 with the block maxima supplied by the
+    caller — the fused Pallas head kernel
+    (osr_tpu/ops/pallas/head.py:masked_head_scores_blockmax) reduces them
+    while the score tile is still in VMEM, so the bandwidth-bound pass that
+    re-reads the (B, R) score matrix from HBM disappears. Exactness
+    argument identical to :func:`block_topk`."""
+    b, r = scores.shape
+    kk = min(k, r)
+    pad = (-r) % block_cols
+    if pad:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )
+    g = (r + pad) // block_cols
+    if block_max.shape[1] != g:
+        raise ValueError(
+            f"block_max has {block_max.shape[1]} blocks, expected {g}"
+        )
+    xr = scores.reshape(b, g, block_cols)
+    nb = min(kk, g)
+    _, top_blocks = lax.top_k(block_max, nb)  # (B, nb)
+    cand = jnp.take_along_axis(xr, top_blocks[:, :, None], axis=1)
+    vals, pos = lax.top_k(cand.reshape(b, nb * block_cols), kk)
+    blk = jnp.take_along_axis(top_blocks, pos // block_cols, axis=1)
+    rows = blk * block_cols + pos % block_cols
+    return vals, rows.astype(jnp.int32)
+
+
 def merge_topk(
     scores_parts: Sequence[jax.Array],  # each (B, k_i)
     ids_parts: Sequence[jax.Array],  # each (B, k_i) global ids

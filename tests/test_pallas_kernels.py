@@ -101,6 +101,51 @@ def test_dense_engine_pallas_backend_matches_xla(embeddings):
         DenseSearchEngine(doc_ids, emb, backend="pallas", quantization="asymmetric")
 
 
+def test_pallas_head_blockmax_matches_xla():
+    """Fused scores+blockmax kernel: scores == the XLA chain exactly, and
+    the in-kernel block maxima == maxima computed from the score matrix —
+    so block_topk_from_max(scores, bmax) == block_topk(scores)."""
+    import jax
+
+    from osr_tpu.ops.bm25 import head_scores
+    from osr_tpu.ops.pallas.head import masked_head_scores_blockmax
+    from osr_tpu.ops.topk import block_topk, block_topk_from_max
+
+    rng = np.random.RandomState(3)
+    r, f, b = 700, 160, 9  # unaligned on every axis
+    head = rng.randint(-127, 128, (r, f)).astype(np.int8)
+    scales = (rng.rand(f).astype(np.float32) + 0.1) / 127.0
+    qhead = rng.randint(0, 4, (b, f)).astype(np.float32)
+    valid = rng.rand(r) > 0.1
+
+    interp = jax.devices()[0].platform != "tpu"
+    hs, bmax = masked_head_scores_blockmax(
+        jnp.asarray(head),
+        jnp.asarray(scales),
+        jnp.asarray(qhead),
+        jnp.asarray(valid),
+        interpret=interp,
+    )
+    want = head_scores(
+        jnp.asarray(head), jnp.asarray(scales), jnp.asarray(qhead)
+    )
+    want = jnp.where(jnp.asarray(valid)[None, :], want, -jnp.inf)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(want), rtol=1e-6)
+
+    # Block maxima vs a NumPy reduction over the padded score matrix.
+    padded = np.pad(
+        np.asarray(want), ((0, 0), (0, (-r) % 128)),
+        constant_values=-np.inf,
+    )
+    want_bmax = padded.reshape(b, -1, 128).max(axis=2)
+    np.testing.assert_array_equal(np.asarray(bmax), want_bmax)
+
+    v1, r1 = block_topk_from_max(hs, bmax, k=7)
+    v2, r2 = block_topk(hs, k=7)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+
 def test_pallas_head_scores_match_xla():
     """Fused Mosaic head-scoring kernel == the XLA int8 chain, exactly
     (same bf16 operand rounding, f32 accumulation, -inf mask)."""
