@@ -23,12 +23,15 @@ reproduces the ``test_results/`` tree.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import random
 from pathlib import Path
 from typing import Any, Dict, Optional, Union
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from osr_tpu.benchmarks.integration import IntegrationRunner
 from osr_tpu.benchmarks.suites import ALL_SUITES
@@ -76,9 +79,24 @@ def load_benchmark_config(path: Union[str, Path]) -> BenchmarkConfig:
 def run_from_config(cfg: BenchmarkConfig) -> Dict[str, Any]:
     """Seed, pin threads, run the selected suites, write reports."""
     if cfg.num_threads is not None:
-        # Reference benchmark_runner.py:117-119 thread-count control.
+        # Reference benchmark_runner.py:117-119 thread-count control. The
+        # env vars only bind pools not yet initialized (NumPy's BLAS reads
+        # them at import, which has already happened here); threadpoolctl
+        # re-pins live pools when available, otherwise warn that the knob
+        # covers subprocesses/JAX only.
         os.environ["OMP_NUM_THREADS"] = str(cfg.num_threads)
         os.environ["MKL_NUM_THREADS"] = str(cfg.num_threads)
+        try:
+            import threadpoolctl
+
+            threadpoolctl.threadpool_limits(limits=cfg.num_threads)
+        except ImportError:
+            logger.warning(
+                "num_threads=%d: BLAS pools were initialized before this "
+                "runner (threadpoolctl not installed); the limit applies "
+                "only to pools created after this point",
+                cfg.num_threads,
+            )
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)
 

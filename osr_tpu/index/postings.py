@@ -222,8 +222,21 @@ def cand_head_scores_host(
         head[cand.rows[:total][:, None], tid_pad[q]], dtype=np.float32
     )
     if head_dtype == "int8" and head_scales is not None:
-        w = w * head_scales[tid_pad[q]]
+        # Same numeric pipeline as the device head matmul: the query-side
+        # weight (count * column scale) rounds to bf16 there
+        # (ops/bm25.py:head_scores), so the merge compares head-top scores
+        # and candidate totals computed with identical head-score rounding.
+        return (w * _bf16(cnt_pad[q] * head_scales[tid_pad[q]])).sum(
+            axis=1
+        ).astype(np.float32)
     return (w * cnt_pad[q]).sum(axis=1).astype(np.float32)
+
+
+def _bf16(x: np.ndarray) -> np.ndarray:
+    """Round f32 to the nearest bfloat16 value (returned as f32)."""
+    import ml_dtypes
+
+    return x.astype(ml_dtypes.bfloat16).astype(np.float32)
 
 
 def merge_host(
@@ -304,6 +317,12 @@ def merge_host(
     top_r = np.take_along_axis(
         np.take_along_axis(all_r, part, axis=1), order, axis=1
     )
+    if top_s.shape[1] < k:
+        # Match the native merge's fixed (B, k) contract: pad short result
+        # sets with (-inf, row 0) sentinels (callers filter on score > 0).
+        pad = k - top_s.shape[1]
+        top_s = np.pad(top_s, ((0, 0), (0, pad)), constant_values=-np.inf)
+        top_r = np.pad(top_r, ((0, 0), (0, pad)))
     return top_s, top_r
 
 

@@ -23,10 +23,15 @@ _LIB_PATH = _REPO_ROOT / "native" / "libosrnative.so"
 
 
 def _load() -> ctypes.CDLL:
-    if not _LIB_PATH.exists():
+    src = _LIB_PATH.parent / "osr_native.cc"
+    stale = (
+        _LIB_PATH.exists()
+        and src.exists()
+        and _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+    )
+    if not _LIB_PATH.exists() or stale:
         import os
 
-        src = _LIB_PATH.parent / "osr_native.cc"
         if not src.exists():
             raise ImportError("native sources not present")
         # The auto-build is an import side effect; keep it short and
@@ -51,7 +56,29 @@ def _load() -> ctypes.CDLL:
             except OSError:
                 pass
             raise ImportError(f"native build failed: {e}")
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError as e:
+        # A truncated/corrupt .so (e.g. a build killed mid-link) must
+        # degrade like a missing one: every consumer catches ImportError
+        # and falls back to its NumPy path. Drop the bad artifact so the
+        # next import can rebuild.
+        try:
+            _LIB_PATH.unlink()
+        except OSError:
+            pass
+        raise ImportError(f"native library failed to load: {e}")
+    try:
+        return _bind(lib)
+    except AttributeError as e:
+        # A stale .so from an older source revision lacks newly added
+        # symbols; degrade to the NumPy paths rather than crash. (The
+        # mtime check above rebuilds automatically in a git checkout;
+        # this covers a stale artifact with a fresher mtime.)
+        raise ImportError(f"native library is stale: {e}")
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
 
     c_char_p = ctypes.c_char_p
     c_void_p = ctypes.c_void_p
@@ -320,8 +347,15 @@ def cand_head_dot_native(
     qh_ptr = np.ascontiguousarray(qh_ptr, dtype=np.int64)
     if kind == 0 and head_scales is not None and len(qh_tids):
         # Fold the per-column scales into the query weights once (tiny
-        # array) so the kernel gathers one array per element, not two.
-        qh_counts = qh_counts * np.asarray(head_scales, np.float32)[qh_tids]
+        # array) so the kernel gathers one array per element, not two, and
+        # round to bf16 — the device head matmul rounds its query operand
+        # to bf16 (ops/bm25.py:head_scores), and the exact merge compares
+        # device head-top scores against these candidate head scores.
+        import ml_dtypes
+
+        qh_counts = (
+            qh_counts * np.asarray(head_scales, np.float32)[qh_tids]
+        ).astype(ml_dtypes.bfloat16).astype(np.float32)
         kind = 3
     scales = (
         np.ascontiguousarray(head_scales, dtype=np.float32)
@@ -374,7 +408,13 @@ def cand_head_dot_t_native(
             [c_ptr, np.full(nq + 1 - len(c_ptr), c_ptr[-1], c_ptr.dtype)]
         )
     if head_scales is not None and len(qh_tids):
-        qh_counts = qh_counts * np.asarray(head_scales, np.float32)[qh_tids]
+        # bf16-round the folded weights for device-consistent head scores
+        # (see cand_head_dot_native).
+        import ml_dtypes
+
+        qh_counts = (
+            qh_counts * np.asarray(head_scales, np.float32)[qh_tids]
+        ).astype(ml_dtypes.bfloat16).astype(np.float32)
     out = np.zeros(max(total, 1), dtype=np.float32)
     p8 = ctypes.POINTER(ctypes.c_int8)
     _lib.cand_head_dot_t(

@@ -138,11 +138,21 @@ def encode_query_batch(
             f"{len(texts)} queries exceed the engine batch size "
             f"{batch_size}; chunk the batch first"
         )
-    nq = len(texts)
     tids, counts, ptr = encoder.encode_flat(texts)
+    return _split_flat_batch(tids, counts, ptr, batch_size, head_terms)
 
-    # Split at the head/tail boundary (segments are sorted by term id, so
-    # each query's head terms form a prefix).
+
+def _split_flat_batch(
+    tids: np.ndarray,  # (N,) int32 sorted unique per query segment
+    counts: np.ndarray,  # (N,) float32
+    ptr: np.ndarray,  # (nq+1,) int64
+    batch_size: int,
+    head_terms: int,
+) -> EncodedBatch:
+    """Split flat (tids, counts, ptr) queries at the head/tail boundary and
+    build the padded (B, Q) head arrays (segments are term-id-sorted, so
+    each query's head terms form a prefix)."""
+    nq = len(ptr) - 1
     in_head = tids < head_terms
     qidx = np.repeat(np.arange(nq, dtype=np.int64), np.diff(ptr))
     n_head = np.bincount(qidx[in_head], minlength=nq).astype(np.int64)
@@ -215,37 +225,4 @@ def encode_weighted_batch(
         ptr[i + 1] = len(tids_l)
     tids = np.asarray(tids_l, dtype=np.int32)
     counts = np.asarray(ws_l, dtype=np.float32)
-
-    in_head = tids < head_terms
-    qidx = np.repeat(np.arange(nq, dtype=np.int64), np.diff(ptr))
-    n_head = np.bincount(qidx[in_head], minlength=nq).astype(np.int64)
-    n_tail = np.bincount(qidx[~in_head], minlength=nq).astype(np.int64)
-    head_flat_ids = tids[in_head]
-    head_flat_counts = counts[in_head]
-    head_ptr = np.zeros(nq + 1, dtype=np.int64)
-    np.cumsum(n_head, out=head_ptr[1:])
-    tail_ids = (tids[~in_head] - head_terms).astype(np.int32)
-    tail_counts = counts[~in_head]
-    tail_ptr = np.zeros(nq + 1, dtype=np.int64)
-    np.cumsum(n_tail, out=tail_ptr[1:])
-
-    q = pad_query_width(int(n_head.max(initial=1)) or 1)
-    head_ids = np.full((batch_size, q), head_terms, dtype=np.int32)
-    head_weights = np.zeros((batch_size, q), dtype=np.float32)
-    if head_flat_ids.size:
-        rows = np.repeat(np.arange(nq, dtype=np.int64), n_head)
-        cols = np.arange(head_flat_ids.shape[0], dtype=np.int64)
-        cols -= np.repeat(head_ptr[:-1], n_head)
-        head_ids[rows, cols] = head_flat_ids
-        head_weights[rows, cols] = head_flat_counts
-    return EncodedBatch(
-        head_ids,
-        head_weights,
-        head_flat_ids,
-        head_flat_counts,
-        head_ptr,
-        tail_ids,
-        tail_counts,
-        tail_ptr,
-        nq,
-    )
+    return _split_flat_batch(tids, counts, ptr, batch_size, head_terms)

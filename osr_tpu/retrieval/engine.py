@@ -89,6 +89,11 @@ class SparseSearchEngine:
         self.index = index
         self.device = device if device is not None else jax.devices()[0]
         self.batch_sizes = tuple(sorted(batch_sizes))
+        if topk_mode not in ("exact", "approx"):
+            # Round 1's 'fast' mode was folded into 'exact' (the
+            # block-pruned selection made exact as fast); reject unknown
+            # strings rather than silently running a different mode.
+            raise ValueError(f"Unknown topk_mode: {topk_mode}")
         self.topk_mode = topk_mode
         if head_backend == "pallas" and index.layout.head_dtype != "int8":
             raise ValueError("head_backend='pallas' requires an int8 head")
