@@ -31,13 +31,14 @@ def main():
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--topk", type=int, default=50)
     ap.add_argument("--devices", type=int, default=8)
-    # f32 head: the sharded engine reads tail-touched candidates' head
-    # scores from the device matmul, while the single-device host-merge
-    # engine computes them on the host — with an int8 head those two
-    # arithmetics differ by the bf16 rounding band (~0.3% relative), which
-    # legitimately swaps members at the top-k boundary. The f32 head makes
-    # both paths exact so the comparison isolates SHARDING correctness.
-    ap.add_argument("--head-dtype", default="f32", choices=["f32", "bf16", "int8"])
+    # All head dtypes match the single-device engine exactly: the host
+    # candidate scorer applies the device matmul's bf16 query-weight
+    # rounding (osr_tpu/index/postings.py:cand_head_scores_host), so the
+    # two head-score arithmetics agree. Measured 200k docs / 8 devices:
+    # 0/256 mismatched queries for f32 AND int8 (sharded_cpu.jsonl; the
+    # first int8 row predates the numeric unification and shows the 241
+    # boundary swaps that motivated it).
+    ap.add_argument("--head-dtype", default="int8", choices=["f32", "bf16", "int8"])
     ap.add_argument(
         "--out",
         default=str(
