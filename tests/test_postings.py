@@ -196,6 +196,41 @@ def test_merge_host_exact_against_bruteforce(use_native):
 
 
 @pytest.mark.parametrize("use_native", BACKENDS)
+def test_merge_host_pads_short_results_to_k(use_native):
+    """Both backends return a fixed (B, k) with (-inf, row 0) sentinel
+    padding when fewer than k candidates exist (engine filters score>0)."""
+    head_scores = np.array([[3.0, 2.0]], dtype=np.float32)
+    head_rows = np.array([[4, 1]], dtype=np.int32)
+    cand = FlatCandidates(
+        rows=np.array([2], np.int32),
+        cols=np.array([0], np.int32),
+        tail=np.array([0.5], np.float32),
+        ptr=np.array([0, 1], np.int64),
+        total=1,
+    )
+    cand_head = np.array([1.0], np.float32)
+    s, r = merge_host(
+        head_scores, head_rows, cand, cand_head, 10, 7,
+        use_native=use_native,
+    )
+    assert s.shape == (1, 7) and r.shape == (1, 7)
+    np.testing.assert_allclose(s[0, :3], [3.0, 2.0, 1.5])
+    assert np.all(np.isneginf(s[0, 3:]))
+    np.testing.assert_array_equal(r[0, 3:], 0)
+
+
+def test_engine_rejects_unknown_topk_mode():
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.retrieval.engine import SparseSearchEngine
+
+    idx = SparseIndexBuilder().build(
+        {"d1": {"text": "alpha beta gamma"}, "d2": {"text": "beta delta"}}
+    )
+    with pytest.raises(ValueError, match="topk_mode"):
+        SparseSearchEngine(idx, topk_mode="fast")
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
 def test_merge_host_no_candidates(use_native):
     head_scores = np.array([[3.0, 2.0, 1.0]], dtype=np.float32)
     head_rows = np.array([[5, 2, 9]], dtype=np.int32)
