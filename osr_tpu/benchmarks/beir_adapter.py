@@ -52,6 +52,7 @@ class BEIRCompatibleSearch:
         self.engine: Optional[SparseSearchEngine] = None
         self.store: Optional[DocumentStore] = None
         self.index_stats: Dict[str, object] = {}
+        self._corpus_fp: Optional[str] = None
 
     def index(self, corpus: Mapping[str, Mapping[str, str]]) -> Dict:
         """Build the mmap document store + the TPU index (the reference's
@@ -75,6 +76,9 @@ class BEIRCompatibleSearch:
             for d, rec in corpus.items()
         }
         index = self.builder.build(searchable)
+        from osr_tpu.index.builder import corpus_fingerprint
+
+        self._corpus_fp = corpus_fingerprint(corpus)
         self.index_stats = index.stats()
         self.engine = SparseSearchEngine(
             index, batch_sizes=(self.batch_size,), **self.engine_kwargs
@@ -90,8 +94,15 @@ class BEIRCompatibleSearch:
         return_sorted: bool = True,
         **kwargs,
     ) -> Dict[str, Dict[str, float]]:
-        """BEIR BaseSearch.search: (re)index if needed, rank for real."""
-        if self.engine is None:
+        """BEIR BaseSearch.search: (re)index if needed, rank for real.
+
+        BEIR passes the corpus on every call; a DIFFERENT corpus than the
+        one indexed triggers a rebuild (ranking new queries against a
+        stale index would silently corrupt evaluation)."""
+        from osr_tpu.index.builder import corpus_fingerprint
+
+        fp = corpus_fingerprint(corpus)
+        if self.engine is None or fp != self._corpus_fp:
             self.index(corpus)
         return self.engine.search(dict(queries), top_k=top_k)
 

@@ -72,26 +72,34 @@ class IntegrationRunner:
 
 
 def load_benchmark_config(path: Union[str, Path]) -> Dict[str, Any]:
-    """YAML-driven benchmark configuration (reference
+    """YAML-driven benchmark configuration — ONE schema with the CLI
+    runner (osr_tpu/benchmarks/runner.py; reference
     bench/core/benchmark_runner.py:29-40 capability):
 
-        out_dir: test_results
+        output_dir: test_results
         seed: 42
         suites:
           bm25: {num_docs: 2000, vocab_size: 5000}
           topk: {n: 100000, k: 100}
+
+    This wrapper adapts the shared loader to the dict shape this module's
+    CLI consumes (`out_dir` key; the legacy spelling is still accepted on
+    input).
     """
     import yaml
 
+    from osr_tpu.benchmarks.runner import config_from_dict
+
     with open(path, "r", encoding="utf-8") as f:
-        cfg = yaml.safe_load(f) or {}
-    cfg.setdefault("out_dir", "test_results")
-    cfg.setdefault("seed", 42)
-    cfg["suites"] = cfg.get("suites") or {}
-    unknown = set(cfg["suites"]) - set(ALL_SUITES)
-    if unknown:
-        raise ValueError(f"Unknown benchmark suites: {sorted(unknown)}")
-    return cfg
+        raw = yaml.safe_load(f) or {}
+    if "out_dir" in raw and "output_dir" not in raw:
+        raw["output_dir"] = raw.pop("out_dir")
+    cfg = config_from_dict(raw)
+    return {
+        "out_dir": cfg.output_dir,
+        "seed": cfg.seed,
+        "suites": cfg.suites,
+    }
 
 
 def main(argv=None) -> int:  # CLI: python -m osr_tpu.benchmarks.integration

@@ -61,11 +61,9 @@ class BenchmarkConfig:
             raise ValueError("seed must be non-negative")
 
 
-def load_benchmark_config(path: Union[str, Path]) -> BenchmarkConfig:
-    import yaml
-
-    with open(path, "r", encoding="utf-8") as f:
-        raw = yaml.safe_load(f) or {}
+def config_from_dict(raw: Dict[str, Any]) -> BenchmarkConfig:
+    """Validate a raw mapping into a BenchmarkConfig (the single schema —
+    integration.py's CLI adapts to this loader too)."""
     known = {f.name for f in dataclasses.fields(BenchmarkConfig)}
     unknown = set(raw) - known
     if unknown:
@@ -74,6 +72,14 @@ def load_benchmark_config(path: Union[str, Path]) -> BenchmarkConfig:
     cfg.suites = {k: dict(v or {}) for k, v in (cfg.suites or {}).items()}
     cfg.validate()
     return cfg
+
+
+def load_benchmark_config(path: Union[str, Path]) -> BenchmarkConfig:
+    import yaml
+
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    return config_from_dict(raw)
 
 
 def run_from_config(cfg: BenchmarkConfig) -> Dict[str, Any]:

@@ -23,7 +23,7 @@ from osr_tpu.benchmarks.framework import (
     grade_performance,
 )
 from osr_tpu.index.builder import SparseIndexBuilder
-from osr_tpu.retrieval.engine import DenseSearchEngine, SparseSearchEngine
+from osr_tpu.retrieval.engine import SparseSearchEngine
 from osr_tpu.testing import (
     CorrectnessValidator,
     SyntheticDataGenerator,

@@ -35,8 +35,18 @@ def validate_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         for key in ("name", "dataset", "retriever"):
             if key not in exp:
                 raise ConfigError(f"experiments[{i}] missing '{key}'")
-        if "type" not in exp["retriever"] and "name" not in exp["retriever"]:
-            raise ConfigError(f"experiments[{i}].retriever missing 'type'")
+        retriever = exp["retriever"]
+        if isinstance(retriever, str):
+            pass  # plain type string — RetrieverRegistry.create accepts it
+        elif isinstance(retriever, dict):
+            if "type" not in retriever and "name" not in retriever:
+                raise ConfigError(
+                    f"experiments[{i}].retriever missing 'type'"
+                )
+        else:
+            raise ConfigError(
+                f"experiments[{i}].retriever must be a string or mapping"
+            )
     cfg.setdefault("output_dir", "results")
     cfg.setdefault("datasets_root", "datasets")
     return cfg

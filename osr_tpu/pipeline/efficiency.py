@@ -54,9 +54,14 @@ def benchmark_query_latency(
     if not items:
         return {"error": "no queries"}
     # Warm up at the measured client batch size so the first timed batch
-    # doesn't pay the jit compile of a new padded shape.
+    # doesn't pay the jit compile of a new padded shape — and at the
+    # trailing partial-batch size, which pads to a DIFFERENT engine shape
+    # and would otherwise compile inside the timed region.
     for _ in range(max(1, warmup)):
         engine.search(dict(items[:batch_size]), top_k=top_k)
+    rem = len(items) % batch_size
+    if rem:
+        engine.search(dict(items[:rem]), top_k=top_k)
     engine.clear_cache()
     latencies: List[float] = []
     for i in range(0, len(items), batch_size):

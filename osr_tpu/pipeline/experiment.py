@@ -73,7 +73,9 @@ def run_rag_experiment(
     # supports it); only mappings carry params.
     retriever_cfg = exp_cfg.get("retriever", {})
     if isinstance(retriever_cfg, Mapping):
-        top_k = retriever_cfg.get("params", {}).get("top_k", 50)
+        # `params:` with no value parses to None in YAML — treat as empty.
+        params = retriever_cfg.get("params") or {}
+        top_k = params.get("top_k", 50)
     else:
         top_k = 50
     monitor = StatsMonitor(out_dir / "logs", log_interval=60)
@@ -146,8 +148,11 @@ def run_rag_experiment(
     processing_time = total_time - build_time - warmup_time
     qps = len(results) / processing_time if processing_time > 0 else 0.0
 
+    # Only evaluate at cutoffs the retrieval depth actually covers —
+    # recall@100 over top_k=50 lists would be silently understated.
+    k_values = tuple(sorted({k for k in (10, 100) if k <= top_k} | {top_k}))
     quality = (
-        evaluate_retrieval(retrieval_results, qrels, k_values=(10, 100))
+        evaluate_retrieval(retrieval_results, qrels, k_values=k_values)
         if qrels
         else {}
     )

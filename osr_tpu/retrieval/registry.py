@@ -307,7 +307,8 @@ class RetrieverRegistry:
         else:
             method = config.get("type", config.get("name"))
             model = config.get("model")
-            params = dict(config.get("params", {}))
+            # YAML `params:` with no value parses to None — treat as empty.
+            params = dict(config.get("params") or {})
         if not method:
             raise ValueError("Retriever name/type not specified")
         m = method.lower()

@@ -102,6 +102,12 @@ class LRUCache:
             self._sizes.clear()
             self._bytes = 0
 
+    def discard(self, key: str) -> None:
+        with self._lock:
+            if key in self._data:
+                del self._data[key]
+                self._bytes -= self._sizes.pop(key)
+
     def stats(self) -> Dict[str, float]:
         with self._lock:
             total = self.hits + self.misses
@@ -246,6 +252,8 @@ class DocumentStore:
                         pos += pad
                     self._file.write(payload)
                     self._index[doc.id] = [pos, len(payload), raw_len, flags]
+                    # A re-added id supersedes any cached copy.
+                    self.cache.discard(doc.id)
                     pos += len(payload)
                     count += 1
             finally:
@@ -307,19 +315,27 @@ class DocumentStore:
         cached = self.cache.get(doc_id)
         if cached is not None:
             return cached
-        entry = self._index.get(doc_id)
-        if entry is None:
+        doc = self._read_entry(doc_id)
+        if doc is None:
             return None
-        doc = self._read_entry(doc_id, entry)
         self.cache.put(doc_id, doc)
         return doc
 
-    def _read_entry(self, doc_id: str, entry: List[int]) -> Document:
-        off, stored, raw_len, flags = entry
-        # The slice copy happens under the lock so a concurrent
-        # add_documents/optimize can't close the mmap mid-read; the (slower)
-        # decompress/decode runs outside it.
+    def _read_entry(
+        self, doc_id: str, entry: Optional[List[int]] = None
+    ) -> Optional[Document]:
+        # Index lookup AND slice copy happen under the same lock, so a
+        # concurrent optimize() can't swap the file between resolving the
+        # offset and reading it (stale offsets against the compacted mmap
+        # would return garbage); the (slower) decompress/decode runs
+        # outside it. An explicit `entry` (iter_documents' on-disk-order
+        # scan) is trusted as-is — that path holds no-writer invariants.
         with self._lock:
+            if entry is None:
+                entry = self._index.get(doc_id)
+                if entry is None:
+                    return None
+            off, stored, raw_len, flags = entry
             if self._mm is None:
                 raise ValueError(f"Store is closed: {self.path}")
             payload = bytes(self._mm[off : off + stored])

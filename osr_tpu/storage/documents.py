@@ -126,11 +126,20 @@ class CorpusProcessor:
                 self.stats[k] += v
         return docs
 
+    def reset_stats(self) -> None:
+        with self._lock:
+            for k in self.stats:
+                self.stats[k] = 0
+
     def process(self, path: Union[str, Path]) -> List[Document]:
-        """Parse a JSONL corpus file with threaded chunk parsing."""
+        """Parse a JSONL corpus file with threaded chunk parsing.
+
+        Stats reset per call — counts and error buckets describe THIS
+        file, not everything the processor ever parsed."""
         path = Path(path)
         if not path.exists():
             raise FileNotFoundError(f"Corpus file not found: {path}")
+        self.reset_stats()
         chunks: List[List[tuple]] = []
         current: List[tuple] = []
         with open(path, "r", encoding="utf-8", buffering=1 << 20) as f:
