@@ -300,7 +300,7 @@ class NativeVocab:
 
 
 def tail_candidates_native(
-    post_ptr, post_rows, post_weights, q_tids, q_counts, q_ptr, cap_hint=None
+    post_ptr, post_rows, post_weights, q_tids, q_counts, q_ptr
 ):
     """Flat tail-candidate scoring (see osr_tpu/index/postings.py)."""
     nq = len(q_ptr) - 1

@@ -201,20 +201,15 @@ def head_scores_blockmax_pallas(
     )(q_scaled, head, valid)
 
 
-def masked_head_scores_blockmax(
-    head: jax.Array,  # (R, F) int8
-    head_scales: jax.Array,  # (F,) f32
-    qhead: jax.Array,  # (B, F) f32 query counts
-    valid: jax.Array,  # (R,) bool
-    interpret: bool = False,
-):
-    """Engine-facing fused scores+blockmax: returns
-    ((B, R) f32 scores, (B, G) f32 block maxima), G = ceil(R / 128).
-    Block g covers rows [g*128, (g+1)*128); rows beyond R are -inf
-    (alignment padding is masked inside the kernel)."""
+def _pad_operands(head, head_scales, qhead, valid, tile_r):
+    """Scale/round the query operand and tile-align all shapes.
+
+    The engine pre-pads the head rows at upload (_DeviceIndex row_align),
+    so the head pads here are no-ops on the hot path — this keeps the
+    wrappers correct for direct/test callers with unaligned shapes."""
     r, f = head.shape
     b = qhead.shape[0]
-    pad_r = (-r) % TILE_R_BM
+    pad_r = (-r) % tile_r
     pad_b = (-b) % TILE_B
     pad_f = (-f) % 128
     q = (qhead * head_scales[None, :]).astype(jnp.bfloat16)
@@ -226,6 +221,23 @@ def masked_head_scores_blockmax(
     if pad_b:
         q = jnp.pad(q, ((0, pad_b), (0, 0)))
     v = jnp.pad(valid.astype(jnp.float32), (0, pad_r))[None, :]
+    return head, q, v, r, f, b
+
+
+def masked_head_scores_blockmax(
+    head: jax.Array,  # (R, F) int8
+    head_scales: jax.Array,  # (F,) f32
+    qhead: jax.Array,  # (B, F) f32 query counts
+    valid: jax.Array,  # (R,) bool
+    interpret: bool = False,
+):
+    """Engine-facing fused scores+blockmax: returns
+    ((B, R) f32 scores, (B, G) f32 block maxima), G = ceil(R / 128).
+    Block g covers rows [g*128, (g+1)*128); rows beyond R are -inf
+    (alignment padding is masked inside the kernel)."""
+    head, q, v, r, f, b = _pad_operands(
+        head, head_scales, qhead, valid, TILE_R_BM
+    )
     out, bmax = head_scores_blockmax_pallas(q, head, v, interpret=interpret)
     g = -(-r // BLOCK_COLS)
     return out[:b, :r], bmax.T[:b, :g]
@@ -242,19 +254,8 @@ def masked_head_scores(
     kernel, slice back. Drop-in for
     ``where(valid[None, :], ops.bm25.head_scores(...), -inf)`` in int8
     mode."""
-    r, f = head.shape
-    b = qhead.shape[0]
-    pad_r = (-r) % TILE_R
-    pad_b = (-b) % TILE_B
-    pad_f = (-f) % 128
-    q = (qhead * head_scales[None, :]).astype(jnp.bfloat16)
-    if pad_f:
-        head = jnp.pad(head, ((0, 0), (0, pad_f)))
-        q = jnp.pad(q, ((0, 0), (0, pad_f)))
-    if pad_r:
-        head = jnp.pad(head, ((0, pad_r), (0, 0)))
-    if pad_b:
-        q = jnp.pad(q, ((0, pad_b), (0, 0)))
-    v = jnp.pad(valid.astype(jnp.float32), (0, pad_r))[None, :]
+    head, q, v, r, f, b = _pad_operands(
+        head, head_scales, qhead, valid, TILE_R
+    )
     out = head_scores_pallas(q, head, v, interpret=interpret)
     return out[:b, :r]

@@ -85,24 +85,17 @@ def block_topk(
     Returns (values (B, k'), candidate indices (B, k')), k' = min(k, R).
     """
     b, r = scores.shape
-    kk = min(k, r)
     pad = (-r) % block_cols
-    if pad:
-        scores = jnp.pad(
-            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
-        )
+    padded = (
+        jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        if pad
+        else scores
+    )
     g = (r + pad) // block_cols
-    xr = scores.reshape(b, g, block_cols)
-    block_max = xr.max(axis=2)  # (B, G)
-    nb = min(kk, g)
-    _, top_blocks = lax.top_k(block_max, nb)  # (B, nb)
-    cand = jnp.take_along_axis(
-        xr, top_blocks[:, :, None], axis=1
-    )  # (B, nb, block)
-    vals, pos = lax.top_k(cand.reshape(b, nb * block_cols), kk)
-    blk = jnp.take_along_axis(top_blocks, pos // block_cols, axis=1)
-    rows = blk * block_cols + pos % block_cols
-    return vals, rows.astype(jnp.int32)
+    block_max = padded.reshape(b, g, block_cols).max(axis=2)  # (B, G)
+    return block_topk_from_max(
+        scores, block_max, k=k, block_cols=block_cols
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "block_cols"))

@@ -40,11 +40,8 @@ from osr_tpu.retrieval.encoding import (
     QueryEncoder,
     encode_query_batch,
 )
+from osr_tpu.index.layout import _round_up
 from osr_tpu.parallel.mesh import DOC_AXIS, QUERY_AXIS
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 @functools.partial(
@@ -183,17 +180,13 @@ class ShardedSparseSearchEngine:
         self._valid = jax.device_put(valid, shard_vec)
         self._qshard = NamedSharding(mesh, P(QUERY_AXIS, None))
 
-    def _pick_batch_size(self, n: int) -> int:
-        for b in self.batch_sizes:
-            if n <= b:
-                return b
-        return self.batch_sizes[-1]
-
     def encode_queries(self, texts: Sequence[str]) -> EncodedBatch:
+        from osr_tpu.retrieval.encoding import pick_batch_size
+
         return encode_query_batch(
             self.encoder,
             texts,
-            self._pick_batch_size(len(texts)),
+            pick_batch_size(self.batch_sizes, len(texts)),
             self.index.layout.head_terms,
         )
 
@@ -274,14 +267,20 @@ class ShardedDenseSearchEngine:
         n = embeddings.shape[0]
         rows = _round_up(n, n_d)
         emb = np.pad(embeddings.astype(np.float32), ((0, rows - n), (0, 0)))
-        values, scales = qz.quantize_symmetric(jnp.asarray(emb))
+        # Shard the fp32 corpus BEFORE quantizing: per-row absmax
+        # quantization is row-local, so under the document sharding it runs
+        # shard-parallel and no single chip ever holds the full fp32
+        # matrix (the whole point of sharding at HBM-limiting sizes).
+        doc_sharding = NamedSharding(mesh, P(DOC_AXIS, None))
+        # device_put from host NumPy with a sharding transfers shard-by-
+        # shard — no single-device staging of the fp32 matrix.
+        emb_sharded = jax.device_put(emb, doc_sharding)
+        values, scales = qz.quantize_symmetric(emb_sharded)
         # Padding rows quantize to zeros; force their scale to 0 so scores
         # are exactly 0 (they can still never beat real positive scores).
         scales = scales.at[n:].set(0.0)
         valid = np.arange(rows) < n
-        self._docs = jax.device_put(
-            values, NamedSharding(mesh, P(DOC_AXIS, None))
-        )
+        self._docs = jax.device_put(values, doc_sharding)
         self._scales = jax.device_put(scales, NamedSharding(mesh, P(DOC_AXIS)))
         self._valid = jax.device_put(valid, NamedSharding(mesh, P(DOC_AXIS)))
         self._qshard = NamedSharding(mesh, P(QUERY_AXIS, None))
@@ -325,10 +324,17 @@ class ShardedDenseSearchEngine:
     def search_vectors(
         self, query_vectors: np.ndarray, top_k: int = 10
     ) -> Tuple[np.ndarray, np.ndarray]:
-        q = jax.device_put(
-            np.asarray(query_vectors, dtype=np.float32), self._qshard
-        )
+        q = np.asarray(query_vectors, dtype=np.float32)
+        nq = q.shape[0]
+        # Pad the batch to a multiple of the query-DP axis — shard_map
+        # rejects a query axis not divisible by it (zero rows are inert:
+        # their top-k is dropped by the slice below).
+        n_q = self.mesh.shape[QUERY_AXIS]
+        pad = (-nq) % n_q
+        if pad:
+            q = np.pad(q, ((0, pad), (0, 0)))
+        q = jax.device_put(q, self._qshard)
         # Clamp to the REAL doc count: with k > N the merge would have to
         # fill slots with -inf padding rows whose ids exceed len(doc_ids).
         s, i = self._search(q, k=min(top_k, len(self.doc_ids)))
-        return np.asarray(s), np.asarray(i)
+        return np.asarray(s)[:nq], np.asarray(i)[:nq]

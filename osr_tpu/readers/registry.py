@@ -22,7 +22,8 @@ class ReaderRegistry:
             name, params = config, {}
         else:
             name = config.get("type", config.get("name"))
-            params = config.get("params", {})
+            # YAML `params:` with no value parses to None — treat as empty.
+            params = config.get("params") or {}
         if not name:
             raise ValueError("Reader name/type not specified")
         key = name.lower()

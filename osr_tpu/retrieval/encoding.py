@@ -27,6 +27,16 @@ from osr_tpu.index.tokenizer import Tokenizer
 QUERY_WIDTH_MENU = (8, 16, 32, 64, 128)
 
 
+def pick_batch_size(batch_sizes: Sequence[int], n: int) -> int:
+    """Smallest menu batch size covering n queries (largest if none do) —
+    shared by the single-device and sharded engines so their batching
+    cannot drift."""
+    for b in batch_sizes:
+        if n <= b:
+            return b
+    return batch_sizes[-1]
+
+
 def pad_query_width(n_terms: int) -> int:
     for w in QUERY_WIDTH_MENU:
         if n_terms <= w:

@@ -58,15 +58,24 @@ DEFAULT_BATCH_SIZES = (8, 32, 128)
 
 class _DeviceIndex:
     """Device-resident arrays of a :class:`HybridLayout` (head side only —
-    postings stay host-resident by design)."""
+    postings stay host-resident by design).
 
-    def __init__(self, layout, device):
+    ``row_align`` > 1 pads the head rows (and valid mask) ONCE at upload —
+    the Pallas kernels need tile-aligned R, and padding inside the jitted
+    search step would copy the full head matrix every batch."""
+
+    def __init__(self, layout, device, row_align: int = 1):
         put = lambda a: jax.device_put(a, device)
-        self.head = put(layout.head)
+        head, valid = layout.head, layout.valid
+        pad_r = (-head.shape[0]) % row_align
+        if pad_r:
+            head = np.pad(head, ((0, pad_r), (0, 0)))
+            valid = np.pad(valid, (0, pad_r))
+        self.head = put(head)
         self.head_scales = (
             put(layout.head_scales) if layout.head_scales is not None else None
         )
-        self.valid = put(layout.valid)
+        self.valid = put(valid)
         # Cached so the host-merge path never re-uploads an empty buffer
         # (every transfer through a remote-TPU tunnel has a fixed cost).
         self.empty_i32 = put(np.zeros(0, dtype=np.int32))
@@ -112,7 +121,15 @@ class SparseSearchEngine:
         if merge_backend not in ("host", "device"):
             raise ValueError(f"Unknown merge_backend: {merge_backend}")
         self.merge_backend = merge_backend
-        self._dev = _DeviceIndex(index.layout, self.device)
+        if head_backend == "pallas":
+            from osr_tpu.ops.pallas.head import TILE_R_BM
+
+            row_align = TILE_R_BM  # TILE_R (256) divides TILE_R_BM (1024)
+        else:
+            row_align = 1
+        self._dev = _DeviceIndex(
+            index.layout, self.device, row_align=row_align
+        )
         # Term-major host copy of the int8 head for the candidate scorer
         # (streaming column access; see postings.cand_head_scores_host).
         self._head_t: Optional[np.ndarray] = None
@@ -261,10 +278,9 @@ class SparseSearchEngine:
     # ------------------------------------------------------------------
 
     def _pick_batch_size(self, n: int) -> int:
-        for b in self.batch_sizes:
-            if n <= b:
-                return b
-        return self.batch_sizes[-1]
+        from osr_tpu.retrieval.encoding import pick_batch_size
+
+        return pick_batch_size(self.batch_sizes, n)
 
     def encode_queries(self, texts: Sequence[str]) -> EncodedBatch:
         """Tokenize + pad a list of query strings (head/tail split).
