@@ -93,7 +93,7 @@ class SparseSearchEngine:
         query_cache_limit: int = 1000,
         topk_mode: str = "exact",  # 'approx' uses lax.approx_max_k (r=0.95)
         merge_backend: str = "auto",  # 'host' | 'device' | 'auto'
-        head_backend: str = "xla",  # 'pallas' = fused Mosaic int8 kernel
+        head_backend: str = "auto",  # 'xla' | 'pallas' | 'auto'
     ):
         self.index = index
         self.device = device if device is not None else jax.devices()[0]
@@ -104,8 +104,29 @@ class SparseSearchEngine:
             # strings rather than silently running a different mode.
             raise ValueError(f"Unknown topk_mode: {topk_mode}")
         self.topk_mode = topk_mode
+        if head_backend == "auto":
+            # The Mosaic kernel runs at parity with the XLA chain and
+            # produces identical results (tests/test_pallas_kernels.py;
+            # measured on v5e) while owning the matmul+block-max fusion
+            # instead of relying on XLA's heuristics — prefer it wherever
+            # it applies (real TPU, int8 head). CPU test runs fall back
+            # to XLA (Mosaic has no CPU target; interpret is test-only).
+            head_backend = (
+                "pallas"
+                if (
+                    index.layout.head_dtype == "int8"
+                    and getattr(self.device, "platform", "") == "tpu"
+                    # Tiny corpora: tile padding would dominate and XLA
+                    # compiles such shapes instantly — not worth a Mosaic
+                    # compile of a one-off odd shape.
+                    and index.layout.num_rows >= 4096
+                )
+                else "xla"
+            )
         if head_backend == "pallas" and index.layout.head_dtype != "int8":
             raise ValueError("head_backend='pallas' requires an int8 head")
+        if head_backend not in ("xla", "pallas"):
+            raise ValueError(f"Unknown head_backend: {head_backend}")
         self.head_backend = head_backend
         self.tokenizer = Tokenizer(index.vocabulary)
         self.encoder = QueryEncoder(self.tokenizer)
