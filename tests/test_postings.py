@@ -228,6 +228,11 @@ def test_engine_rejects_unknown_topk_mode():
     )
     with pytest.raises(ValueError, match="topk_mode"):
         SparseSearchEngine(idx, topk_mode="fast")
+    with pytest.raises(ValueError, match="head_backend"):
+        SparseSearchEngine(idx, head_backend="mosaic")
+    # On the CPU test platform 'auto' must resolve to the XLA chain
+    # (Mosaic has no CPU target).
+    assert SparseSearchEngine(idx).head_backend == "xla"
 
 
 @pytest.mark.parametrize("use_native", BACKENDS)
