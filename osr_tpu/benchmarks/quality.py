@@ -19,7 +19,7 @@ import logging
 import time
 from datetime import datetime
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, Optional, Sequence, Union
 
 from osr_tpu.benchmarks.framework import format_results_table, save_json
 from osr_tpu.metrics.ir import evaluate_retrieval

@@ -35,7 +35,7 @@ import hashlib
 import time
 import logging
 from collections import Counter
-from typing import Dict, List, Mapping, Optional, Tuple, Union
+from typing import Dict, List, Mapping, Optional, Union
 
 import numpy as np
 

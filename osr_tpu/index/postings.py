@@ -29,7 +29,7 @@ Candidates are unique and ascending per query (duplicates summed in step
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

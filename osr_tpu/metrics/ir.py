@@ -23,7 +23,7 @@ qrels are skipped, like BEIR does.
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterable, List, Mapping, Sequence
+from typing import Dict, List, Mapping, Sequence
 
 Results = Mapping[str, Mapping[str, float]]  # qid -> {doc_id: score}
 Qrels = Mapping[str, Mapping[str, int]]  # qid -> {doc_id: relevance}

@@ -16,7 +16,7 @@ rag_research_pipeline.py:14-38):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Union
+from typing import Any, Dict, Union
 
 import yaml
 

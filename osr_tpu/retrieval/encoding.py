@@ -17,7 +17,7 @@ with byte-identical output (property-tested in tests/test_native.py).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

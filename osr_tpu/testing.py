@@ -11,7 +11,7 @@ retrievers the same way the framework validates itself.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, List, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence
 
 import numpy as np
 
