@@ -198,6 +198,7 @@ def main():
         return ops.fused_search_packed(
             packed_q, d.empty_i32, d.empty_i32, d.head, d.head_scales,
             d.valid, head_terms=lay.head_terms, k=TOP_K, topk_mode="exact",
+            head_backend=engine.head_backend,
         )[0]
 
     np.asarray(dev_step())  # warm (already compiled by the passes above)
@@ -208,7 +209,11 @@ def main():
     np.asarray(out_dev)
     device_step_s = (time.perf_counter() - t0) / reps
     r_rows, f_terms = lay.head.shape
-    bytes_moved = r_rows * f_terms + 2 * big_b * r_rows * 4
+    # Traffic model matches the actual program: head (int8) read + score
+    # write, plus a score re-read for the separate block-max pass ONLY on
+    # the XLA backend (the Pallas blockmax kernel reduces maxima in VMEM).
+    score_passes = 1 if engine.head_backend == "pallas" else 2
+    bytes_moved = r_rows * f_terms + score_passes * big_b * r_rows * 4
     flops = 2.0 * big_b * r_rows * f_terms
     roofline = {
         "device_step_ms": round(device_step_s * 1e3, 1),

@@ -241,7 +241,10 @@ void* tf_build(const char* buf, int64_t nbytes, const int64_t* doc_offs,
     r.doc_lengths.push_back(static_cast<float>(n_tokens));
   }
 
-  // Flatten the term table for the ctypes copy-out.
+  // Flatten the term table for the ctypes copy-out, then release the
+  // lowercased corpus copy: only the (few) unique term bytes survive in
+  // term_buf, so peak RSS between tf_build and tf_free stays ~O(vocab)
+  // instead of ~O(corpus) (GBs at the 1M-doc scale).
   r.term_offs.reserve(st->terms.size() + 1);
   r.term_offs.push_back(0);
   size_t total = 0;
@@ -251,11 +254,16 @@ void* tf_build(const char* buf, int64_t nbytes, const int64_t* doc_offs,
     r.term_buf.append(t.data(), t.size());
     r.term_offs.push_back(static_cast<int64_t>(r.term_buf.size()));
   }
+  st->terms.clear();
+  st->terms.shrink_to_fit();
+  st->lowered.clear();
+  st->lowered.shrink_to_fit();
   return st;
 }
 
 int64_t tf_num_terms(void* h) {
-  return static_cast<int64_t>(static_cast<TfState*>(h)->terms.size());
+  return static_cast<int64_t>(
+      static_cast<TfState*>(h)->result.term_offs.size() - 1);
 }
 int64_t tf_nnz(void* h) {
   return static_cast<int64_t>(

@@ -53,6 +53,7 @@ class BEIRCompatibleSearch:
         self.store: Optional[DocumentStore] = None
         self.index_stats: Dict[str, object] = {}
         self._corpus_fp: Optional[str] = None
+        self._corpus_obj: Optional[Mapping] = None
 
     def index(self, corpus: Mapping[str, Mapping[str, str]]) -> Dict:
         """Build the mmap document store + the TPU index (the reference's
@@ -79,6 +80,7 @@ class BEIRCompatibleSearch:
         from osr_tpu.index.builder import corpus_fingerprint
 
         self._corpus_fp = corpus_fingerprint(corpus)
+        self._corpus_obj = corpus
         self.index_stats = index.stats()
         self.engine = SparseSearchEngine(
             index, batch_sizes=(self.batch_size,), **self.engine_kwargs
@@ -98,11 +100,15 @@ class BEIRCompatibleSearch:
 
         BEIR passes the corpus on every call; a DIFFERENT corpus than the
         one indexed triggers a rebuild (ranking new queries against a
-        stale index would silently corrupt evaluation)."""
+        stale index would silently corrupt evaluation). The SAME corpus
+        object short-circuits by identity — the O(corpus) fingerprint is
+        only computed when a different dict shows up."""
         from osr_tpu.index.builder import corpus_fingerprint
 
-        fp = corpus_fingerprint(corpus)
-        if self.engine is None or fp != self._corpus_fp:
+        if self.engine is None or (
+            corpus is not self._corpus_obj
+            and corpus_fingerprint(corpus) != self._corpus_fp
+        ):
             self.index(corpus)
         return self.engine.search(dict(queries), top_k=top_k)
 

@@ -84,18 +84,25 @@ def load_benchmark_config(path: Union[str, Path]) -> BenchmarkConfig:
 
 def run_from_config(cfg: BenchmarkConfig) -> Dict[str, Any]:
     """Seed, pin threads, run the selected suites, write reports."""
+    import contextlib
+
+    limiter = contextlib.nullcontext()
     if cfg.num_threads is not None:
         # Reference benchmark_runner.py:117-119 thread-count control. The
         # env vars only bind pools not yet initialized (NumPy's BLAS reads
         # them at import, which has already happened here); threadpoolctl
         # re-pins live pools when available, otherwise warn that the knob
-        # covers subprocesses/JAX only.
+        # covers subprocesses/JAX only. The limit is held as a context
+        # manager for the suite run only, so the cap doesn't silently
+        # persist for the rest of the process.
         os.environ["OMP_NUM_THREADS"] = str(cfg.num_threads)
         os.environ["MKL_NUM_THREADS"] = str(cfg.num_threads)
         try:
             import threadpoolctl
 
-            threadpoolctl.threadpool_limits(limits=cfg.num_threads)
+            limiter = threadpoolctl.threadpool_limits(
+                limits=cfg.num_threads
+            )
         except ImportError:
             logger.warning(
                 "num_threads=%d: BLAS pools were initialized before this "
@@ -112,6 +119,7 @@ def run_from_config(cfg: BenchmarkConfig) -> Dict[str, Any]:
         suites=suites,
         suite_kwargs=cfg.suites,
     )
-    overall = runner.run()
+    with limiter:
+        overall = runner.run()
     overall["config"] = dataclasses.asdict(cfg)
     return overall

@@ -24,10 +24,18 @@ _LIB_PATH = _REPO_ROOT / "native" / "libosrnative.so"
 
 def _load() -> ctypes.CDLL:
     src = _LIB_PATH.parent / "osr_native.cc"
+    makefile = _LIB_PATH.parent / "Makefile"
+    # A Makefile flag change (e.g. -ffp-contract, which the bit-identical
+    # parity contract depends on) must also invalidate the .so, so the
+    # newest of ALL build inputs is compared, not just the source.
+    src_mtime = max(
+        (p.stat().st_mtime for p in (src, makefile) if p.exists()),
+        default=0.0,
+    )
     stale = (
         _LIB_PATH.exists()
         and src.exists()
-        and _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+        and _LIB_PATH.stat().st_mtime < src_mtime
     )
     if not _LIB_PATH.exists() or stale:
         import os
