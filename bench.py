@@ -248,6 +248,13 @@ def main():
     dense_qps = len(qv) / dense_best
     log(f"dense int8 qps: {dense_qps:.0f}")
 
+    try:
+        from osr_tpu.native import get_num_threads
+
+        host_threads = get_num_threads()
+    except ImportError:
+        host_threads = 0  # pure-Python host path
+
     n_nonempty = sum(1 for r in results.values() if r)
     out = {
         "metric": "bm25_qps_fiqa_scale",
@@ -266,6 +273,7 @@ def main():
         "index_memory_mb": round(index.layout.nbytes / 2**20, 1),
         "head_dtype": stats["head_dtype"],
         "dense_int8_qps": round(dense_qps, 1),
+        "host_threads": host_threads,
         "device": str(device),
         **roofline,
     }

@@ -20,6 +20,7 @@
 // Exposed via a plain C ABI for ctypes (no pybind11 dependency).
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <limits>
 #include <cstdint>
@@ -142,7 +143,16 @@ struct VocabState {
   std::unordered_map<std::string_view, int32_t> map;
 };
 
+// Thread-count override (0 = auto from hardware_concurrency + work size).
+// Every parallel_ranges partition is deterministic given the thread count,
+// and each thread owns a disjoint output range with per-item/per-query
+// accumulation order independent of the partition — so results are
+// bit-identical across thread counts (tests/test_native.py proves it).
+std::atomic<int> g_thread_override{0};
+
 inline int n_threads_for(int64_t work, int64_t min_per_thread) {
+  int forced = g_thread_override.load(std::memory_order_relaxed);
+  if (forced > 0) return forced > 64 ? 64 : forced;
   int hw = static_cast<int>(std::thread::hardware_concurrency());
   if (hw <= 0) hw = 4;
   int64_t by_work = work / (min_per_thread > 0 ? min_per_thread : 1);
@@ -170,6 +180,20 @@ void parallel_ranges(int64_t n, int threads, Fn fn) {
 }  // namespace
 
 extern "C" {
+
+// ---------------------------------------------------------------------------
+// Host thread-count control
+// ---------------------------------------------------------------------------
+
+// n <= 0 restores auto (hardware_concurrency, work-size-bounded).
+void set_num_threads(int n) {
+  g_thread_override.store(n > 0 ? n : 0, std::memory_order_relaxed);
+}
+
+// The thread count a large-work parallel section would use right now.
+int get_num_threads(void) {
+  return n_threads_for(std::numeric_limits<int64_t>::max() / 2, 1);
+}
 
 // ---------------------------------------------------------------------------
 // Corpus term-frequency builder

@@ -156,10 +156,43 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.zlib_compress_bound.argtypes = [c_i64]
     lib.zlib_compress2.restype = c_i64
     lib.zlib_compress2.argtypes = [c_char_p, c_i64, c_char_p, c_i64, ctypes.c_int]
+
+    lib.set_num_threads.restype = None
+    lib.set_num_threads.argtypes = [ctypes.c_int]
+    lib.get_num_threads.restype = ctypes.c_int
+    lib.get_num_threads.argtypes = []
     return lib
 
 
 _lib = _load()
+
+
+def set_num_threads(n: int) -> None:
+    """Force the host runtime's thread count (0/None restores auto).
+
+    Every parallel section partitions work deterministically and each
+    thread owns a disjoint output range, so results are bit-identical
+    across thread counts (tests/test_native.py::test_multithreaded_*)."""
+    _lib.set_num_threads(int(n or 0))
+
+
+def get_num_threads() -> int:
+    """The thread count a large parallel section would use right now."""
+    return int(_lib.get_num_threads())
+
+
+def _init_threads_from_env() -> None:
+    import os
+
+    val = os.environ.get("OSR_TPU_THREADS", "").strip()
+    if val:
+        try:
+            set_num_threads(int(val))
+        except ValueError:
+            logger.warning("Ignoring non-integer OSR_TPU_THREADS=%r", val)
+
+
+_init_threads_from_env()
 
 
 def _as_i64_ptr(a: np.ndarray):

@@ -105,6 +105,88 @@ def test_pack_hybrid_parity(method, head_terms):
     np.testing.assert_array_equal(post_w, want.post_weights)
 
 
+def test_thread_override_roundtrip():
+    try:
+        native.set_num_threads(4)
+        assert native.get_num_threads() == 4
+    finally:
+        native.set_num_threads(0)
+    assert native.get_num_threads() >= 1
+
+
+def test_multithreaded_host_identical_to_single_thread():
+    """Forcing n_threads>1 through the WHOLE host runtime (query encode,
+    tail walk, candidate head-dot, merge) yields bit-identical search
+    results to single-threaded on a >=10k-doc corpus: every parallel
+    section partitions work deterministically and each thread owns a
+    disjoint output range (VERDICT r2 item 2)."""
+    corpus = zipf_corpus(num_docs=12_000, vocab_size=8_000, avg_len=40)
+    queries = zipf_queries(num_queries=64, vocab_size=8_000)
+    index = SparseIndexBuilder().build(corpus)  # int8 production head
+    engine = SparseSearchEngine(index, cache_queries=False)
+    assert engine.merge_backend == "host"  # the C++ runtime is in play
+    try:
+        native.set_num_threads(1)
+        single = engine.search(queries, top_k=20)
+        native.set_num_threads(4)
+        multi = engine.search(queries, top_k=20)
+    finally:
+        native.set_num_threads(0)
+    # Dict equality compares doc ids, ORDER, and exact float scores.
+    assert single == multi
+
+
+def test_multithreaded_kernels_identical_to_single_thread():
+    """Kernel-level determinism: the individual native entry points give
+    byte-identical outputs at 1 vs 5 threads (including thread counts
+    that don't divide the work evenly)."""
+    corpus = zipf_corpus(num_docs=10_000, vocab_size=6_000, avg_len=35)
+    queries = list(zipf_queries(num_queries=97, vocab_size=6_000).values())
+    index = SparseIndexBuilder().build(corpus)
+    lay = index.layout
+    vocab_terms = [""] * len(index.vocabulary)
+    for t, i in index.vocabulary.items():
+        vocab_terms[i] = t
+    nv = native.NativeVocab(vocab_terms)
+
+    def run_all():
+        tids, counts, ptr = nv.encode_queries(queries)
+        in_head = tids < lay.head_terms
+        qidx = np.repeat(
+            np.arange(len(queries), dtype=np.int64), np.diff(ptr)
+        )
+        t_ptr = np.zeros(len(queries) + 1, dtype=np.int64)
+        np.cumsum(
+            np.bincount(qidx[~in_head], minlength=len(queries)),
+            out=t_ptr[1:],
+        )
+        rows, cols, tail, qptr, total = native.tail_candidates_native(
+            lay.post_ptr, lay.post_rows, lay.post_weights,
+            (tids[~in_head] - lay.head_terms).astype(np.int32),
+            counts[~in_head], t_ptr,
+        )
+        h_ptr = np.zeros(len(queries) + 1, dtype=np.int64)
+        np.cumsum(
+            np.bincount(qidx[in_head], minlength=len(queries)),
+            out=h_ptr[1:],
+        )
+        cand_head = native.cand_head_dot_native(
+            lay.head, lay.head_dtype, lay.head_scales, rows, cols, total,
+            tids[in_head], counts[in_head], h_ptr,
+        )
+        return tids, counts, ptr, rows[:total], tail[:total], qptr, cand_head
+
+    try:
+        native.set_num_threads(1)
+        base = run_all()
+        native.set_num_threads(5)
+        got = run_all()
+    finally:
+        native.set_num_threads(0)
+    for a, b in zip(base, got):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_index_built_via_native_matches_oracle():
     corpus = zipf_corpus(num_docs=100, vocab_size=300, avg_len=30)
     queries = zipf_queries(num_queries=8, vocab_size=300)
