@@ -267,6 +267,34 @@ def unpack_topk(packed: "np.ndarray") -> Tuple["np.ndarray", "np.ndarray"]:
     return packed[:, :k], packed[:, k:].astype(np.int32)
 
 
+@jax.jit
+def merge_packed_chunks(
+    packed_stack: jax.Array,  # (C, B, 2k) per-chunk packed top-k
+    bases: jax.Array,  # (C,) f32 chunk row offsets (exact below 2^24)
+) -> jax.Array:
+    """Merge per-row-chunk packed top-k results into one global (B, 2k).
+
+    The chunked scoring path (engine ``score_chunk_rows``) runs the fused
+    search once per row chunk so the (B, R) score matrix never exists at
+    full R in HBM — per-chunk buffers are freed between dispatches, which
+    is what lifts the 1M-doc B=2048 OOM (DEVELOPMENT.md HBM capacity
+    model). Exactness: every global top-k document ranks within the
+    top-k of its own chunk, so the union of per-chunk top-k contains the
+    global top-k; ties at the k-th boundary resolve in chunk-major order
+    (ascending row), like the single-sweep selection's block-rank order —
+    membership among exactly-equal scores can differ, as with any top-k.
+    """
+    c, b, two_k = packed_stack.shape
+    k = two_k // 2
+    scores = packed_stack[:, :, :k]
+    rows = packed_stack[:, :, k:] + bases[:, None, None]
+    scores = jnp.moveaxis(scores, 0, 1).reshape(b, c * k)
+    rows = jnp.moveaxis(rows, 0, 1).reshape(b, c * k)
+    top, pos = lax.top_k(scores, k)
+    sel_rows = jnp.take_along_axis(rows, pos, axis=1)
+    return jnp.concatenate([top, sel_rows], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("head_terms",))
 def dense_head_scores(
     q_head_ids: jax.Array,

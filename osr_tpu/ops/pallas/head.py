@@ -106,11 +106,27 @@ BLOCK_COLS = 128  # row-block granularity of the exact pruned top-k
 TILE_R_BM = 1024  # 8 blocks of 128 per tile: the f32 min sublane tile
 
 
+def _pick_tile_b(b: int) -> int:
+    """Widest query tile that divides the (pre-padded) batch.
+
+    The head tile is re-read from HBM once per QUERY tile, so head
+    traffic scales as B/TILE_B x (R*F): at FiQA bench shape TILE_B=128
+    moves 5.9 GB of head bytes while TILE_B=512 moves 1.5 GB — measured
+    17.2 -> 10.3 ms for the whole fused kernel (tools/profile_fused.py).
+    512 keeps VMEM under budget: q (512, F<=4096) bf16 4 MB + head
+    (1024, F) int8 4 MB + out (512, 1024) f32 2 MB, double-buffered.
+    """
+    for tb in (512, 256, 128):
+        if b % tb == 0:
+            return tb
+    return TILE_B
+
+
 def _head_blockmax_kernel(q_ref, head_ref, valid_ref, out_ref, bmax_ref):
-    """(TILE_B, TILE_R_BM) scores tile + its per-128-row-block maxima.
+    """(tile_b, TILE_R_BM) scores tile + its per-128-row-block maxima.
 
     The maxima output is TRANSPOSED, (G, B): each grid step then writes one
-    full aligned (8, TILE_B) block — Mosaic rejects sub-128-lane dynamic
+    full aligned (8, tile_b) block — Mosaic rejects sub-128-lane dynamic
     stores, and 8 blocks of 128 rows per tile is exactly the f32 minimum
     sublane tile, so no block is ever partially written.
     """
@@ -119,7 +135,7 @@ def _head_blockmax_kernel(q_ref, head_ref, valid_ref, out_ref, bmax_ref):
         head_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (TILE_B, TILE_R_BM)
+    )  # (tile_b, TILE_R_BM)
     mask = valid_ref[:] > 0.5  # (1, TILE_R_BM)
     masked = jnp.where(mask, acc, -jnp.inf)
     out_ref[:] = masked
@@ -134,8 +150,8 @@ def _head_blockmax_kernel(q_ref, head_ref, valid_ref, out_ref, bmax_ref):
             for bi in range(n_blocks)
         ],
         axis=1,
-    )  # (TILE_B, n_blocks)
-    bmax_ref[:] = tile_max.T  # (n_blocks, TILE_B)
+    )  # (tile_b, n_blocks)
+    bmax_ref[:] = tile_max.T  # (n_blocks, tile_b)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -155,7 +171,8 @@ def head_scores_blockmax_pallas(
     b = q_scaled.shape[0]
     g = r // BLOCK_COLS
     n_blocks = TILE_R_BM // BLOCK_COLS
-    grid = (b // TILE_B, r // TILE_R_BM)
+    tile_b = _pick_tile_b(b)
+    grid = (b // tile_b, r // TILE_R_BM)
     return pl.pallas_call(
         _head_blockmax_kernel,
         out_shape=(
@@ -166,7 +183,7 @@ def head_scores_blockmax_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (TILE_B, f), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                    (tile_b, f), lambda i, j: (i, 0), memory_space=pltpu.VMEM
                 ),
                 pl.BlockSpec(
                     (TILE_R_BM, f),
@@ -181,12 +198,12 @@ def head_scores_blockmax_pallas(
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (TILE_B, TILE_R_BM),
+                    (tile_b, TILE_R_BM),
                     lambda i, j: (i, j),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (n_blocks, TILE_B),
+                    (n_blocks, tile_b),
                     lambda i, j: (j, i),
                     memory_space=pltpu.VMEM,
                 ),
@@ -194,7 +211,8 @@ def head_scores_blockmax_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * f * b,
-            bytes_accessed=r * f + f * b * 2 + r * b * 4 + g * b * 4,
+            bytes_accessed=(b // tile_b) * r * f + f * b * 2 + r * b * 4
+            + g * b * 4,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -56,29 +56,65 @@ logger = logging.getLogger(__name__)
 DEFAULT_BATCH_SIZES = (8, 32, 128)
 
 
+# Auto row-chunking engages when the (B_max, R) f32 score matrix would
+# exceed this budget: per-chunk score buffers are freed between dispatches,
+# so HBM peak = head + ONE chunk of scores instead of head + B x R
+# (the 1M-doc B=2048 OOM in DEVELOPMENT.md's capacity model).
+SCORE_BUDGET_BYTES = 2 << 30
+
+
 class _DeviceIndex:
     """Device-resident arrays of a :class:`HybridLayout` (head side only —
     postings stay host-resident by design).
 
     ``row_align`` > 1 pads the head rows (and valid mask) ONCE at upload —
     the Pallas kernels need tile-aligned R, and padding inside the jitted
-    search step would copy the full head matrix every batch."""
+    search step would copy the full head matrix every batch.
 
-    def __init__(self, layout, device, row_align: int = 1):
+    ``chunk_rows`` splits the head into row chunks uploaded as separate
+    arrays (each padded to ``row_align``); the engine then runs the fused
+    search per chunk and merges on device, bounding the transient score
+    matrix to (B, chunk_rows). All chunks share one shape, so the chunked
+    program compiles ONCE and is reused for every chunk."""
+
+    def __init__(self, layout, device, row_align: int = 1, chunk_rows=None):
         put = lambda a: jax.device_put(a, device)
         head, valid = layout.head, layout.valid
+        self.head_scales = (
+            put(layout.head_scales) if layout.head_scales is not None else None
+        )
+        # Cached so the host-merge path never re-uploads an empty buffer
+        # (every transfer through a remote-TPU tunnel has a fixed cost).
+        self.empty_i32 = put(np.zeros(0, dtype=np.int32))
+        self.chunks = None
+        self.chunk_bases = None
+        if chunk_rows and head.shape[0] > chunk_rows:
+            cr = max(int(chunk_rows), row_align)
+            cr += (-cr) % max(row_align, 1)
+            n_chunks = -(-head.shape[0] // cr)
+            chunks = []
+            bases = np.zeros(n_chunks, dtype=np.float32)
+            for ci in range(n_chunks):
+                lo = ci * cr
+                h = head[lo : lo + cr]
+                v = valid[lo : lo + cr]
+                pad = cr - h.shape[0]
+                if pad:
+                    h = np.pad(h, ((0, pad), (0, 0)))
+                    v = np.pad(v, (0, pad))
+                chunks.append((put(h), put(v)))
+                bases[ci] = lo  # exact as f32 below 2^24 rows
+            self.chunks = chunks
+            self.chunk_bases = put(bases)
+            self.head = None
+            self.valid = None
+            return
         pad_r = (-head.shape[0]) % row_align
         if pad_r:
             head = np.pad(head, ((0, pad_r), (0, 0)))
             valid = np.pad(valid, (0, pad_r))
         self.head = put(head)
-        self.head_scales = (
-            put(layout.head_scales) if layout.head_scales is not None else None
-        )
         self.valid = put(valid)
-        # Cached so the host-merge path never re-uploads an empty buffer
-        # (every transfer through a remote-TPU tunnel has a fixed cost).
-        self.empty_i32 = put(np.zeros(0, dtype=np.int32))
 
 
 class SparseSearchEngine:
@@ -94,6 +130,7 @@ class SparseSearchEngine:
         topk_mode: str = "exact",  # 'approx' uses lax.approx_max_k (r=0.95)
         merge_backend: str = "auto",  # 'host' | 'device' | 'auto'
         head_backend: str = "auto",  # 'xla' | 'pallas' | 'auto'
+        score_chunk_rows=None,  # None = auto by SCORE_BUDGET_BYTES; 0 = off
     ):
         self.index = index
         self.device = device if device is not None else jax.devices()[0]
@@ -148,8 +185,26 @@ class SparseSearchEngine:
             row_align = TILE_R_BM  # TILE_R (256) divides TILE_R_BM (1024)
         else:
             row_align = 1
+        if score_chunk_rows is None:
+            # Auto: bound the transient (B_max, R) f32 score matrix.
+            max_b = self.batch_sizes[-1]
+            if max_b * index.layout.num_rows * 4 > SCORE_BUDGET_BYTES:
+                score_chunk_rows = max(
+                    SCORE_BUDGET_BYTES // (4 * max_b), 4096
+                )
+            else:
+                score_chunk_rows = 0
+        if score_chunk_rows and self.merge_backend != "host":
+            # The chunked path computes candidate head scores on the host
+            # (the device-merge gather would need per-chunk row remaps
+            # and per-chunk candidate uploads — tunnel-hostile); without
+            # the host merge, fall back to single-sweep scoring.
+            score_chunk_rows = 0
         self._dev = _DeviceIndex(
-            index.layout, self.device, row_align=row_align
+            index.layout,
+            self.device,
+            row_align=row_align,
+            chunk_rows=score_chunk_rows or None,
         )
         # Term-major host copy of the int8 head for the candidate scorer
         # (streaming column access; see postings.cand_head_scores_host).
@@ -207,18 +262,48 @@ class SparseSearchEngine:
             # query array up and one packed top-k array down (a remote-TPU
             # tunnel charges a large fixed cost per transfer op).
             flat_rows = flat_cols = d.empty_i32
-        out = fused_search_packed(
-            jnp.asarray(pack_query_batch(enc.head_ids, enc.head_weights)),
-            flat_rows,
-            flat_cols,
-            d.head,
-            d.head_scales,
-            d.valid,
-            head_terms=self.index.layout.head_terms,
-            k=top_k,
-            topk_mode=self.topk_mode,
-            head_backend=self.head_backend,
+        packed_q = jnp.asarray(
+            pack_query_batch(enc.head_ids, enc.head_weights)
         )
+        if d.chunks is not None:
+            # Chunked scoring: one fused dispatch per row chunk (all the
+            # same shape — ONE compile) + a device-side merge, so the
+            # score matrix never exists at full R and only one packed
+            # result crosses the tunnel.
+            from osr_tpu.ops.bm25 import merge_packed_chunks
+
+            packeds = [
+                fused_search_packed(
+                    packed_q,
+                    d.empty_i32,
+                    d.empty_i32,
+                    head_c,
+                    d.head_scales,
+                    valid_c,
+                    head_terms=self.index.layout.head_terms,
+                    k=top_k,
+                    topk_mode=self.topk_mode,
+                    head_backend=self.head_backend,
+                )[0]
+                for head_c, valid_c in d.chunks
+            ]
+            packed = merge_packed_chunks(
+                jnp.stack(packeds), d.chunk_bases
+            )
+            out = (packed, None)
+        else:
+            out = fused_search_packed(
+                packed_q,
+                flat_rows,
+                flat_cols,
+                d.head,
+                d.head_scales,
+                d.valid,
+                head_terms=self.index.layout.head_terms,
+                k=top_k,
+                topk_mode=self.topk_mode,
+                head_backend=self.head_backend,
+            )
         layout = self.index.layout
         if self.merge_backend == "device":
             cand_head = None  # comes back from the device with the top-k
@@ -274,13 +359,30 @@ class SparseSearchEngine:
         for i in range(0, len(texts), max_b):
             chunk = texts[i : i + max_b]
             enc = self.encode_queries(chunk)
-            hs = dense_head_scores(
-                jnp.asarray(enc.head_ids),
-                jnp.asarray(enc.head_weights),
-                d.head,
-                d.head_scales,
-                head_terms=layout.head_terms,
-            )  # (B, R)
+            if d.chunks is not None:
+                # Row-chunked index: score per chunk and concatenate
+                # (chunks are contiguous; only the last carries padding).
+                parts = [
+                    np.asarray(
+                        dense_head_scores(
+                            jnp.asarray(enc.head_ids),
+                            jnp.asarray(enc.head_weights),
+                            head_c,
+                            d.head_scales,
+                            head_terms=layout.head_terms,
+                        )
+                    )
+                    for head_c, _ in d.chunks
+                ]
+                hs = np.concatenate(parts, axis=1)
+            else:
+                hs = dense_head_scores(
+                    jnp.asarray(enc.head_ids),
+                    jnp.asarray(enc.head_weights),
+                    d.head,
+                    d.head_scales,
+                    head_terms=layout.head_terms,
+                )  # (B, R)
             scores = np.asarray(hs)[: len(chunk), : self.index.num_docs]
             tail = dense_tail_scores(
                 layout.post_ptr,
@@ -435,6 +537,8 @@ class SparseSearchEngine:
         s = self.index.stats()
         s["device"] = str(self.device)
         s["topk_mode"] = self.topk_mode
+        if self._dev.chunks is not None:
+            s["score_chunks"] = len(self._dev.chunks)
         if self._query_cache is not None:
             s["query_cache_size"] = len(self._query_cache)
         return s

@@ -209,3 +209,57 @@ def test_encode_queries_overflow_raises(corpus):
     out = engine.score_all(["term300"] * 20)
     assert out.shape == (20, index.num_docs)
     np.testing.assert_allclose(out[0], out[19])
+
+
+def test_chunked_scoring_matches_single_sweep():
+    """Row-chunked device scoring (engine ``score_chunk_rows``) returns the
+    same results as the single-sweep path on a corpus big enough for
+    several chunks — the (B, R) score matrix never exists at full R
+    (the 1M-doc B>=2048 HBM-capacity fix, DEVELOPMENT.md)."""
+    corpus = zipf_corpus(num_docs=12_000, vocab_size=6_000, avg_len=40)
+    queries = zipf_queries(num_queries=48, vocab_size=6_000)
+    index = SparseIndexBuilder().build(corpus)
+    base = SparseSearchEngine(index, cache_queries=False, score_chunk_rows=0)
+    if base.merge_backend != "host":
+        pytest.skip("chunked path requires the host merge (native lib)")
+    chunked = SparseSearchEngine(
+        index, cache_queries=False, score_chunk_rows=4096
+    )
+    assert chunked._dev.chunks is not None
+    assert len(chunked._dev.chunks) == 3
+    want = base.search(queries, top_k=20)
+    got = chunked.search(queries, top_k=20)
+    for qid in queries:
+        w, g = want[qid], got[qid]
+        # Membership identical except EXACT ties at the k-th boundary
+        # (int8 heads produce equal f32 scores; either member is a valid
+        # top-k — same contract as any top-k tie).
+        kth = min(w.values()) if w else 0.0
+        for d in set(g) ^ set(w):
+            s = w.get(d, g.get(d))
+            assert s == kth, (qid, d, s, kth)
+        for d, s in w.items():
+            if d in g:
+                assert g[d] == s, (qid, d)
+
+
+def test_chunk_auto_threshold_engages():
+    """Auto-chunking triggers exactly when the score matrix would exceed
+    the budget, and stays off otherwise."""
+    from osr_tpu.retrieval import engine as eng
+
+    corpus = zipf_corpus(num_docs=9_000, vocab_size=4_000, avg_len=30)
+    index = SparseIndexBuilder().build(corpus)
+    off = SparseSearchEngine(index, cache_queries=False)
+    assert off._dev.chunks is None  # small corpus: under budget
+    small_budget = eng.SCORE_BUDGET_BYTES
+    try:
+        eng.SCORE_BUDGET_BYTES = 128 * 1024
+        on = SparseSearchEngine(index, cache_queries=False)
+        if on.merge_backend == "host":
+            assert on._dev.chunks is not None
+            r = index.layout.num_rows
+            got = sum(c[0].shape[0] for c in on._dev.chunks)
+            assert got >= r  # chunks cover every row (last one padded)
+    finally:
+        eng.SCORE_BUDGET_BYTES = small_budget
