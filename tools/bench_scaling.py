@@ -39,6 +39,13 @@ def main():
     ap.add_argument(
         "--load-index", help="skip generation/build; load raw index from DIR"
     )
+    ap.add_argument(
+        "--head-cap",
+        type=int,
+        default=None,
+        help="head-width cap (with an 8 GiB budget): trades memory for "
+        "host-tail work — see DEVELOPMENT.md head-width knob",
+    )
     args = ap.parse_args()
     vocab = args.vocab or min(4 * args.docs, 400_000)
 
@@ -104,7 +111,10 @@ def main():
             file=sys.stderr,
         )
         t0 = time.perf_counter()
-        index = SparseIndexBuilder(method="bm25").build(corpus)
+        bkw = {}
+        if args.head_cap:
+            bkw = {"head_cap": args.head_cap, "head_budget_bytes": 8 << 30}
+        index = SparseIndexBuilder(method="bm25", **bkw).build(corpus)
         build_s = time.perf_counter() - t0
         print(f"# built in {build_s:.1f}s", file=sys.stderr)
         del corpus
@@ -179,6 +189,7 @@ def main():
         "batch": args.batch,
         "top_k": args.topk,
         "nonempty": sum(1 for r in res.values() if r),
+        "score_chunks": engine.stats().get("score_chunks", 0),
         "device": str(dev),
     }
     out_path = Path(args.out)
