@@ -46,6 +46,9 @@ class HFEncoder:
         backend: str = "auto",  # 'flax' (TPU) | 'torch' (CPU) | 'auto'
         model=None,
         tokenizer=None,
+        pad_to_max: bool = False,  # fixed (B, max_length) shapes: ONE
+        #   XLA compile instead of one per distinct padded length —
+        #   essential when compiles are expensive (remote-TPU tunnel)
     ):
         try:
             from transformers import AutoTokenizer
@@ -56,6 +59,7 @@ class HFEncoder:
         self.model_name = model_name
         self.max_length = max_length
         self.batch_size = batch_size
+        self.pad_to_max = pad_to_max
         self.tokenizer = tokenizer or AutoTokenizer.from_pretrained(model_name)
         self.backend: str
         self.model = model
@@ -83,14 +87,19 @@ class HFEncoder:
         return self.encode([text])[0]
 
     def _encode_batch(self, texts: List[str]) -> np.ndarray:
+        n = len(texts)  # pad_to_max may append filler rows; slice back
         if self.backend == "flax":
-            return self._encode_flax(texts)
-        return self._encode_torch(texts)
+            return self._encode_flax(texts)[:n]
+        return self._encode_torch(texts)[:n]
 
     def _tokenize(self, texts: List[str], tensors: str):
+        if self.pad_to_max and len(texts) < self.batch_size:
+            # Keep the batch dimension static too (the tail batch would
+            # otherwise compile its own program).
+            texts = list(texts) + [""] * (self.batch_size - len(texts))
         return self.tokenizer(
             texts,
-            padding=True,
+            padding="max_length" if self.pad_to_max else True,
             truncation=True,
             max_length=self.max_length,
             return_tensors=tensors,

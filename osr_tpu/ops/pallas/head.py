@@ -106,18 +106,29 @@ BLOCK_COLS = 128  # row-block granularity of the exact pruned top-k
 TILE_R_BM = 1024  # 8 blocks of 128 per tile: the f32 min sublane tile
 
 
-def _pick_tile_b(b: int) -> int:
-    """Widest query tile that divides the (pre-padded) batch.
+def _pick_tile_b(b: int, f: int) -> int:
+    """Widest query tile that divides the (pre-padded) batch AND fits
+    VMEM at head width ``f``.
 
     The head tile is re-read from HBM once per QUERY tile, so head
     traffic scales as B/TILE_B x (R*F): at FiQA bench shape TILE_B=128
     moves 5.9 GB of head bytes while TILE_B=512 moves 1.5 GB — measured
-    17.2 -> 10.3 ms for the whole fused kernel (tools/profile_fused.py).
-    512 keeps VMEM under budget: q (512, F<=4096) bf16 4 MB + head
-    (1024, F) int8 4 MB + out (512, 1024) f32 2 MB, double-buffered.
+    17.2 -> 13.4 ms for the whole fused kernel (tools/profile_fused.py).
+    VMEM model (double-buffered pipeline): q tile bf16 + 2x head tile
+    int8 + 2x out tile f32 + bmax; at F=4096 the 512 tile exceeds the
+    16 MB scoped limit (measured 17.46 M), so wide heads drop to 256.
     """
+    budget = 14 << 20  # leave headroom under the 16 MB scoped limit
     for tb in (512, 256, 128):
-        if b % tb == 0:
+        if b % tb:
+            continue
+        need = (
+            tb * f * 2  # query tile (resident per i)
+            + 2 * TILE_R_BM * f  # head tile, double-buffered
+            + 2 * tb * TILE_R_BM * 4  # scores out tile, double-buffered
+            + 2 * 8 * tb * 4  # bmax out tile
+        )
+        if need <= budget:
             return tb
     return TILE_B
 
@@ -171,7 +182,7 @@ def head_scores_blockmax_pallas(
     b = q_scaled.shape[0]
     g = r // BLOCK_COLS
     n_blocks = TILE_R_BM // BLOCK_COLS
-    tile_b = _pick_tile_b(b)
+    tile_b = _pick_tile_b(b, f)
     grid = (b // tile_b, r // TILE_R_BM)
     return pl.pallas_call(
         _head_blockmax_kernel,

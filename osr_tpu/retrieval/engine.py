@@ -59,8 +59,11 @@ DEFAULT_BATCH_SIZES = (8, 32, 128)
 # Auto row-chunking engages when the (B_max, R) f32 score matrix would
 # exceed this budget: per-chunk score buffers are freed between dispatches,
 # so HBM peak = head + ONE chunk of scores instead of head + B x R
-# (the 1M-doc B=2048 OOM in DEVELOPMENT.md's capacity model).
-SCORE_BUDGET_BYTES = 2 << 30
+# (the 1M-doc B=2048 OOM in DEVELOPMENT.md's capacity model). 6 GiB keeps
+# every case that fits 16 GB HBM un-chunked (per-chunk top-k repeats the
+# selection work, measured ~-15% QPS per extra chunk at 1M docs) while
+# still splitting the 8 GB B=2048 x 1M case into two.
+SCORE_BUDGET_BYTES = 6 << 30
 
 
 class _DeviceIndex:

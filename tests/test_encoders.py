@@ -103,3 +103,88 @@ def test_real_encoder_through_dense_retriever(encoder, tmp_path):
     r2.build_index_from_corpus(corpus)
     res2 = r2.search({"q": "bonds pay interest to holders"}, top_k=1)
     assert list(res2["q"])[0] == "d2"
+
+
+def test_pad_to_max_matches_dynamic_padding(encoder):
+    """pad_to_max (one XLA compile shape) returns the same embeddings as
+    dynamic padding — masked mean pooling ignores the filler."""
+    texts = ["hello world", "bonds pay interest to holders", "etf"]
+    fixed = HFEncoder(
+        "tiny-random-bert",
+        max_length=32,
+        batch_size=4,
+        model=encoder.model,
+        tokenizer=_BertLikeTokenizer(),
+        pad_to_max=True,
+    )
+    dyn = HFEncoder(
+        "tiny-random-bert",
+        max_length=32,
+        batch_size=4,
+        model=encoder.model,
+        tokenizer=_BertLikeTokenizer(),
+    )
+    np.testing.assert_allclose(
+        fixed.encode(texts), dyn.encode(texts), rtol=1e-4, atol=1e-5
+    )
+    assert fixed.encode(texts).shape == (3, 32)
+
+
+class _BertLikeTokenizer(_CharTokenizer):
+    """_CharTokenizer + real padding='max_length' semantics."""
+
+    def __call__(self, texts, padding, truncation, max_length, return_tensors):
+        batch = super().__call__(
+            texts, True, truncation, max_length, "np"
+        )
+        if padding == "max_length":
+            ids = batch["input_ids"]
+            pad = max_length - ids.shape[1]
+            if pad > 0:
+                batch = {
+                    k: np.pad(v, ((0, 0), (0, pad))) for k, v in batch.items()
+                }
+        if return_tensors == "pt":
+            import torch
+
+            batch = {k: torch.from_numpy(v) for k, v in batch.items()}
+        return batch
+
+
+def test_standin_artifact_pipeline(tmp_path):
+    """The committed dense-encoder artifact's pipeline (locally built
+    seeded BERT + corpus vocab -> encode -> int8 -> search -> IR metrics)
+    runs end to end and shows real self-retrieval signal
+    (tools/bench_dense_encoder.py is the full-size version)."""
+    from osr_tpu.metrics.ir import recall_at_k
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+    from tools.bench_dense_encoder import build_standin_encoder
+
+    rng = np.random.RandomState(3)
+    words = [f"t{i}" for i in range(300)]
+    corpus, texts = {}, []
+    for i in range(120):
+        t = " ".join(words[w] for w in rng.randint(0, 300, 20))
+        corpus[f"d{i}"] = t
+        texts.append(t)
+    enc = build_standin_encoder(sorted(set(words)), hidden=64, layers=2)
+    emb = enc.encode(texts)
+    assert emb.shape == (120, 64)
+    queries, qrels = {}, {}
+    for qi in range(16):
+        src = int(rng.randint(120))
+        ws = texts[src].split()
+        queries[f"q{qi}"] = " ".join(
+            ws[p] for p in rng.choice(len(ws), 8, replace=False)
+        )
+        qrels[f"q{qi}"] = {f"d{src}": 1}
+    q_emb = enc.encode(list(queries.values()))
+    eng = DenseSearchEngine(list(corpus), emb, quantization="symmetric")
+    res = eng.search(
+        {q: q_emb[i] for i, q in enumerate(queries)},
+        top_k=10,
+        min_score=-1e30,
+    )
+    # Chance recall@10 = 10/120 ~ 0.083; the random-projection encoder
+    # must do much better on queries quoting their source document.
+    assert recall_at_k(res, qrels, 10) >= 0.4

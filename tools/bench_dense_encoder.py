@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""Real-encoder dense retrieval artifact (VERDICT r2 item 7).
+
+Runs a REAL transformer forward pass (HFEncoder, the production encoder
+class) through the full dense pipeline — encode -> int8 quantize -> MXU
+search -> osr_tpu.metrics.ir — and commits the measured artifact to
+bench_results/dense_encoder.json.
+
+NO pretrained weights are obtainable in this offline environment, so the
+encoder is a DETERMINISTIC STAND-IN, clearly labeled as such: a tiny
+BERT built locally from config with a fixed seed and a vocabulary
+written from the corpus terms. Mean-pooled random token embeddings act
+as a bag-of-words random projection, so self-retrieval (queries quote
+words of a source document; qrels map each query to its source) is a
+REAL quality signal — recall@10 well above chance — while int8-vs-fp32
+agreement measures the quantization pipeline's fidelity exactly as the
+reference's quantization suite does (reference
+tests/embedding_quantizations.py:398-462; its committed P@10
+preservation was 0.936 on synthetic embeddings). Swapping in real
+weights is the same code path (HFEncoder("facebook/contriever")).
+
+Usage: python tools/bench_dense_encoder.py [--docs 4000]
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def build_standin_encoder(vocab_terms, hidden=256, layers=4, seed=0):
+    """Tiny BERT from local config + corpus vocabulary — the offline
+    deterministic stand-in (see module docstring)."""
+    from transformers import BertConfig, BertTokenizerFast, FlaxBertModel
+
+    from osr_tpu.encoders import HFEncoder
+
+    d = tempfile.mkdtemp(prefix="osr_standin_")
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    vocab_path = Path(d) / "vocab.txt"
+    vocab_path.write_text("\n".join(specials + list(vocab_terms)))
+    tokenizer = BertTokenizerFast(vocab_file=str(vocab_path))
+    cfg = BertConfig(
+        vocab_size=len(specials) + len(vocab_terms),
+        hidden_size=hidden,
+        num_hidden_layers=layers,
+        num_attention_heads=4,
+        intermediate_size=hidden * 4,
+        max_position_embeddings=512,
+    )
+    model = FlaxBertModel(cfg, seed=seed)  # deterministic random init
+    return HFEncoder(
+        f"standin-bert-{layers}l-{hidden}h-seed{seed}",
+        model=model,
+        tokenizer=tokenizer,
+        max_length=128,
+        batch_size=128,
+        pad_to_max=True,  # one compile shape (the tunnel charges per)
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=4000)
+    ap.add_argument("--vocab", type=int, default=8000)
+    ap.add_argument("--queries", type=int, default=256)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument(
+        "--out",
+        default=str(
+            Path(__file__).parents[1] / "bench_results" / "dense_encoder.json"
+        ),
+    )
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU platform (config-level: the TPU-tunnel "
+        "sitecustomize overrides JAX_PLATFORMS env vars)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from osr_tpu.metrics.ir import evaluate_retrieval
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+    from osr_tpu.testing import SyntheticDataGenerator, spearman_correlation
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(
+        args.docs, args.vocab, avg_len=60, word_prefix="t", min_len=10
+    )
+    doc_ids = list(corpus.keys())
+    texts = [corpus[d]["text"] for d in doc_ids]
+
+    # Self-retrieval queries: ~8 words quoted from one source document.
+    rng = np.random.RandomState(7)
+    queries, qrels = {}, {}
+    for qi in range(args.queries):
+        src = int(rng.randint(len(doc_ids)))
+        words = texts[src].split()
+        picks = rng.choice(len(words), size=min(8, len(words)), replace=False)
+        queries[f"q{qi}"] = " ".join(words[p] for p in sorted(picks))
+        qrels[f"q{qi}"] = {doc_ids[src]: 1}
+
+    terms = sorted({w for t in texts for w in t.split()})
+    encoder = build_standin_encoder(terms)
+    t0 = time.perf_counter()
+    doc_emb = encoder.encode(texts)
+    encode_s = time.perf_counter() - t0
+    q_emb = encoder.encode(list(queries.values()))
+    print(
+        f"# encoded {len(texts)} docs ({doc_emb.shape}) in {encode_s:.1f}s "
+        f"via {encoder.backend}",
+        file=sys.stderr,
+    )
+
+    qids = list(queries.keys())
+    qvecs = {qid: q_emb[i] for i, qid in enumerate(qids)}
+
+    def run(quantization, backend="xla"):
+        eng = DenseSearchEngine(
+            doc_ids, doc_emb, quantization=quantization, device=dev,
+            backend=backend,
+        )
+        res = eng.search(qvecs, top_k=args.topk, min_score=-1e30)
+        t0 = time.perf_counter()
+        eng.search(qvecs, top_k=args.topk, min_score=-1e30)
+        qps = len(qids) / (time.perf_counter() - t0)
+        return res, qps
+
+    fp32_res, fp32_qps = run("none")
+    int8_res, int8_qps = run("symmetric")
+    asym_res, _ = run("asymmetric")
+
+    def quality(res):
+        m = evaluate_retrieval(res, qrels, k_values=(args.topk,))
+        return {k: round(v, 4) for k, v in m.items()}
+
+    # int8-vs-fp32 agreement (reference embedding_quantizations.py:398-462
+    # semantics: P@k overlap + Spearman over shared candidates).
+    overlaps, spearmans = [], []
+    for qid in qids:
+        a, b = fp32_res[qid], int8_res[qid]
+        if not a or not b:
+            continue
+        overlaps.append(len(set(a) & set(b)) / max(len(a), len(b)))
+        shared = [d for d in a if d in b]
+        if len(shared) >= 3:
+            spearmans.append(
+                spearman_correlation(
+                    [a[d] for d in shared], [b[d] for d in shared]
+                )
+            )
+
+    out = {
+        "encoder": encoder.model_name,
+        "encoder_backend": encoder.backend,
+        "note": (
+            "DETERMINISTIC STAND-IN encoder (random-weight tiny BERT, "
+            "seed 0): no pretrained weights are obtainable offline. "
+            "Self-retrieval qrels make recall a real signal; swap in a "
+            "real checkpoint via HFEncoder('facebook/contriever') for "
+            "semantic quality."
+        ),
+        "num_docs": len(doc_ids),
+        "num_queries": len(qids),
+        "dim": int(doc_emb.shape[1]),
+        "encode_docs_s": round(encode_s, 1),
+        "fp32": quality(fp32_res),
+        "int8_symmetric": quality(int8_res),
+        "uint8_asymmetric": quality(asym_res),
+        "int8_vs_fp32_p_at_k_overlap": round(float(np.mean(overlaps)), 4),
+        "int8_vs_fp32_spearman": round(float(np.mean(spearmans)), 4),
+        "qps_fp32": round(fp32_qps, 1),
+        "qps_int8": round(int8_qps, 1),
+        "top_k": args.topk,
+        "device": str(dev),
+    }
+    out_path = Path(args.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
