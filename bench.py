@@ -144,13 +144,18 @@ def main():
     results = engine.search(queries, top_k=TOP_K)
     log(f"warmup (compile) {time.perf_counter() - t0:.1f}s")
 
+    # Median-of-5 with per-pass numbers recorded (VERDICT r2 item 8):
+    # machine/tunnel contention varies passes up to ~20%, so the median
+    # is the honest headline; best-of is reported alongside, labeled.
     qps_passes = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         results = engine.search(queries, top_k=TOP_K)
-        qps_passes.append(NUM_QUERIES / (time.perf_counter() - t0))
+        qps_passes.append(
+            round(NUM_QUERIES / (time.perf_counter() - t0), 1)
+        )
         log(f"pass qps (exact): {qps_passes[-1]:.1f}")
-    qps = max(qps_passes)
+    qps = float(np.median(qps_passes))
 
     # Approximate-top-k secondary leg (lax.approx_max_k, recall 0.95).
     approx = SparseSearchEngine(
@@ -165,9 +170,11 @@ def main():
         qps_approx = max(qps_approx, NUM_QUERIES / (time.perf_counter() - t0))
     log(f"approx qps: {qps_approx:.1f}")
 
-    # TRUE single-stream latency: one query per dispatch (B=1 padded to 8).
+    # TRUE single-stream latency: one query per dispatch, B=1 program
+    # (the dedicated small-batch menu entry; stage decomposition in
+    # DEVELOPMENT.md via tools/profile_latency.py).
     lat_engine = SparseSearchEngine(
-        index, device=device, batch_sizes=(8,), cache_queries=False,
+        index, device=device, batch_sizes=(1,), cache_queries=False,
         topk_mode="exact",
     )
     qitems = list(queries.items())
@@ -261,6 +268,9 @@ def main():
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "qps_median_of": len(qps_passes),
+        "qps_passes": qps_passes,
+        "qps_best": max(qps_passes),
         "topk_mode": "exact",
         "qps_approx_topk": round(qps_approx, 1),
         "p50_latency_ms_b1": round(p50_b1, 2),

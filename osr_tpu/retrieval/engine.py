@@ -275,21 +275,31 @@ class SparseSearchEngine:
             # result crosses the tunnel.
             from osr_tpu.ops.bm25 import merge_packed_chunks
 
-            packeds = [
-                fused_search_packed(
-                    packed_q,
-                    d.empty_i32,
-                    d.empty_i32,
-                    head_c,
-                    d.head_scales,
-                    valid_c,
-                    head_terms=self.index.layout.head_terms,
-                    k=top_k,
-                    topk_mode=self.topk_mode,
-                    head_backend=self.head_backend,
-                )[0]
-                for head_c, valid_c in d.chunks
-            ]
+            packeds = []
+            for head_c, valid_c in d.chunks:
+                if packeds:
+                    # Serialize chunk dispatches: async enqueue reserves
+                    # each chunk's (B, Rc) score workspace up front, so
+                    # two in-flight chunks would hold BOTH buffers —
+                    # measured HBM OOM at F=4096, B=2048, 1M docs.
+                    # Blocking bounds live workspace to ~one chunk (the
+                    # device executes serially anyway; cost is one
+                    # dispatch round-trip per extra chunk).
+                    packeds[-1].block_until_ready()
+                packeds.append(
+                    fused_search_packed(
+                        packed_q,
+                        d.empty_i32,
+                        d.empty_i32,
+                        head_c,
+                        d.head_scales,
+                        valid_c,
+                        head_terms=self.index.layout.head_terms,
+                        k=top_k,
+                        topk_mode=self.topk_mode,
+                        head_backend=self.head_backend,
+                    )[0]
+                )
             packed = merge_packed_chunks(
                 jnp.stack(packeds), d.chunk_bases
             )
