@@ -399,11 +399,42 @@ class QuantizationSuite(BenchmarkSuite):
         return out
 
 
+REAL_PROSE_FILES = (
+    "/root/reference/README.md",
+    "/root/reference/DEVELOPMENT.md",
+    "/root/reference/PROJECT_STATUS.md",
+    "/root/reference/REPRO.md",
+    "/root/reference/report/rag_pipeline_report.md",
+    "/root/reference/report/week1.md",
+)
+
+
+def real_prose_paragraphs() -> List[str]:
+    """Paragraphs of real English prose available offline (the reference
+    repo's markdown). Empty list when not mounted — callers fall back to
+    synthetic. Real text is where the compressed store's behavior differs
+    from synthetic Zipf words (which compress ~1.0x; reference measured
+    0.993x on its synthetic data, test_results/memory_mapping_results)."""
+    paras: List[str] = []
+    for f in REAL_PROSE_FILES:
+        p = Path(f)
+        if p.exists():
+            paras.extend(
+                c.strip()
+                for c in p.read_text(encoding="utf-8").split("\n\n")
+                if len(c.strip()) >= 60
+            )
+    return paras
+
+
 class StorageSuite(BenchmarkSuite):
     name = "storage"
 
-    def __init__(self, num_docs: int = 2000):
+    def __init__(self, num_docs: int = 2000, text_source: str = "synthetic"):
+        if text_source not in ("synthetic", "real"):
+            raise ValueError(f"Unknown text_source: {text_source}")
         self.num_docs = num_docs
+        self.text_source = text_source
         self._tmp: Optional[tempfile.TemporaryDirectory] = None
 
     def setup(self) -> None:
@@ -411,18 +442,43 @@ class StorageSuite(BenchmarkSuite):
 
         self._tmp = tempfile.TemporaryDirectory()
         rng = np.random.RandomState(42)
-        words = [f"word{i}" for i in range(500)]
-        self.docs = [
-            Document(
-                id=f"d{i}",
-                text=" ".join(
-                    words[j]
-                    for j in rng.randint(0, 500, max(10, int(rng.gamma(2, 60))))
-                ),
-                title=f"Title {i}",
-            )
-            for i in range(self.num_docs)
-        ]
+        if self.text_source == "real":
+            paras = real_prose_paragraphs()
+            if not paras:
+                raise RuntimeError(
+                    "text_source='real' needs the reference prose mounted"
+                )
+            # Sample 1-4 paragraphs per document: realistic lengths and
+            # genuinely compressible English text (the reference's real-
+            # data runs used FiQA/NQ, unavailable offline).
+            self.docs = [
+                Document(
+                    id=f"d{i}",
+                    text="\n\n".join(
+                        paras[j]
+                        for j in rng.randint(
+                            0, len(paras), int(rng.randint(1, 5))
+                        )
+                    ),
+                    title=f"Title {i}",
+                )
+                for i in range(self.num_docs)
+            ]
+        else:
+            words = [f"word{i}" for i in range(500)]
+            self.docs = [
+                Document(
+                    id=f"d{i}",
+                    text=" ".join(
+                        words[j]
+                        for j in rng.randint(
+                            0, 500, max(10, int(rng.gamma(2, 60)))
+                        )
+                    ),
+                    title=f"Title {i}",
+                )
+                for i in range(self.num_docs)
+            ]
         self.path = Path(self._tmp.name) / "bench.osrd"
 
     def cleanup(self) -> None:

@@ -256,3 +256,25 @@ def test_beir_compatible_search_adapter(tmp_path):
         assert s.index_stats["num_docs"] == 120
     finally:
         s.close()
+
+
+def test_storage_suite_real_text():
+    """Component #32's realistic-text fixture: the storage suite runs on
+    real English prose (reference markdown, offline) where zlib actually
+    compresses (>1.2x), unlike the reference's synthetic data (0.993x,
+    reference test_results/memory_mapping_results.json)."""
+    from osr_tpu.benchmarks.suites import StorageSuite, real_prose_paragraphs
+
+    if not real_prose_paragraphs():
+        import pytest
+
+        pytest.skip("reference prose not mounted")
+    s = StorageSuite(num_docs=300, text_source="real")
+    s.setup()
+    try:
+        results = s.run()
+    finally:
+        s.cleanup()
+    by_name = {r.name: r for r in results}
+    assert all(r.passed for r in results)
+    assert by_name["build"].metrics["compression_ratio"] > 1.2
