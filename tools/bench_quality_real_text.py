@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""Committed retrieval-quality artifact on REAL text, side by side with
+the in-process reference engine (closes VERDICT r2 "missing" item 1's
+quality leg).
+
+No BEIR dataset is downloadable offline, so the dataset is materialized
+in BEIR format from real English prose (the reference repository's own
+markdown, incl. genuine non-ASCII) with self-retrieval qrels: each query
+quotes a 6-word window of one source paragraph; relevance = that
+paragraph. nDCG/MAP/recall/P are then REAL ranking-quality numbers, and
+the reference's own retriever (imported from /root/reference, its NumPy
+fallback path) runs on the identical files so the artifact shows direct
+quality parity on real text, not synthetic tokens.
+
+Usage: python tools/bench_quality_real_text.py
+"""
+
+import importlib.util
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REFERENCE_PIPELINE = Path(
+    "/root/reference/rag_system/pipeline/evaluate_rag_pipeline.py"
+)
+
+
+def build_dataset(root: Path, num_queries: int = 300):
+    from osr_tpu.benchmarks.suites import real_prose_paragraphs
+
+    paras = []
+    for p in real_prose_paragraphs():
+        # Sub-chunk long paragraphs (~45-word windows) so the corpus has
+        # enough documents — and enough same-topic near-duplicates — for
+        # ranking quality below the ceiling.
+        words = p.split()
+        if len(words) <= 60:
+            paras.append(p)
+        else:
+            for s in range(0, len(words), 45):
+                chunk = " ".join(words[s : s + 45])
+                if len(chunk) >= 60:
+                    paras.append(chunk)
+    if len(paras) < 100:
+        raise RuntimeError("reference prose not mounted")
+    root.mkdir(parents=True, exist_ok=True)
+    with open(root / "corpus.jsonl", "w", encoding="utf-8") as f:
+        for i, text in enumerate(paras):
+            f.write(
+                json.dumps({"_id": f"p{i}", "text": text, "title": ""})
+                + "\n"
+            )
+    rng = np.random.RandomState(42)
+    qrels_dir = root / "qrels"
+    qrels_dir.mkdir(exist_ok=True)
+    with open(root / "queries.jsonl", "w", encoding="utf-8") as fq, open(
+        qrels_dir / "test.tsv", "w", encoding="utf-8"
+    ) as ft:
+        ft.write("query-id\tcorpus-id\tscore\n")
+        made = 0
+        while made < num_queries:
+            src = int(rng.randint(len(paras)))
+            words = paras[src].split()
+            if len(words) < 8:
+                continue
+            start = int(rng.randint(0, len(words) - 6))
+            text = " ".join(words[start : start + 6])
+            fq.write(
+                json.dumps({"_id": f"q{made}", "text": text}) + "\n"
+            )
+            ft.write(f"q{made}\tp{src}\t1\n")
+            made += 1
+    return len(paras), num_queries
+
+
+def run_reference(ds_dir: Path, top_k: int = 100):
+    """The reference's OWN retriever on the identical dataset files."""
+    from osr_tpu.metrics.ir import evaluate_retrieval
+    from osr_tpu.storage.loaders import (
+        extract_query_text,
+        load_corpus,
+        load_qrels,
+        load_queries,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_pipeline_quality", REFERENCE_PIPELINE
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    corpus = load_corpus(ds_dir)
+    qrels = load_qrels(ds_dir)
+    queries = {
+        qid: extract_query_text(q)
+        for qid, q in load_queries(ds_dir).items()
+        if qid in qrels
+    }
+    hardware = {"avx2": False, "cores": 1, "threads": 1, "memory_gb": 8}
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as td:
+        os.chdir(td)  # the reference writes .rag_cache into CWD
+        try:
+            r = mod.OptimizedRetriever(
+                {"type": "bm25", "params": {"k1": 1.2, "b": 0.75}}, hardware
+            )
+            r.use_cache = False
+            r.query_cache = None
+            t0 = time.perf_counter()
+            r.build_index_from_corpus(corpus)
+            build_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            results = r.search(queries, top_k=top_k)
+            qps = len(queries) / (time.perf_counter() - t0)
+        finally:
+            os.chdir(cwd)
+    metrics = evaluate_retrieval(results, qrels, k_values=(10, 100))
+    return {
+        "engine": "reference (in-process, NumPy fallback)",
+        **{k: round(v, 4) for k, v in metrics.items()},
+        "qps": round(qps, 1),
+        "build_s": round(build_s, 2),
+    }
+
+
+def main():
+    out_path = (
+        Path(__file__).parents[1] / "bench_results" / "quality_real_text.json"
+    )
+    import jax
+
+    if "--cpu" in sys.argv:
+        # Config-level override: the TPU-tunnel sitecustomize overrides
+        # JAX_PLATFORMS env vars.
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from osr_tpu.benchmarks.quality import run_quality_benchmark
+
+    with tempfile.TemporaryDirectory() as td:
+        ds = Path(td) / "realprose"
+        n_docs, n_queries = build_dataset(ds)
+        print(f"# dataset: {n_docs} paragraphs, {n_queries} queries",
+              file=sys.stderr)
+        ours = run_quality_benchmark(
+            ds,
+            methods=("bm25_custom", "tfidf"),
+            out_dir=Path(td) / "reports",
+            top_k=100,
+        )
+        ref = (
+            run_reference(ds) if REFERENCE_PIPELINE.exists() else None
+        )
+
+    artifact = {
+        "dataset": "real English prose (reference repo markdown), "
+        "self-retrieval qrels (6-word windows -> source paragraph)",
+        "num_docs": n_docs,
+        "num_queries": n_queries,
+        "osr_tpu": {
+            m: {
+                k: v
+                for k, v in s.items()
+                if k.split("@")[0] in ("ndcg", "map", "recall", "p")
+                or k in ("qps", "build_s", "method")
+            }
+            for m, s in ours.items()
+        },
+        "reference": ref,
+    }
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(artifact, indent=1))
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()
