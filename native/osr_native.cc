@@ -626,6 +626,15 @@ void cand_head_dot_t(const int8_t* head_t, int64_t r, const int32_t* rows,
 // Exact final top-k per query: (device head top-k) UNION (candidate totals),
 // masking head entries that are tail-touched (their exact totals are in the
 // candidate channel). cand rows are ascending per query.
+//
+// Candidate prefilter: the final k-th TOTAL is >= tau0 = the k-th head-only
+// score (the k head-top docs all have totals >= their head scores >= tau0),
+// so candidates with total < tau0 cannot enter the top-k and are skipped
+// before the pool sort — at 1M docs this drops most of the ~3,900-wide
+// per-query pools. A 1% slack covers the bf16 rounding band between the
+// device head channel (tau0's source) and the host candidate head-dot
+// (DEVELOPMENT.md merge numerics note), so a masked head-top's candidate
+// can never be wrongly dropped.
 void merge_topk(const float* head_s, const int32_t* head_r, int64_t b,
                 int64_t kh, const int32_t* c_rows, const float* c_tot,
                 const int64_t* c_ptr, int64_t k, float* out_s,
@@ -637,6 +646,13 @@ void merge_topk(const float* head_s, const int32_t* head_r, int64_t b,
       pool.clear();
       const int32_t* crow = c_rows + c_ptr[q];
       int64_t nc = c_ptr[q + 1] - c_ptr[q];
+      // The bound needs k head-top docs: with kh < k it doesn't hold.
+      float tau = -std::numeric_limits<float>::infinity();
+      if (kh >= k) {
+        float tau0 = head_s[q * kh + k - 1];  // k-th head-only score
+        float cand_tau = tau0 - std::fabs(tau0) * 0.01f - 1e-6f;
+        if (std::isfinite(cand_tau)) tau = cand_tau;
+      }
       for (int64_t i = 0; i < kh; ++i) {
         int32_t r = head_r[q * kh + i];
         bool touched =
@@ -645,7 +661,7 @@ void merge_topk(const float* head_s, const int32_t* head_r, int64_t b,
       }
       const float* ctot = c_tot + c_ptr[q];
       for (int64_t i = 0; i < nc; ++i) {
-        pool.emplace_back(ctot[i], crow[i]);
+        if (ctot[i] >= tau) pool.emplace_back(ctot[i], crow[i]);
       }
       int64_t kk = std::min<int64_t>(k, static_cast<int64_t>(pool.size()));
       std::partial_sort(

@@ -292,15 +292,35 @@ def merge_host(
         touched.reshape(b, kh), -np.inf, head_scores
     ).astype(np.float32)
 
+    # Candidate prefilter (mirrors the C++ merge): the final k-th TOTAL is
+    # >= tau0 = the k-th head-only score, so candidates with total < tau0
+    # (minus a 1% slack for the device/host bf16 rounding band) cannot
+    # enter the top-k. Only valid when the head contributes >= k entries.
+    cols_t = cand.cols[:total]
+    rows_t = cand.rows[:total]
+    if total and kh >= k:
+        tau0 = head_scores[:, k - 1]
+        tau = np.where(
+            np.isfinite(tau0), tau0 - np.abs(tau0) * 0.01 - 1e-6, -np.inf
+        ).astype(np.float32)
+        keep = totals >= tau[cols_t]
+        totals = totals[keep]
+        cols_t = cols_t[keep]
+        rows_t = rows_t[keep]
+        total = int(keep.sum())
+
     # Pad candidate totals to (B, Cmax) (row-major copy, no device work).
-    seg = np.diff(cand.ptr[: b + 1]).astype(np.int64)
-    cmax = int(seg.max(initial=0))
+    cmax = (
+        int(np.bincount(cols_t, minlength=b).max(initial=0)) if total else 0
+    )
     cand_s = np.full((b, cmax), -np.inf, dtype=np.float32)
     cand_r = np.zeros((b, cmax), dtype=np.int32)
     if total:
-        col = np.arange(total, dtype=np.int64) - cand.ptr[cand.cols[:total]]
-        cand_s[cand.cols[:total], col] = totals
-        cand_r[cand.cols[:total], col] = cand.rows[:total]
+        seg_ptr = np.zeros(b + 1, dtype=np.int64)
+        np.cumsum(np.bincount(cols_t, minlength=b), out=seg_ptr[1:])
+        col = np.arange(total, dtype=np.int64) - seg_ptr[cols_t]
+        cand_s[cols_t, col] = totals
+        cand_r[cols_t, col] = rows_t
 
     all_s = np.concatenate([head_masked, cand_s], axis=1)
     all_r = np.concatenate([head_rows.astype(np.int32), cand_r], axis=1)

@@ -347,3 +347,55 @@ def test_native_encode_matches_python():
     np.testing.assert_array_equal(tids_n, tids_p)
     np.testing.assert_array_equal(counts_n, counts_p)
     np.testing.assert_array_equal(ptr_n, ptr_p)
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_merge_tau_filter_keeps_band_edge_head_tops(use_native):
+    """The tau0 candidate prefilter must never drop a MASKED head-top
+    whose host-computed total sits just below tau0 (the device/host bf16
+    rounding band, DEVELOPMENT.md merge numerics note): the 1% slack
+    covers it."""
+    k = 3
+    # Head top-3 scores 10, 9, 8 -> tau0 = 8. Doc 5 (score 8) is
+    # tail-touched; its host-channel total is 7.97 (-0.4% band, tail
+    # included) — still within the slack, must be kept and ranked.
+    head_scores = np.array([[10.0, 9.0, 8.0]], dtype=np.float32)
+    head_rows = np.array([[1, 2, 5]], dtype=np.int32)
+    cand = FlatCandidates(
+        rows=np.array([5, 7], np.int32),
+        cols=np.array([0, 0], np.int32),
+        tail=np.array([0.01, 0.5], np.float32),
+        ptr=np.array([0, 2], np.int64),
+        total=2,
+    )
+    # host head-dot of doc 5 rounds low: 7.96 + 0.01 tail = 7.97 < tau0=8
+    # doc 7 is a genuine low-scorer (total 1.5) -> filtered.
+    cand_head = np.array([7.96, 1.0], np.float32)
+    s, r = merge_host(
+        head_scores, head_rows, cand, cand_head, 10, k,
+        use_native=use_native,
+    )
+    assert r[0].tolist() == [1, 2, 5]
+    np.testing.assert_allclose(s[0], [10.0, 9.0, 7.97], rtol=1e-6)
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_merge_tau_filter_matches_unfiltered_at_scale(use_native):
+    """Property check on bigger random pools: the filtered merge equals a
+    naive argsort of (head + tail) totals (same contract as the
+    bruteforce test, at a size where the filter actually drops most
+    candidates)."""
+    rng = np.random.RandomState(11)
+    n_rows, b, k = 400, 8, 10
+    full_head, tail, cand, cand_head, head_s, head_r = _build_case(
+        rng, n_rows, b, k
+    )
+    got_s, got_r = merge_host(
+        head_s, head_r, cand, cand_head, n_rows, k, use_native=use_native
+    )
+    want = full_head + tail
+    for q in range(b):
+        order = np.argsort(-want[q], kind="stable")[:k]
+        np.testing.assert_allclose(
+            got_s[q], want[q][order], rtol=1e-6, atol=1e-7
+        )
