@@ -208,13 +208,23 @@ def main():
             head_backend=engine.head_backend,
         )[0]
 
-    np.asarray(dev_step())  # warm (already compiled by the passes above)
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
-        out_dev = dev_step()
-    np.asarray(out_dev)
-    device_step_s = (time.perf_counter() - t0) / reps
+    warm = dev_step()
+    np.asarray(warm)  # warm (already compiled by the passes above)
+    # Best of N singles minus the result-download cost: each single pays
+    # exec + a ~2.7 MB packed fetch through the tunnel; the fetch is
+    # measured separately (tiny add defeats the host-value cache) and
+    # subtracted. Minima approximate the uncontended step — contention
+    # spikes individual timings up to ~2x.
+    exec_fetch_s = float("inf")
+    fetch_s = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        np.asarray(dev_step())
+        exec_fetch_s = min(exec_fetch_s, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        np.asarray(warm + 0.0)  # fresh tiny program -> pure fetch + RTT
+        fetch_s = min(fetch_s, time.perf_counter() - t0)
+    device_step_s = max(exec_fetch_s - fetch_s, 1e-9)
     r_rows, f_terms = lay.head.shape
     # Traffic model matches the actual program: head (int8) read + score
     # write, plus a score re-read for the separate block-max pass ONLY on
@@ -224,6 +234,7 @@ def main():
     flops = 2.0 * big_b * r_rows * f_terms
     roofline = {
         "device_step_ms": round(device_step_s * 1e3, 1),
+        "result_fetch_ms": round(fetch_s * 1e3, 1),
         "hbm_gbps_effective": round(bytes_moved / device_step_s / 1e9, 1),
         "hbm_gbps_peak_v5e": 819,
         "mxu_tflops_effective": round(flops / device_step_s / 1e12, 2),
