@@ -160,7 +160,7 @@ class SparseIndexBuilder:
         head_terms: Optional[int] = None,
         head_budget_bytes: int = DEFAULT_HEAD_BUDGET_BYTES,
         head_cap: int = DEFAULT_HEAD_CAP,
-        head_dtype: str = "int8",  # 'int8' (default) | 'bf16' | 'f32'
+        head_dtype: str = "int8",  # 'int8' (default) | 'int4' | 'bf16' | 'f32'
         keep_raw_rows: bool = False,
     ):
         method = method.lower()
@@ -348,15 +348,26 @@ class SparseIndexBuilder:
         # a prefix — they MUST land in the head (layout.py exactness).
         n_nonpos = int(np.searchsorted(idf, 0.0, side="right"))
 
+        budget = self.head_budget_bytes
+        if self.head_dtype == "int4":
+            budget *= 2  # two head elements per byte
         f = choose_head_terms(
             num_docs,
             vocab_size,
             df,
             n_nonpos,
             self.head_terms,
-            self.head_budget_bytes,
+            budget,
             self.head_cap,
         )
+        if self.head_dtype == "int4" and self.head_terms is None:
+            # The Pallas int4 kernel needs a 128-aligned PACKED width,
+            # i.e. F % 256; round up when the vocabulary allows.
+            from osr_tpu.index.layout import _round_up as _ru
+
+            aligned = _ru(f, 256)
+            if aligned <= vocab_size:
+                f = aligned
         layout = self._pack_native(
             indptr, flat_tids, flat_tfs, doc_lengths, idf, num_docs,
             vocab_size, f, avgdl,

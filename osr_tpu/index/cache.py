@@ -36,7 +36,7 @@ logger = logging.getLogger(__name__)
 
 _FORMAT_VERSION = 3
 
-_HEAD_NP_DTYPE = {"int8": np.int8, "f32": np.float32}
+_HEAD_NP_DTYPE = {"int8": np.int8, "int4": np.uint8, "f32": np.float32}
 
 
 def _head_np_dtype(head_dtype: str):
@@ -120,9 +120,9 @@ def _load_packed_layout(z, num_docs: int, vocab_size: int) -> HybridLayout:
     rows = int(z["packed_head_rows"])
     dt = _head_np_dtype(head_dtype)
     head = np.frombuffer(z["packed_head"].tobytes(), dtype=dt)
-    head = head.reshape(rows, head_terms) if head_terms else head.reshape(
-        rows, 0
-    )
+    # int4 stores two elements per byte, so the stored width is the
+    # PACKED width, not head_terms — recover it from the element count.
+    head = head.reshape(rows, -1) if head.size else head.reshape(rows, 0)
     scales = z["packed_scales"]
     return HybridLayout(
         head_terms=head_terms,

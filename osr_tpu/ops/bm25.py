@@ -91,6 +91,23 @@ def head_scores(
     contract_f = (((1,), (1,)), ((), ()))  # (B, F) x (R, F) -> (B, R)
     if head.shape[1] == 0:
         return jnp.zeros((qhead.shape[0], head.shape[0]), dtype=jnp.float32)
+    if head.dtype == jnp.uint8:
+        # int4 block-packed head (index/layout.py:unpack_int4): decode the
+        # nibbles on device, then score exactly like int8. This XLA path
+        # materializes a transient (R, F) bf16 copy per batch — the Pallas
+        # kernel (ops/pallas/head.py int4 variant) decodes in VMEM and is
+        # the production path; this one is the reference/fallback.
+        p32 = head.astype(jnp.int32)
+        unpacked = jnp.concatenate([p32 & 0xF, p32 >> 4], axis=1)[
+            :, : head_scales.shape[0]
+        ]
+        q = (qhead * head_scales[None, :]).astype(jnp.bfloat16)
+        return lax.dot_general(
+            q,
+            unpacked.astype(jnp.bfloat16),
+            dimension_numbers=contract_f,
+            preferred_element_type=jnp.float32,
+        )
     if head.dtype == jnp.int8:
         q = (qhead * head_scales[None, :]).astype(jnp.bfloat16)
         return lax.dot_general(
@@ -162,8 +179,10 @@ def fused_search(
     )
     bmax = None
     if head_backend == "pallas":
-        if head.dtype != jnp.int8:
-            raise ValueError("head_backend='pallas' requires an int8 head")
+        if head.dtype not in (jnp.int8, jnp.uint8):
+            raise ValueError(
+                "head_backend='pallas' requires an int8 or int4 head"
+            )
         from osr_tpu.ops.pallas.head import (
             masked_head_scores,
             masked_head_scores_blockmax,
@@ -175,6 +194,11 @@ def fused_search(
             hs, bmax = masked_head_scores_blockmax(
                 head, head_scales, qhead, valid
             )
+        elif head.dtype == jnp.uint8:
+            # int4 without block pruning (tiny corpora / approx mode):
+            # the XLA decode path — not worth a second Mosaic kernel.
+            hs = head_scores(head, head_scales, qhead)
+            hs = jnp.where(valid[None, :], hs, NEG_INF)
         else:
             hs = masked_head_scores(head, head_scales, qhead, valid)
     else:

@@ -133,20 +133,17 @@ def _pick_tile_b(b: int, f: int) -> int:
     return TILE_B
 
 
-def _head_blockmax_kernel(q_ref, head_ref, valid_ref, out_ref, bmax_ref):
-    """(tile_b, TILE_R_BM) scores tile + its per-128-row-block maxima.
+def _decode_int4(packed_i32):
+    """Block-packed int4 -> bf16 (index/layout.py:unpack_int4 semantics):
+    UNSIGNED [0, 15] codes (the per-column scale carries the sign), so
+    decoding is two masks and one lane-contiguous concat — ops run in
+    int32 (Mosaic lacks int8 vector ops on this target)."""
+    return jnp.concatenate(
+        [packed_i32 & 0xF, packed_i32 >> 4], axis=1
+    ).astype(jnp.bfloat16)
 
-    The maxima output is TRANSPOSED, (G, B): each grid step then writes one
-    full aligned (8, tile_b) block — Mosaic rejects sub-128-lane dynamic
-    stores, and 8 blocks of 128 rows per tile is exactly the f32 minimum
-    sublane tile, so no block is ever partially written.
-    """
-    acc = lax.dot_general(
-        q_ref[:],
-        head_ref[:].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (tile_b, TILE_R_BM)
+
+def _blockmax_epilogue(acc, valid_ref, out_ref, bmax_ref):
     mask = valid_ref[:] > 0.5  # (1, TILE_R_BM)
     masked = jnp.where(mask, acc, -jnp.inf)
     out_ref[:] = masked
@@ -165,10 +162,42 @@ def _head_blockmax_kernel(q_ref, head_ref, valid_ref, out_ref, bmax_ref):
     bmax_ref[:] = tile_max.T  # (n_blocks, tile_b)
 
 
+def _head_blockmax_kernel(q_ref, head_ref, valid_ref, out_ref, bmax_ref):
+    """(tile_b, TILE_R_BM) scores tile + its per-128-row-block maxima.
+
+    The maxima output is TRANSPOSED, (G, B): each grid step then writes one
+    full aligned (8, tile_b) block — Mosaic rejects sub-128-lane dynamic
+    stores, and 8 blocks of 128 rows per tile is exactly the f32 minimum
+    sublane tile, so no block is ever partially written.
+    """
+    acc = lax.dot_general(
+        q_ref[:],
+        head_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (tile_b, TILE_R_BM)
+    _blockmax_epilogue(acc, valid_ref, out_ref, bmax_ref)
+
+
+def _head_blockmax_kernel_i4(q_ref, head_ref, valid_ref, out_ref, bmax_ref):
+    """int4 variant: the head tile arrives PACKED (TILE_R_BM, F/2) uint8 —
+    half the HBM bytes of int8 — and decodes to bf16 in VMEM before the
+    same matmul + blockmax epilogue."""
+    dec = _decode_int4(head_ref[:].astype(jnp.int32))
+    acc = lax.dot_general(
+        q_ref[:],
+        dec,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _blockmax_epilogue(acc, valid_ref, out_ref, bmax_ref)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def head_scores_blockmax_pallas(
-    q_scaled: jax.Array,  # (B, F) bfloat16
-    head: jax.Array,  # (R, F) int8, R % TILE_R_BM == 0, F % 128 == 0
+    q_scaled: jax.Array,  # (B, F) bfloat16 (F = 2 * F_packed for int4)
+    head: jax.Array,  # (R, F) int8 OR (R, F/2) uint8 int4-packed;
+    #                     R % TILE_R_BM == 0, widths % 128 == 0
     valid: jax.Array,  # (1, R) float32
     *,
     interpret: bool = False,
@@ -177,15 +206,18 @@ def head_scores_blockmax_pallas(
     in ONE kernel — the separate block-max pass of the exact pruned top-k
     reads the whole (B, R) f32 score matrix back from HBM (~15 ms at FiQA
     scale on v5e); here the maxima reduce from the score tile while it is
-    still in VMEM."""
-    r, f = head.shape
-    b = q_scaled.shape[0]
+    still in VMEM. A uint8 head is the block-packed int4 layout and
+    decodes in VMEM (half the head HBM traffic of int8)."""
+    r, f_head = head.shape
+    b, f_logical = q_scaled.shape
+    int4 = head.dtype == jnp.uint8
+    kernel = _head_blockmax_kernel_i4 if int4 else _head_blockmax_kernel
     g = r // BLOCK_COLS
     n_blocks = TILE_R_BM // BLOCK_COLS
-    tile_b = _pick_tile_b(b, f)
+    tile_b = _pick_tile_b(b, f_logical)
     grid = (b // tile_b, r // TILE_R_BM)
     return pl.pallas_call(
-        _head_blockmax_kernel,
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, r), jnp.float32),
             jax.ShapeDtypeStruct((g, b), jnp.float32),
@@ -194,10 +226,12 @@ def head_scores_blockmax_pallas(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (tile_b, f), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+                    (tile_b, f_logical),
+                    lambda i, j: (i, 0),
+                    memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec(
-                    (TILE_R_BM, f),
+                    (TILE_R_BM, f_head),
                     lambda i, j: (j, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -221,9 +255,9 @@ def head_scores_blockmax_pallas(
             ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * r * f * b,
-            bytes_accessed=(b // tile_b) * r * f + f * b * 2 + r * b * 4
-            + g * b * 4,
+            flops=2 * r * f_logical * b,
+            bytes_accessed=(b // tile_b) * r * f_head + f_logical * b * 2
+            + r * b * 4 + g * b * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -235,22 +269,38 @@ def _pad_operands(head, head_scales, qhead, valid, tile_r):
 
     The engine pre-pads the head rows at upload (_DeviceIndex row_align),
     so the head pads here are no-ops on the hot path — this keeps the
-    wrappers correct for direct/test callers with unaligned shapes."""
-    r, f = head.shape
+    wrappers correct for direct/test callers with unaligned shapes.
+
+    int4 heads (uint8, block-packed): the packed width must already be
+    lane-aligned (pack-time padding would shift the hi-nibble block's
+    logical offset); the query operand pads to 2x the packed width with
+    zeros so its columns line up with the decoded [lo | hi] layout."""
+    r, f_head = head.shape
     b = qhead.shape[0]
+    int4 = head.dtype == jnp.uint8
     pad_r = (-r) % tile_r
     pad_b = (-b) % TILE_B
-    pad_f = (-f) % 128
     q = (qhead * head_scales[None, :]).astype(jnp.bfloat16)
-    if pad_f:
-        head = jnp.pad(head, ((0, 0), (0, pad_f)))
-        q = jnp.pad(q, ((0, 0), (0, pad_f)))
+    if int4:
+        if f_head % 128:
+            raise ValueError(
+                "int4 Pallas head needs a 128-aligned packed width "
+                f"(got {f_head}); use the XLA backend for odd shapes"
+            )
+        pad_q = 2 * f_head - q.shape[1]
+        if pad_q:
+            q = jnp.pad(q, ((0, 0), (0, pad_q)))
+    else:
+        pad_f = (-f_head) % 128
+        if pad_f:
+            head = jnp.pad(head, ((0, 0), (0, pad_f)))
+            q = jnp.pad(q, ((0, 0), (0, pad_f)))
     if pad_r:
         head = jnp.pad(head, ((0, pad_r), (0, 0)))
     if pad_b:
         q = jnp.pad(q, ((0, pad_b), (0, 0)))
     v = jnp.pad(valid.astype(jnp.float32), (0, pad_r))[None, :]
-    return head, q, v, r, f, b
+    return head, q, v, r, head.shape[1], b
 
 
 def masked_head_scores_blockmax(

@@ -216,21 +216,29 @@ class ShardedSparseSearchEngine:
         self.topk_mode = topk_mode
         layout = index.layout
         dev0 = mesh.devices.flat[0]
+        pallas_ok_dtype = layout.head_dtype == "int8" or (
+            layout.head_dtype == "int4"
+            and layout.head.shape[1] % 128 == 0
+        )
         if head_backend == "auto":
             # Same policy as the single-device engine, per SHARD: the
-            # Mosaic kernel applies on real TPUs with an int8 head and a
-            # local shard big enough that tile padding doesn't dominate.
+            # Mosaic kernel applies on real TPUs with an int8/int4 head
+            # and a local shard big enough that tile padding doesn't
+            # dominate.
             head_backend = (
                 "pallas"
                 if (
-                    layout.head_dtype == "int8"
+                    pallas_ok_dtype
                     and getattr(dev0, "platform", "") == "tpu"
                     and layout.num_rows // n_d >= 4096
                 )
                 else "xla"
             )
-        if head_backend == "pallas" and layout.head_dtype != "int8":
-            raise ValueError("head_backend='pallas' requires an int8 head")
+        if head_backend == "pallas" and not pallas_ok_dtype:
+            raise ValueError(
+                "head_backend='pallas' requires an int8 or (aligned) "
+                "int4 head"
+            )
         if head_backend not in ("xla", "pallas"):
             raise ValueError(f"Unknown head_backend: {head_backend}")
         self.head_backend = head_backend

@@ -95,6 +95,12 @@ class _DeviceIndex:
             cr = max(int(chunk_rows), row_align)
             cr += (-cr) % max(row_align, 1)
             n_chunks = -(-head.shape[0] // cr)
+            # Equalize chunk sizes: every chunk is padded to ``cr`` for
+            # the shared compile shape, so a short tail chunk would
+            # waste (cr - tail) head rows of HBM — at 1M docs, F=4096,
+            # chunks of 786k the waste alone OOMed the chip.
+            cr = -(-head.shape[0] // n_chunks)
+            cr += (-cr) % max(row_align, 1)
             chunks = []
             bases = np.zeros(n_chunks, dtype=np.float32)
             for ci in range(n_chunks):
@@ -144,17 +150,25 @@ class SparseSearchEngine:
             # strings rather than silently running a different mode.
             raise ValueError(f"Unknown topk_mode: {topk_mode}")
         self.topk_mode = topk_mode
+        layout0 = index.layout
+        pallas_ok_dtype = layout0.head_dtype == "int8" or (
+            layout0.head_dtype == "int4"
+            # int4 Pallas needs a lane-aligned packed width (the packed
+            # layout can't be padded post-hoc; see pallas/head.py).
+            and layout0.head.shape[1] % 128 == 0
+        )
         if head_backend == "auto":
             # The Mosaic kernel runs at parity with the XLA chain and
             # produces identical results (tests/test_pallas_kernels.py;
             # measured on v5e) while owning the matmul+block-max fusion
             # instead of relying on XLA's heuristics — prefer it wherever
-            # it applies (real TPU, int8 head). CPU test runs fall back
-            # to XLA (Mosaic has no CPU target; interpret is test-only).
+            # it applies (real TPU, int8/int4 head). CPU test runs fall
+            # back to XLA (Mosaic has no CPU target; interpret is
+            # test-only).
             head_backend = (
                 "pallas"
                 if (
-                    index.layout.head_dtype == "int8"
+                    pallas_ok_dtype
                     and getattr(self.device, "platform", "") == "tpu"
                     # Tiny corpora: tile padding would dominate and XLA
                     # compiles such shapes instantly — not worth a Mosaic
@@ -163,8 +177,11 @@ class SparseSearchEngine:
                 )
                 else "xla"
             )
-        if head_backend == "pallas" and index.layout.head_dtype != "int8":
-            raise ValueError("head_backend='pallas' requires an int8 head")
+        if head_backend == "pallas" and not pallas_ok_dtype:
+            raise ValueError(
+                "head_backend='pallas' requires an int8 or (aligned) "
+                "int4 head"
+            )
         if head_backend not in ("xla", "pallas"):
             raise ValueError(f"Unknown head_backend: {head_backend}")
         self.head_backend = head_backend
@@ -209,14 +226,27 @@ class SparseSearchEngine:
             row_align=row_align,
             chunk_rows=score_chunk_rows or None,
         )
+        # Host-side head view for the candidate scorer: int4 unpacks ONCE
+        # to int8 on the host (host DRAM is not the scarce resource — the
+        # int4 layout halves HBM; decoded values ARE the int8 values the
+        # device matmul sees, so the merge numerics stay consistent).
+        self._host_head = index.layout.head
+        self._host_head_dtype = index.layout.head_dtype
+        if index.layout.head_dtype == "int4":
+            from osr_tpu.index.layout import unpack_int4
+
+            self._host_head = unpack_int4(
+                index.layout.head, index.layout.head_terms
+            )
+            self._host_head_dtype = "int8"
         # Term-major host copy of the int8 head for the candidate scorer
         # (streaming column access; see postings.cand_head_scores_host).
         self._head_t: Optional[np.ndarray] = None
-        if merge_backend == "host" and index.layout.head_dtype == "int8":
+        if merge_backend == "host" and self._host_head_dtype == "int8":
             try:
                 from osr_tpu.native import transpose_i8_native
 
-                self._head_t = transpose_i8_native(index.layout.head)
+                self._head_t = transpose_i8_native(self._host_head)
             except ImportError:
                 pass
         # Query cache: (query_text, top_k) -> (ids, scores), insert-only with
@@ -322,8 +352,8 @@ class SparseSearchEngine:
             cand_head = None  # comes back from the device with the top-k
         else:
             cand_head = cand_head_scores_host(
-                layout.head,
-                layout.head_dtype,
+                self._host_head,
+                self._host_head_dtype,
                 layout.head_scales,
                 cand,
                 enc.head_flat_ids,

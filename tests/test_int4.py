@@ -1,0 +1,171 @@
+"""int4 head mode: half the head HBM of int8 (the >5M-docs/chip regime).
+
+Codes are unsigned [0, 15] against per-column SIGNED scales — a head
+column's weights all share its IDF's sign, so the nibble spends every
+non-zero level on magnitude (osr_tpu/index/layout.py:unpack_int4).
+Measured top-10 agreement with the exact f32 head: ~0.95 on the Zipf
+fixture (the int8 bar), at half the bytes.
+"""
+
+import numpy as np
+import pytest
+
+from osr_tpu.index.builder import SparseIndexBuilder
+from osr_tpu.index.layout import pack_flat, unpack_int4
+from osr_tpu.retrieval.engine import SparseSearchEngine
+
+from tests.reference_impl import DenseOracleScorer, zipf_corpus, zipf_queries
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return zipf_corpus(num_docs=800, vocab_size=3000, avg_len=70)
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return zipf_queries(num_queries=40, vocab_size=3000, terms_per_query=7)
+
+
+def test_pack_unpack_roundtrip():
+    """Codes reconstruct weights within half a quantization step; absent
+    entries decode to exactly 0; negative-IDF columns carry the sign in
+    the scale."""
+    rng = np.random.RandomState(0)
+    num_docs, vocab, f = 50, 40, 24
+    doc_idx, term_ids, weights = [], [], []
+    col_sign = np.where(np.arange(vocab) % 5 == 0, -1.0, 1.0)
+    for d in range(num_docs):
+        for t in rng.choice(vocab, size=8, replace=False):
+            doc_idx.append(d)
+            term_ids.append(t)
+            weights.append(float(col_sign[t] * (rng.rand() * 3 + 0.05)))
+    order = np.argsort(doc_idx, kind="stable")
+    lay = pack_flat(
+        np.asarray(doc_idx)[order],
+        np.asarray(term_ids, np.int32)[order],
+        np.asarray(weights, np.float32)[order],
+        num_docs,
+        vocab,
+        head_terms=f,
+        head_dtype="int4",
+    )
+    assert lay.head.dtype == np.uint8
+    assert lay.head.shape[1] == (f + 1) // 2
+    codes = unpack_int4(lay.head, f)
+    assert codes.min() >= 0 and codes.max() <= 15
+    approx = codes.astype(np.float32) * lay.head_scales[None, :]
+    dense = np.zeros((lay.num_rows, f), dtype=np.float32)
+    for d, t, w in zip(doc_idx, term_ids, weights):
+        if t < f:
+            dense[d, t] = w
+    # within half a step of the per-column scale; absent entries exact 0
+    np.testing.assert_allclose(
+        approx, dense, atol=np.abs(lay.head_scales).max() * 0.5 + 1e-7
+    )
+    assert np.all(approx[dense == 0] == 0)
+    # negative columns: sign lives in the scale
+    neg_cols = [t for t in range(f) if col_sign[t] < 0 and dense[:, t].any()]
+    assert neg_cols and all(lay.head_scales[t] < 0 for t in neg_cols)
+
+
+def test_int4_scores_close_to_oracle(corpus, queries):
+    oracle = DenseOracleScorer(corpus, method="bm25")
+    engine = SparseSearchEngine(
+        SparseIndexBuilder(method="bm25", head_dtype="int4").build(corpus),
+        cache_queries=False,
+    )
+    texts = list(queries.values())[:8]
+    got = engine.score_all(texts)
+    for i, text in enumerate(texts):
+        want = oracle.score(text).astype(np.float32)
+        # int4 error is ~1/30 of each column's max, absolute per term.
+        np.testing.assert_allclose(got[i], want, atol=0.5, rtol=0.1)
+
+
+def test_int4_preserves_ranking(corpus, queries):
+    f32 = SparseSearchEngine(
+        SparseIndexBuilder(method="bm25", head_dtype="f32").build(corpus),
+        cache_queries=False,
+    )
+    i4 = SparseSearchEngine(
+        SparseIndexBuilder(method="bm25", head_dtype="int4").build(corpus),
+        cache_queries=False,
+    )
+    r32 = f32.search(queries, top_k=10)
+    r4 = i4.search(queries, top_k=10)
+    overlaps = [
+        len(set(r32[q]) & set(r4[q])) / max(len(r32[q]), len(r4[q]), 1)
+        for q in queries
+        if r32[q] or r4[q]
+    ]
+    assert np.mean(overlaps) >= 0.9, np.mean(overlaps)
+
+
+def test_int4_pallas_interpret_equals_xla(corpus, queries):
+    """The Mosaic int4 decode+matmul+blockmax == the XLA decode chain,
+    bit for bit (interpret mode on CPU; the TPU path shares the code)."""
+    import jax.numpy as jnp
+
+    from osr_tpu.ops.bm25 import head_scores, scatter_query_head
+    from osr_tpu.ops.pallas.head import masked_head_scores_blockmax
+
+    index = SparseIndexBuilder(method="bm25", head_dtype="int4").build(corpus)
+    lay = index.layout
+    assert lay.head.shape[1] % 128 == 0  # builder aligned F for Pallas
+    engine = SparseSearchEngine(index, cache_queries=False)
+    enc = engine.encode_queries(list(queries.values())[:8])
+    qhead = scatter_query_head(
+        jnp.asarray(enc.head_ids),
+        jnp.asarray(enc.head_weights),
+        head_terms=lay.head_terms,
+    )
+    want = np.asarray(
+        head_scores(
+            jnp.asarray(lay.head), jnp.asarray(lay.head_scales), qhead
+        )
+    )
+    want = np.where(lay.valid[None, :], want, -np.inf)
+    got, bmax = masked_head_scores_blockmax(
+        jnp.asarray(lay.head),
+        jnp.asarray(lay.head_scales),
+        qhead,
+        jnp.asarray(lay.valid),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(want, np.asarray(got))
+    # block maxima agree with a NumPy reduce over the same scores
+    g = bmax.shape[1]
+    pad = g * 128 - want.shape[1]
+    wp = np.pad(want, ((0, 0), (0, pad)), constant_values=-np.inf)
+    np.testing.assert_array_equal(
+        wp.reshape(want.shape[0], g, 128).max(axis=2), np.asarray(bmax)
+    )
+
+
+def test_int4_cache_roundtrip(corpus, tmp_path):
+    from osr_tpu.index.cache import load_index, save_index
+
+    builder = SparseIndexBuilder(
+        method="bm25", head_dtype="int4", keep_raw_rows=True
+    )
+    index = builder.build(corpus)
+    path = tmp_path / "i4.npz"
+    save_index(index, path, builder)
+    loaded = load_index(path, builder)
+    assert loaded is not None
+    np.testing.assert_array_equal(loaded.layout.head, index.layout.head)
+    np.testing.assert_array_equal(
+        loaded.layout.head_scales, index.layout.head_scales
+    )
+    assert loaded.layout.head_dtype == "int4"
+
+
+def test_int4_memory_is_half_of_int8(corpus):
+    i8 = SparseIndexBuilder(method="bm25", head_dtype="int8").build(corpus)
+    i4 = SparseIndexBuilder(
+        method="bm25", head_dtype="int4", head_terms=i8.layout.head_terms
+    ).build(corpus)
+    assert i4.layout.head.nbytes * 2 == pytest.approx(
+        i8.layout.head.nbytes, rel=0.01
+    )
