@@ -46,6 +46,12 @@ def main():
         help="head-width cap (with an 8 GiB budget): trades memory for "
         "host-tail work — see DEVELOPMENT.md head-width knob",
     )
+    ap.add_argument(
+        "--head-dtype",
+        default="int8",
+        choices=("int8", "int4", "bf16", "f32"),
+        help="head quantization (int4 halves head HBM; see test_int4.py)",
+    )
     args = ap.parse_args()
     vocab = args.vocab or min(4 * args.docs, 400_000)
 
@@ -79,7 +85,11 @@ def main():
         layout = HybridLayout(
             head_terms=meta["head_terms"],
             head=ld("head"),
-            head_scales=ld("head_scales") if meta["head_dtype"] == "int8" else None,
+            head_scales=(
+                ld("head_scales")
+                if meta["head_dtype"] in ("int8", "int4")
+                else None
+            ),
             post_ptr=ld("post_ptr"),
             post_rows=ld("post_rows"),
             post_weights=ld("post_weights"),
@@ -111,9 +121,9 @@ def main():
             file=sys.stderr,
         )
         t0 = time.perf_counter()
-        bkw = {}
+        bkw = {"head_dtype": args.head_dtype}
         if args.head_cap:
-            bkw = {"head_cap": args.head_cap, "head_budget_bytes": 8 << 30}
+            bkw.update(head_cap=args.head_cap, head_budget_bytes=8 << 30)
         index = SparseIndexBuilder(method="bm25", **bkw).build(corpus)
         build_s = time.perf_counter() - t0
         print(f"# built in {build_s:.1f}s", file=sys.stderr)
@@ -176,6 +186,7 @@ def main():
         "num_docs": args.docs,
         "vocab_size": stats["vocab_size"],
         "head_terms": stats["head_terms"],
+        "head_dtype": stats["head_dtype"],
         "head_mb": round(stats["head_mb"], 1),
         "postings_mb": round(stats["postings_mb"], 1),
         "index_memory_mb": round(stats["memory_mb"], 1),
