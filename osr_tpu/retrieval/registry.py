@@ -45,6 +45,7 @@ class SparseRetriever:
         k1: float = 1.2,
         b: float = 0.75,
         head_terms: Optional[int] = None,
+        head_dtype: str = "int8",  # 'int4' halves head HBM (test_int4.py)
         cache_dir: Optional[str] = ".rag_cache",
         cache_matrices: bool = True,
         **_: Any,
@@ -52,7 +53,8 @@ class SparseRetriever:
         self.method = method
         self.model_name = model
         self.builder = SparseIndexBuilder(
-            method=method, k1=k1, b=b, head_terms=head_terms
+            method=method, k1=k1, b=b, head_terms=head_terms,
+            head_dtype=head_dtype,
         )
         self.cache_dir = cache_dir if cache_matrices else None
         self.index = None
