@@ -809,6 +809,88 @@ int64_t pack_hybrid_int8(const int64_t* indptr, int64_t ndocs, int64_t rows,
   return n_tail_terms > 0 ? post_ptr[n_tail_terms] : 0;
 }
 
+// int4 variant of pack_hybrid_int8: UNSIGNED [0, 15] codes against
+// per-column SIGNED scales, block-packed two per byte (low nibbles =
+// columns [0, F/2), high = [F/2, F); see osr_tpu/index/layout.py:
+// unpack_int4). Bit-identical to the NumPy pack_flat int4 path.
+int64_t pack_hybrid_int4(const int64_t* indptr, int64_t ndocs, int64_t rows,
+                         const int32_t* term_ids, const float* tfs,
+                         const float* doc_lengths, const float* idf,
+                         int64_t f, int64_t v, int method, double k1,
+                         double b, double avgdl, uint8_t* head,
+                         float* scales, int64_t* post_ptr,
+                         int32_t* post_rows, float* post_w,
+                         int64_t tail_cap) {
+  WeightFn wf{method,
+              static_cast<float>(k1),
+              static_cast<float>(b),
+              static_cast<float>(1.0 - b),
+              static_cast<float>(k1 + 1.0),
+              static_cast<float>(avgdl)};
+  int64_t fp = (f + 1) / 2;
+  std::memset(head, 0, static_cast<size_t>(rows) * static_cast<size_t>(fp));
+  int64_t n_tail_terms = v - f;
+  std::vector<float> colmax(static_cast<size_t>(f), 0.0f);
+  std::vector<float> colmin(static_cast<size_t>(f), 0.0f);
+  std::vector<int64_t> tail_counts(
+      static_cast<size_t>(n_tail_terms > 0 ? n_tail_terms : 0), 0);
+
+  for (int64_t d = 0; d < ndocs; ++d) {
+    float dl = doc_lengths[d];
+    for (int64_t j = indptr[d]; j < indptr[d + 1]; ++j) {
+      int64_t t = term_ids[j];
+      if (t < f) {
+        float w = wf(tfs[j], dl, idf[t]);
+        if (w > colmax[static_cast<size_t>(t)])
+          colmax[static_cast<size_t>(t)] = w;
+        if (w < colmin[static_cast<size_t>(t)])
+          colmin[static_cast<size_t>(t)] = w;
+      } else {
+        ++tail_counts[static_cast<size_t>(t - f)];
+      }
+    }
+  }
+  for (int64_t t = 0; t < f; ++t) {
+    float mx = colmax[static_cast<size_t>(t)];
+    float mn = colmin[static_cast<size_t>(t)];
+    scales[t] = mx > 0.0f ? mx / 15.0f : (mn < 0.0f ? mn / 15.0f : 1.0f);
+  }
+  post_ptr[0] = 0;
+  for (int64_t t = 0; t < n_tail_terms; ++t) {
+    post_ptr[t + 1] = post_ptr[t] + tail_counts[static_cast<size_t>(t)];
+  }
+  if (n_tail_terms > 0 && post_ptr[n_tail_terms] > tail_cap) return -1;
+
+  std::vector<int64_t> cursor(tail_counts.size());
+  if (n_tail_terms > 0)
+    std::memcpy(cursor.data(), post_ptr, tail_counts.size() * sizeof(int64_t));
+  for (int64_t d = 0; d < ndocs; ++d) {
+    float dl = doc_lengths[d];
+    uint8_t* hrow = head + d * fp;
+    for (int64_t j = indptr[d]; j < indptr[d + 1]; ++j) {
+      int64_t t = term_ids[j];
+      float w = wf(tfs[j], dl, idf[t]);
+      if (t < f) {
+        float q = std::nearbyintf(w / scales[t]);  // rint: half-to-even
+        if (q > 15.0f) q = 15.0f;
+        if (q < 0.0f) q = 0.0f;
+        uint8_t code = static_cast<uint8_t>(q);
+        if (t < fp) {
+          hrow[t] = static_cast<uint8_t>((hrow[t] & 0xF0) | code);
+        } else {
+          hrow[t - fp] =
+              static_cast<uint8_t>((hrow[t - fp] & 0x0F) | (code << 4));
+        }
+      } else {
+        int64_t pos = cursor[static_cast<size_t>(t - f)]++;
+        post_rows[pos] = static_cast<int32_t>(d);
+        post_w[pos] = w;
+      }
+    }
+  }
+  return n_tail_terms > 0 ? post_ptr[n_tail_terms] : 0;
+}
+
 // ---------------------------------------------------------------------------
 // zlib codec (document store)
 // ---------------------------------------------------------------------------

@@ -261,28 +261,35 @@ class SparseIndexBuilder:
         self, indptr, flat_tids, flat_tfs, doc_lengths, idf, num_docs,
         vocab_size, head_terms, avgdl,
     ) -> Optional[HybridLayout]:
-        """Fused C++ weight+pack fast path (int8 head only).
+        """Fused C++ weight+pack fast path (int8 and int4 heads).
 
         Produces arrays bit-identical to compute_weights_flat + pack_flat
-        (proven by tests/test_native.py::test_pack_hybrid_parity); returns
+        (proven by tests/test_native.py::test_pack_hybrid_parity and
+        tests/test_int4.py::test_native_int4_pack_matches_numpy); returns
         None when the native library isn't available or the head dtype
-        isn't int8, and the caller falls back to the NumPy path.
+        isn't quantized, and the caller falls back to the NumPy path.
         """
-        if self.head_dtype != "int8":
+        if self.head_dtype not in ("int8", "int4"):
             return None
         try:
-            from osr_tpu.native import pack_hybrid_int8_native
+            from osr_tpu.native import (
+                pack_hybrid_int4_native,
+                pack_hybrid_int8_native,
+            )
         except ImportError:
             return None
         from osr_tpu.index.layout import DOC_ALIGN, _round_up
 
+        pack = (
+            pack_hybrid_int8_native
+            if self.head_dtype == "int8"
+            else pack_hybrid_int4_native
+        )
         rows = max(_round_up(num_docs, DOC_ALIGN), DOC_ALIGN)
-        head, scales, post_ptr, post_rows, post_weights = (
-            pack_hybrid_int8_native(
-                indptr, flat_tids, flat_tfs, doc_lengths, idf,
-                rows, head_terms, vocab_size, self.method,
-                self.k1, self.b, avgdl,
-            )
+        head, scales, post_ptr, post_rows, post_weights = pack(
+            indptr, flat_tids, flat_tfs, doc_lengths, idf,
+            rows, head_terms, vocab_size, self.method,
+            self.k1, self.b, avgdl,
         )
         valid = np.zeros(rows, dtype=bool)
         valid[:num_docs] = True
@@ -296,7 +303,7 @@ class SparseIndexBuilder:
             valid=valid,
             num_docs=num_docs,
             vocab_size=vocab_size,
-            head_dtype="int8",
+            head_dtype=self.head_dtype,
         )
 
     def build(self, corpus: Mapping[str, Union[str, Mapping]]) -> SparseIndex:

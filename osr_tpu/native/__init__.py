@@ -149,6 +149,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
         p_i8, p_f32, p_i64, p_i32, p_f32, c_i64,
     ]
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.pack_hybrid_int4.restype = c_i64
+    lib.pack_hybrid_int4.argtypes = [
+        p_i64, c_i64, c_i64, p_i32, p_f32, p_f32, p_f32, c_i64, c_i64,
+        ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        p_u8, p_f32, p_i64, p_i32, p_f32, c_i64,
+    ]
 
     lib.zlib_decompress.restype = c_i64
     lib.zlib_decompress.argtypes = [c_char_p, c_i64, c_char_p, c_i64]
@@ -507,6 +514,47 @@ def pack_hybrid_int8_native(
     if got != tail_cap:
         raise RuntimeError(
             f"pack_hybrid_int8 tail mismatch: {got} != {tail_cap}"
+        )
+    return head, scales, post_ptr, post_rows[:tail_cap], post_weights[:tail_cap]
+
+
+def pack_hybrid_int4_native(
+    indptr, term_ids, tfs, doc_lengths, idf,
+    rows, head_terms, vocab_size, method, k1, b, avgdl,
+):
+    """Fused weight + int4-head + postings pack (C++) — the int4
+    counterpart of :func:`pack_hybrid_int8_native`, bit-identical to the
+    NumPy pack_flat int4 path (unsigned nibble codes, signed scales)."""
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    term_ids = np.ascontiguousarray(term_ids, dtype=np.int32)
+    tfs = np.ascontiguousarray(tfs, dtype=np.float32)
+    doc_lengths = np.ascontiguousarray(doc_lengths, dtype=np.float32)
+    idf = np.ascontiguousarray(idf, dtype=np.float32)
+    ndocs = len(indptr) - 1
+    f = int(head_terms)
+    fp = (f + 1) // 2
+    n_tail_terms = max(vocab_size - f, 0)
+    tail_cap = (
+        int(np.count_nonzero(term_ids >= f)) if term_ids.size else 0
+    )
+    head = np.empty((rows, fp), dtype=np.uint8)
+    scales = np.empty(f, dtype=np.float32)
+    post_ptr = np.zeros(n_tail_terms + 1, dtype=np.int64)
+    post_rows = np.empty(max(tail_cap, 1), dtype=np.int32)
+    post_weights = np.empty(max(tail_cap, 1), dtype=np.float32)
+    got = _lib.pack_hybrid_int4(
+        _as_i64_ptr(indptr), ndocs, rows,
+        _as_i32_ptr(term_ids), _as_f32_ptr(tfs), _as_f32_ptr(doc_lengths),
+        _as_f32_ptr(idf), f, vocab_size,
+        0 if method == "bm25" else 1,
+        float(k1), float(b), float(avgdl),
+        head.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _as_f32_ptr(scales), _as_i64_ptr(post_ptr),
+        _as_i32_ptr(post_rows), _as_f32_ptr(post_weights), tail_cap,
+    )
+    if got != tail_cap:
+        raise RuntimeError(
+            f"pack_hybrid_int4 tail mismatch: {got} != {tail_cap}"
         )
     return head, scales, post_ptr, post_rows[:tail_cap], post_weights[:tail_cap]
 

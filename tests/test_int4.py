@@ -169,3 +169,44 @@ def test_int4_memory_is_half_of_int8(corpus):
     assert i4.layout.head.nbytes * 2 == pytest.approx(
         i8.layout.head.nbytes, rel=0.01
     )
+
+
+def test_native_int4_pack_matches_numpy():
+    """The fused C++ int4 weight+pack is BIT-identical to the NumPy
+    compute_weights_flat + pack_flat int4 path."""
+    native = pytest.importorskip("osr_tpu.native")
+    from osr_tpu.index.builder import bm25_idf, compute_weights_flat
+    from osr_tpu.index.layout import DOC_ALIGN, _round_up
+
+    corpus = zipf_corpus(num_docs=90, vocab_size=200, avg_len=40)
+    texts = [d["text"] for d in corpus.values()]
+    vocab, df, dl, indptr, tids, tfs = (
+        SparseIndexBuilder._count_corpus_python(texts)
+    )
+    num_docs, vocab_size = len(texts), len(vocab)
+    for head_terms in (0, 33, 128):
+        f = min(head_terms, vocab_size)
+        avgdl = float(dl.mean())
+        idf = bm25_idf(df, num_docs)
+        weights = compute_weights_flat(
+            tids, tfs, indptr, dl, idf, "bm25", 1.2, 0.75, avgdl
+        )
+        doc_idx = np.repeat(
+            np.arange(num_docs, dtype=np.int64), np.diff(indptr)
+        )
+        want = pack_flat(
+            doc_idx, tids, weights, num_docs, vocab_size,
+            head_terms=f, head_dtype="int4",
+        )
+        rows = max(_round_up(num_docs, DOC_ALIGN), DOC_ALIGN)
+        head, scales, post_ptr, post_rows, post_w = (
+            native.pack_hybrid_int4_native(
+                indptr, tids, tfs, dl, idf, rows, f, vocab_size,
+                "bm25", 1.2, 0.75, avgdl,
+            )
+        )
+        np.testing.assert_array_equal(head, want.head)
+        np.testing.assert_array_equal(scales, want.head_scales)
+        np.testing.assert_array_equal(post_ptr, want.post_ptr)
+        np.testing.assert_array_equal(post_rows, want.post_rows)
+        np.testing.assert_array_equal(post_w, want.post_weights)
