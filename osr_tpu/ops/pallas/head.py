@@ -332,7 +332,13 @@ def masked_head_scores(
     """Engine-facing wrapper: scale/round queries, pad to tiles, call the
     kernel, slice back. Drop-in for
     ``where(valid[None, :], ops.bm25.head_scores(...), -inf)`` in int8
-    mode."""
+    mode. int8 ONLY — int4 callers must use the blockmax variant or the
+    XLA decode path (matmulling raw packed bytes would be garbage)."""
+    if head.dtype == jnp.uint8:
+        raise ValueError(
+            "masked_head_scores has no int4 kernel; use "
+            "masked_head_scores_blockmax or the XLA path"
+        )
     head, q, v, r, f, b = _pad_operands(
         head, head_scales, qhead, valid, TILE_R
     )

@@ -107,6 +107,12 @@ def sharded_search(
                 hs, bmax = masked_head_scores_blockmax(
                     head_l, scales, qhead, valid_l, interpret=interpret
                 )
+            elif head_l.dtype == jnp.uint8:
+                # int4 without block pruning (small shards / approx):
+                # the XLA decode path — masked_head_scores has no int4
+                # kernel (see pallas/head.py).
+                hs = head_scores(head_l, scales, qhead)
+                hs = jnp.where(valid_l[None, :], hs, NEG_INF)
             else:
                 hs = masked_head_scores(
                     head_l, scales, qhead, valid_l, interpret=interpret

@@ -218,3 +218,22 @@ def test_sharded_dense_options_match_single_device(quantization, backend):
     s2, i2 = sharded.search_vectors(queries, top_k=10)
     np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(i2, i1)
+
+
+def test_sharded_int4_matches_single_device(big_corpus, big_queries):
+    """The int4 head works under sharding: per-shard decode + matmul ==
+    the single-device int4 engine (Pallas interpret on the CPU mesh)."""
+    index = SparseIndexBuilder(method="bm25", head_dtype="int4").build(
+        big_corpus
+    )
+    single = SparseSearchEngine(index, cache_queries=False)
+    sharded = ShardedSparseSearchEngine(
+        index,
+        make_mesh(8, query_parallel=2),
+        head_backend="pallas",
+        cache_queries=False,
+        pallas_interpret=True,
+    )
+    want = single.search(big_queries, top_k=15)
+    got = sharded.search(big_queries, top_k=15)
+    _assert_same_modulo_kth_ties(want, got)
