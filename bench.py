@@ -226,11 +226,21 @@ def main():
         fetch_s = min(fetch_s, time.perf_counter() - t0)
     device_step_s = max(exec_fetch_s - fetch_s, 1e-9)
     r_rows, f_terms = lay.head.shape
-    # Traffic model matches the actual program: head (int8) read + score
-    # write, plus a score re-read for the separate block-max pass ONLY on
-    # the XLA backend (the Pallas blockmax kernel reduces maxima in VMEM).
-    score_passes = 1 if engine.head_backend == "pallas" else 2
-    bytes_moved = r_rows * f_terms + score_passes * big_b * r_rows * 4
+    # Traffic model matches the actual program: the head is re-read once
+    # per QUERY TILE (Pallas picks the widest tile dividing B), the score
+    # matrix is written once, and the XLA backend's separate block-max
+    # pass re-reads it once more (the Pallas kernel reduces in VMEM).
+    if engine.head_backend == "pallas":
+        from osr_tpu.ops.pallas.head import _pick_tile_b
+
+        head_passes = -(-big_b // _pick_tile_b(big_b, f_terms))
+        score_passes = 1
+    else:
+        head_passes = 1  # XLA's fusion choices are opaque; floor model
+        score_passes = 2
+    bytes_moved = (
+        head_passes * r_rows * f_terms + score_passes * big_b * r_rows * 4
+    )
     flops = 2.0 * big_b * r_rows * f_terms
     roofline = {
         "device_step_ms": round(device_step_s * 1e3, 1),
