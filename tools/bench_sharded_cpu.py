@@ -38,7 +38,7 @@ def main():
     # 0/256 mismatched queries for f32 AND int8 (sharded_cpu.jsonl; the
     # first int8 row predates the numeric unification and shows the 241
     # boundary swaps that motivated it).
-    ap.add_argument("--head-dtype", default="int8", choices=["f32", "bf16", "int8"])
+    ap.add_argument("--head-dtype", default="int8", choices=["f32", "bf16", "int8", "int4"])
     ap.add_argument(
         "--out",
         default=str(
