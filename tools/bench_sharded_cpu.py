@@ -59,8 +59,6 @@ def main():
         pass
     assert len(jax.devices()) >= args.devices, jax.devices()
 
-    import numpy as np
-
     from osr_tpu.index.builder import SparseIndexBuilder
     from osr_tpu.parallel.mesh import make_mesh
     from osr_tpu.parallel.sharded import ShardedSparseSearchEngine
