@@ -733,72 +733,61 @@ struct WeightFn {
 
 }  // namespace
 
-// Packs the flat doc-major term matrix into the int8-head + postings-tail
-// layout. Returns tail_nnz (must equal the caller-computed capacity), or -1
-// if the tail overflows `tail_cap`. `head` is (rows x f) and is fully
-// written (zeros included); `post_ptr` is (v - f + 1).
-int64_t pack_hybrid_int8(const int64_t* indptr, int64_t ndocs, int64_t rows,
+}  // extern "C" — the pack core below is a C++ template
+
+// Shared two-pass pack core: pass 1 gathers per-column quantizer stats +
+// per-term tail counts; pass 2 quantize-scatters the head and counting-sort
+// fills the postings (doc-major input order keeps each term's postings
+// sorted by row, matching the NumPy path's stable argsort). The Quantizer
+// policy supplies the dtype-specific pieces (stats, scale formula, store).
+namespace {
+
+template <typename Quantizer>
+int64_t pack_hybrid_impl(const int64_t* indptr, int64_t ndocs,
                          const int32_t* term_ids, const float* tfs,
                          const float* doc_lengths, const float* idf,
                          int64_t f, int64_t v, int method, double k1,
-                         double b, double avgdl, int8_t* head, float* scales,
+                         double b, double avgdl, float* scales,
                          int64_t* post_ptr, int32_t* post_rows, float* post_w,
-                         int64_t tail_cap) {
+                         int64_t tail_cap, Quantizer& qz) {
   WeightFn wf{method,
               static_cast<float>(k1),
               static_cast<float>(b),
               static_cast<float>(1.0 - b),
               static_cast<float>(k1 + 1.0),
               static_cast<float>(avgdl)};
-  std::memset(head, 0, static_cast<size_t>(rows) * static_cast<size_t>(f));
   int64_t n_tail_terms = v - f;
-  std::vector<float> colmax(static_cast<size_t>(f), 0.0f);
   std::vector<int64_t> tail_counts(
       static_cast<size_t>(n_tail_terms > 0 ? n_tail_terms : 0), 0);
 
-  // Pass 1: per-column absmax over head entries; per-term tail counts.
   for (int64_t d = 0; d < ndocs; ++d) {
     float dl = doc_lengths[d];
     for (int64_t j = indptr[d]; j < indptr[d + 1]; ++j) {
       int64_t t = term_ids[j];
       if (t < f) {
-        float w = wf(tfs[j], dl, idf[t]);
-        float a = std::fabs(w);
-        if (a > colmax[static_cast<size_t>(t)])
-          colmax[static_cast<size_t>(t)] = a;
+        qz.observe(t, wf(tfs[j], dl, idf[t]));
       } else {
         ++tail_counts[static_cast<size_t>(t - f)];
       }
     }
   }
-  for (int64_t t = 0; t < f; ++t) {
-    scales[t] = colmax[static_cast<size_t>(t)] > 0.0f
-                    ? colmax[static_cast<size_t>(t)] / 127.0f
-                    : 1.0f;
-  }
+  for (int64_t t = 0; t < f; ++t) scales[t] = qz.scale(t);
   post_ptr[0] = 0;
   for (int64_t t = 0; t < n_tail_terms; ++t) {
     post_ptr[t + 1] = post_ptr[t] + tail_counts[static_cast<size_t>(t)];
   }
   if (n_tail_terms > 0 && post_ptr[n_tail_terms] > tail_cap) return -1;
 
-  // Pass 2: head quantize-scatter + tail counting-sort fill. Doc-major input
-  // order keeps each term's postings sorted by row (matches the NumPy
-  // path's stable argsort).
   std::vector<int64_t> cursor(tail_counts.size());
   if (n_tail_terms > 0)
     std::memcpy(cursor.data(), post_ptr, tail_counts.size() * sizeof(int64_t));
   for (int64_t d = 0; d < ndocs; ++d) {
     float dl = doc_lengths[d];
-    int8_t* hrow = head + d * f;
     for (int64_t j = indptr[d]; j < indptr[d + 1]; ++j) {
       int64_t t = term_ids[j];
       float w = wf(tfs[j], dl, idf[t]);
       if (t < f) {
-        float q = std::nearbyintf(w / scales[t]);  // rint: half-to-even
-        if (q > 127.0f) q = 127.0f;
-        if (q < -127.0f) q = -127.0f;
-        hrow[t] = static_cast<int8_t>(q);
+        qz.store(d, t, w, scales[t]);
       } else {
         int64_t pos = cursor[static_cast<size_t>(t - f)]++;
         post_rows[pos] = static_cast<int32_t>(d);
@@ -809,10 +798,87 @@ int64_t pack_hybrid_int8(const int64_t* indptr, int64_t ndocs, int64_t rows,
   return n_tail_terms > 0 ? post_ptr[n_tail_terms] : 0;
 }
 
-// int4 variant of pack_hybrid_int8: UNSIGNED [0, 15] codes against
-// per-column SIGNED scales, block-packed two per byte (low nibbles =
-// columns [0, F/2), high = [F/2, F); see osr_tpu/index/layout.py:
-// unpack_int4). Bit-identical to the NumPy pack_flat int4 path.
+// int8: symmetric per-column absmax / 127, signed values.
+struct Int8Quantizer {
+  int8_t* head;
+  int64_t f;
+  std::vector<float> colmax;
+  Int8Quantizer(int8_t* h, int64_t rows, int64_t f_)
+      : head(h), f(f_), colmax(static_cast<size_t>(f_), 0.0f) {
+    std::memset(head, 0, static_cast<size_t>(rows) * static_cast<size_t>(f_));
+  }
+  inline void observe(int64_t t, float w) {
+    float a = std::fabs(w);
+    if (a > colmax[static_cast<size_t>(t)]) colmax[static_cast<size_t>(t)] = a;
+  }
+  inline float scale(int64_t t) const {
+    float m = colmax[static_cast<size_t>(t)];
+    return m > 0.0f ? m / 127.0f : 1.0f;
+  }
+  inline void store(int64_t d, int64_t t, float w, float s) {
+    float q = std::nearbyintf(w / s);  // rint: half-to-even
+    if (q > 127.0f) q = 127.0f;
+    if (q < -127.0f) q = -127.0f;
+    head[d * f + t] = static_cast<int8_t>(q);
+  }
+};
+
+// int4: UNSIGNED [0, 15] codes against per-column SIGNED scales, two per
+// byte, block-packed (low nibbles = columns [0, F/2), high = [F/2, F);
+// see osr_tpu/index/layout.py:unpack_int4).
+struct Int4Quantizer {
+  uint8_t* head;
+  int64_t fp;
+  std::vector<float> colmax, colmin;
+  Int4Quantizer(uint8_t* h, int64_t rows, int64_t f_)
+      : head(h),
+        fp((f_ + 1) / 2),
+        colmax(static_cast<size_t>(f_), 0.0f),
+        colmin(static_cast<size_t>(f_), 0.0f) {
+    std::memset(head, 0, static_cast<size_t>(rows) * static_cast<size_t>(fp));
+  }
+  inline void observe(int64_t t, float w) {
+    if (w > colmax[static_cast<size_t>(t)]) colmax[static_cast<size_t>(t)] = w;
+    if (w < colmin[static_cast<size_t>(t)]) colmin[static_cast<size_t>(t)] = w;
+  }
+  inline float scale(int64_t t) const {
+    float mx = colmax[static_cast<size_t>(t)];
+    float mn = colmin[static_cast<size_t>(t)];
+    return mx > 0.0f ? mx / 15.0f : (mn < 0.0f ? mn / 15.0f : 1.0f);
+  }
+  inline void store(int64_t d, int64_t t, float w, float s) {
+    float q = std::nearbyintf(w / s);  // rint: half-to-even
+    if (q > 15.0f) q = 15.0f;
+    if (q < 0.0f) q = 0.0f;
+    uint8_t code = static_cast<uint8_t>(q);
+    uint8_t* byte = head + d * fp + (t < fp ? t : t - fp);
+    *byte = t < fp ? static_cast<uint8_t>((*byte & 0xF0) | code)
+                   : static_cast<uint8_t>((*byte & 0x0F) | (code << 4));
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Packs the flat doc-major term matrix into the quantized-head + postings-
+// tail layout. Returns tail_nnz (must equal the caller-computed capacity),
+// or -1 if the tail overflows `tail_cap`. `head` is fully written (zeros
+// included); `post_ptr` is (v - f + 1). Bit-identical to the NumPy
+// pack_flat paths (tests/test_native.py, tests/test_int4.py).
+int64_t pack_hybrid_int8(const int64_t* indptr, int64_t ndocs, int64_t rows,
+                         const int32_t* term_ids, const float* tfs,
+                         const float* doc_lengths, const float* idf,
+                         int64_t f, int64_t v, int method, double k1,
+                         double b, double avgdl, int8_t* head, float* scales,
+                         int64_t* post_ptr, int32_t* post_rows, float* post_w,
+                         int64_t tail_cap) {
+  Int8Quantizer qz(head, rows, f);
+  return pack_hybrid_impl(indptr, ndocs, term_ids, tfs, doc_lengths, idf, f,
+                          v, method, k1, b, avgdl, scales, post_ptr,
+                          post_rows, post_w, tail_cap, qz);
+}
+
 int64_t pack_hybrid_int4(const int64_t* indptr, int64_t ndocs, int64_t rows,
                          const int32_t* term_ids, const float* tfs,
                          const float* doc_lengths, const float* idf,
@@ -821,74 +887,10 @@ int64_t pack_hybrid_int4(const int64_t* indptr, int64_t ndocs, int64_t rows,
                          float* scales, int64_t* post_ptr,
                          int32_t* post_rows, float* post_w,
                          int64_t tail_cap) {
-  WeightFn wf{method,
-              static_cast<float>(k1),
-              static_cast<float>(b),
-              static_cast<float>(1.0 - b),
-              static_cast<float>(k1 + 1.0),
-              static_cast<float>(avgdl)};
-  int64_t fp = (f + 1) / 2;
-  std::memset(head, 0, static_cast<size_t>(rows) * static_cast<size_t>(fp));
-  int64_t n_tail_terms = v - f;
-  std::vector<float> colmax(static_cast<size_t>(f), 0.0f);
-  std::vector<float> colmin(static_cast<size_t>(f), 0.0f);
-  std::vector<int64_t> tail_counts(
-      static_cast<size_t>(n_tail_terms > 0 ? n_tail_terms : 0), 0);
-
-  for (int64_t d = 0; d < ndocs; ++d) {
-    float dl = doc_lengths[d];
-    for (int64_t j = indptr[d]; j < indptr[d + 1]; ++j) {
-      int64_t t = term_ids[j];
-      if (t < f) {
-        float w = wf(tfs[j], dl, idf[t]);
-        if (w > colmax[static_cast<size_t>(t)])
-          colmax[static_cast<size_t>(t)] = w;
-        if (w < colmin[static_cast<size_t>(t)])
-          colmin[static_cast<size_t>(t)] = w;
-      } else {
-        ++tail_counts[static_cast<size_t>(t - f)];
-      }
-    }
-  }
-  for (int64_t t = 0; t < f; ++t) {
-    float mx = colmax[static_cast<size_t>(t)];
-    float mn = colmin[static_cast<size_t>(t)];
-    scales[t] = mx > 0.0f ? mx / 15.0f : (mn < 0.0f ? mn / 15.0f : 1.0f);
-  }
-  post_ptr[0] = 0;
-  for (int64_t t = 0; t < n_tail_terms; ++t) {
-    post_ptr[t + 1] = post_ptr[t] + tail_counts[static_cast<size_t>(t)];
-  }
-  if (n_tail_terms > 0 && post_ptr[n_tail_terms] > tail_cap) return -1;
-
-  std::vector<int64_t> cursor(tail_counts.size());
-  if (n_tail_terms > 0)
-    std::memcpy(cursor.data(), post_ptr, tail_counts.size() * sizeof(int64_t));
-  for (int64_t d = 0; d < ndocs; ++d) {
-    float dl = doc_lengths[d];
-    uint8_t* hrow = head + d * fp;
-    for (int64_t j = indptr[d]; j < indptr[d + 1]; ++j) {
-      int64_t t = term_ids[j];
-      float w = wf(tfs[j], dl, idf[t]);
-      if (t < f) {
-        float q = std::nearbyintf(w / scales[t]);  // rint: half-to-even
-        if (q > 15.0f) q = 15.0f;
-        if (q < 0.0f) q = 0.0f;
-        uint8_t code = static_cast<uint8_t>(q);
-        if (t < fp) {
-          hrow[t] = static_cast<uint8_t>((hrow[t] & 0xF0) | code);
-        } else {
-          hrow[t - fp] =
-              static_cast<uint8_t>((hrow[t - fp] & 0x0F) | (code << 4));
-        }
-      } else {
-        int64_t pos = cursor[static_cast<size_t>(t - f)]++;
-        post_rows[pos] = static_cast<int32_t>(d);
-        post_w[pos] = w;
-      }
-    }
-  }
-  return n_tail_terms > 0 ? post_ptr[n_tail_terms] : 0;
+  Int4Quantizer qz(head, rows, f);
+  return pack_hybrid_impl(indptr, ndocs, term_ids, tfs, doc_lengths, idf, f,
+                          v, method, k1, b, avgdl, scales, post_ptr,
+                          post_rows, post_w, tail_cap, qz);
 }
 
 // ---------------------------------------------------------------------------
