@@ -266,7 +266,9 @@ def main():
     dense = DenseSearchEngine(
         [str(i) for i in range(index.num_docs)], emb, quantization="symmetric"
     )
-    qv = emb[:1024]
+    # B=4096 amortizes the tunnel's fixed per-transfer cost (same reasoning
+    # as the sparse whole-query-set batch); measured the QPS knee on v5e.
+    qv = emb[:4096]
     dense.search_vectors(qv, top_k=TOP_K)  # compile
     dense_best = float("inf")
     for _ in range(3):

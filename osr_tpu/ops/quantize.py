@@ -123,22 +123,57 @@ def int8_cosine_similarity(
     return dots / jnp.maximum(qn[:, None] * dn[None, :], _EPS)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+def _select_topk(sims: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over the similarity matrix.
+
+    Wide candidate axes route through the block-max-pruned exact selection
+    (osr_tpu/ops/topk.py:block_topk): plain ``lax.top_k`` is sort-cost-bound
+    in the candidate width (~100 ms at (6656, 57640) on v5e vs ~28 ms
+    block-pruned — DEVELOPMENT.md primitive table). Narrow axes keep the
+    single primitive (the pruning pass would not pay for itself). The
+    shape test runs at trace time, so each compiled program contains
+    exactly one path.
+    """
+    kk = min(k, sims.shape[-1])
+    if sims.shape[-1] >= 16 * 128:
+        from osr_tpu.ops.topk import block_topk
+
+        return block_topk(sims, k=kk)
+    return lax.top_k(sims, kk)
+
+
+def _pack_result(vals: jax.Array, ids: jax.Array) -> jax.Array:
+    """Pack (B, k) scores + (B, k) indices into ONE (B, 2k) f32 array.
+
+    The dev tunnel charges a ~30 ms fixed cost per transfer, so results
+    travel as a single fetch; indices are carried as f32 VALUES (exact for
+    N < 2^24 — the caller guards) because int32 bitcast into an f32 buffer
+    would be flushed as denormals on TPU (DEVELOPMENT.md pitfalls).
+    """
+    return jnp.concatenate([vals, ids.astype(jnp.float32)], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "packed"))
 def int8_search_symmetric(
     queries_fp32: jax.Array,  # (B, D)
     docs_int8: jax.Array,  # (N, D)
     doc_scales: jax.Array,  # (N,)
     *,
     k: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Quantize queries symmetrically, score on the MXU, top-k."""
+    packed: bool = False,
+):
+    """Quantize queries symmetrically, score on the MXU, top-k.
+
+    ``packed=True`` returns one (B, 2k) f32 array (scores ‖ indices) for a
+    single-transfer fetch; default returns the (scores, indices) tuple.
+    """
     q_int8, q_scales = quantize_symmetric(queries_fp32)
     sims = int8_dot_product_batch(q_int8, docs_int8, q_scales, doc_scales)
-    kk = min(k, sims.shape[-1])
-    return lax.top_k(sims, kk)
+    vals, ids = _select_topk(sims, k)
+    return _pack_result(vals, ids) if packed else (vals, ids)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "packed"))
 def int8_search_asymmetric(
     queries_fp32: jax.Array,  # (B, D)
     docs_u8: jax.Array,  # (N, D) uint8
@@ -146,7 +181,8 @@ def int8_search_asymmetric(
     doc_mins: jax.Array,  # (N,)
     *,
     k: int,
-) -> Tuple[jax.Array, jax.Array]:
+    packed: bool = False,
+):
     """Asymmetric quantized search.
 
     With q = uq*qs + qm and d = ud*ds + dm (per-vector affine dequant),
@@ -171,14 +207,14 @@ def int8_search_asymmetric(
         + qm[:, None] * (doc_scales * sum_ud)[None, :]
         + dim * qm[:, None] * doc_mins[None, :]
     )
-    kk = min(k, sims.shape[-1])
-    return lax.top_k(sims, kk)
+    vals, ids = _select_topk(sims, k)
+    return _pack_result(vals, ids) if packed else (vals, ids)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "packed"))
 def fp_search(
-    queries: jax.Array, docs: jax.Array, *, k: int
-) -> Tuple[jax.Array, jax.Array]:
+    queries: jax.Array, docs: jax.Array, *, k: int, packed: bool = False
+):
     """Full-precision dense search (reference retrieval.py:402-436 path)."""
     sims = lax.dot_general(
         queries,
@@ -186,5 +222,5 @@ def fp_search(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    kk = min(k, sims.shape[-1])
-    return lax.top_k(sims, kk)
+    vals, ids = _select_topk(sims, k)
+    return _pack_result(vals, ids) if packed else (vals, ids)

@@ -583,7 +583,9 @@ class ShardedDenseSearchEngine:
                 )
             sims = jnp.where(valid[None, :], sims, NEG_INF)
             kk = min(k, rows_local)
-            s, idx = lax.top_k(sims, kk)
+            # Local selection via the block-max-pruned exact path for wide
+            # shards (same crossover as ops/quantize.py:_select_topk).
+            s, idx = qz._select_topk(sims, kk)
             base = lax.axis_index(DOC_AXIS) * rows_local
             ids = idx + base
             s_all = lax.all_gather(s, DOC_AXIS, axis=1, tiled=True)

@@ -22,6 +22,7 @@ compiles once per batch-size and is reused for the lifetime of the engine.
 
 from __future__ import annotations
 
+import functools
 import logging
 import threading
 from typing import Dict, List, Mapping, Optional, Sequence, Tuple
@@ -587,6 +588,33 @@ class SparseSearchEngine:
         return s
 
 
+@functools.partial(jax.jit, static_argnames=("n_real", "k"))
+def _pallas_dense_step(
+    q: jax.Array,  # (B, D) fp32 queries
+    docs_int8: jax.Array,  # (Npad, D) int8, rows padded to 128
+    scales: jax.Array,  # (Npad,) per-doc scales (padding rows are 0)
+    *,
+    n_real: int,
+    k: int,
+) -> jax.Array:
+    """One-dispatch dense search step for the Pallas backend: symmetric
+    query quantization, fused Mosaic int8 similarity, exact block-pruned
+    top-k over the real rows, packed (B, 2k) result (scores ‖ indices as
+    f32 values — exact for n_real < 2^24)."""
+    from osr_tpu.ops import quantize as qz
+    from osr_tpu.ops.pallas.matmul import int8_similarity_pallas
+
+    b = q.shape[0]
+    pad_b = (-b) % 128
+    if pad_b:
+        q = jnp.pad(q, ((0, pad_b), (0, 0)))
+    q8, qs = qz.quantize_symmetric(q)
+    sims = int8_similarity_pallas(q8, docs_int8, qs, scales)
+    sims = sims[:b, :n_real]
+    vals, ids = qz._select_topk(sims, k)
+    return qz._pack_result(vals, ids)
+
+
 class DenseSearchEngine:
     """INT8-quantized (or fp32) dense retrieval on the MXU.
 
@@ -649,43 +677,47 @@ class DenseSearchEngine:
     def search_vectors(
         self, query_vectors: np.ndarray, top_k: int = 10
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Return (scores (B, k), doc_indices (B, k)) for fp32 query vectors."""
+        """Return (scores (B, k), doc_indices (B, k)) for fp32 query vectors.
+
+        Results come back as ONE packed (B, 2k) f32 transfer (scores ‖
+        indices-as-values) whenever the corpus is small enough for f32 to
+        carry indices exactly (< 2^24 rows): the dev tunnel charges a fixed
+        ~30 ms per transfer, so one fetch instead of two halves the fixed
+        transfer cost per batch (DEVELOPMENT.md pitfalls).
+        """
         from osr_tpu.ops import quantize as qz
 
         q = jnp.asarray(query_vectors, dtype=jnp.float32)
+        if self.quantization == "symmetric" and self.backend == "pallas":
+            return self._search_pallas(q, top_k)
+        packed = len(self.doc_ids) < (1 << 24)
         if self.quantization == "symmetric":
-            if self.backend == "pallas":
-                return self._search_pallas(q, top_k)
-            scores, ids = qz.int8_search_symmetric(
-                q, self._docs, self._scales, k=top_k
+            out = qz.int8_search_symmetric(
+                q, self._docs, self._scales, k=top_k, packed=packed
             )
         elif self.quantization == "asymmetric":
-            scores, ids = qz.int8_search_asymmetric(
-                q, self._docs, self._scales, self._mins, k=top_k
+            out = qz.int8_search_asymmetric(
+                q, self._docs, self._scales, self._mins, k=top_k, packed=packed
             )
         else:
-            scores, ids = qz.fp_search(q, self._docs, k=top_k)
-        return np.asarray(scores), np.asarray(ids)
+            out = qz.fp_search(q, self._docs, k=top_k, packed=packed)
+        if packed:
+            arr = np.asarray(out)
+            kk = arr.shape[-1] // 2
+            return arr[:, :kk].copy(), arr[:, kk:].astype(np.int32)
+        return np.asarray(out[0]), np.asarray(out[1])
 
     def _search_pallas(self, q: jax.Array, top_k: int):
         """Symmetric int8 search through the fused Mosaic similarity kernel
-        (osr_tpu/ops/pallas/matmul.py): quantize queries, one pallas_call
-        for the dequantized similarity matrix, lax.top_k over real docs."""
-        from jax import lax
-
-        from osr_tpu.ops import quantize as qz
-        from osr_tpu.ops.pallas.matmul import int8_similarity_pallas
-
-        b = q.shape[0]
-        pad_b = (-b) % 128
-        if pad_b:
-            q = jnp.pad(q, ((0, pad_b), (0, 0)))
-        q8, qs = qz.quantize_symmetric(q)
-        sims = int8_similarity_pallas(q8, self._docs, qs, self._scales)
-        sims = sims[:b, : self._n_real]
-        kk = min(top_k, self._n_real)
-        scores, ids = lax.top_k(sims, kk)
-        return np.asarray(scores), np.asarray(ids)
+        (osr_tpu/ops/pallas/matmul.py): quantize + similarity + exact
+        block-pruned top-k + result pack, all inside ONE jitted program —
+        a single dispatch and a single packed fetch per batch."""
+        out = _pallas_dense_step(
+            q, self._docs, self._scales, n_real=self._n_real, k=top_k
+        )
+        arr = np.asarray(out)
+        kk = arr.shape[-1] // 2
+        return arr[:, :kk].copy(), arr[:, kk:].astype(np.int32)
 
     def search(
         self,
