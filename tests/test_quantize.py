@@ -82,3 +82,60 @@ def test_synthetic_query_embedding_deterministic():
     assert not np.allclose(a, c)
     assert a.shape == (64,)
     np.testing.assert_allclose(np.linalg.norm(a), 1.0, rtol=1e-5)
+
+def test_block_pruned_selection_matches_plain_topk():
+    """Above the _select_topk width crossover (16*128 docs) the dense search
+    routes through the block-max-pruned exact selection; its results must
+    match plain lax.top_k over the full similarity matrix (modulo exact
+    score ties, absent in this float fixture)."""
+    docs = synthetic_corpus_embeddings(2500, dim=64, seed=5)
+    queries = synthetic_corpus_embeddings(9, dim=64, seed=6)
+    d8, ds = qz.quantize_symmetric(jnp.asarray(docs))
+    vals, ids = qz.int8_search_symmetric(jnp.asarray(queries), d8, ds, k=13)
+    # Plain reference selection over the dequantized similarity matrix.
+    q8, qs = qz.quantize_symmetric(jnp.asarray(queries))
+    full = np.asarray(qz.int8_dot_product_batch(q8, d8, qs, ds))
+    ref_ids = np.argsort(-full, axis=1, kind="stable")[:, :13]
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(full, ref_ids, axis=1), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("fn_name", ["int8_search_symmetric", "fp_search"])
+def test_packed_result_mode(fn_name):
+    """packed=True returns one (B, 2k) f32 array: scores ‖ indices-as-values,
+    bit-identical to the tuple mode."""
+    docs = synthetic_corpus_embeddings(300, dim=32, seed=8)
+    queries = synthetic_corpus_embeddings(4, dim=32, seed=9)
+    if fn_name == "int8_search_symmetric":
+        d8, ds = qz.quantize_symmetric(jnp.asarray(docs))
+        args = (jnp.asarray(queries), d8, ds)
+        fn = qz.int8_search_symmetric
+    else:
+        args = (jnp.asarray(queries), jnp.asarray(docs))
+        fn = qz.fp_search
+    vals, ids = fn(*args, k=7)
+    packed = np.asarray(fn(*args, k=7, packed=True))
+    assert packed.shape == (4, 14) and packed.dtype == np.float32
+    np.testing.assert_array_equal(packed[:, :7], np.asarray(vals))
+    np.testing.assert_array_equal(packed[:, 7:].astype(np.int32), np.asarray(ids))
+
+
+def test_dense_engine_large_corpus_end_to_end():
+    """DenseSearchEngine over a corpus wide enough for the block-pruned
+    path, through the packed-fetch search_vectors surface."""
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+
+    docs = synthetic_corpus_embeddings(2200, dim=48, seed=12)
+    eng = DenseSearchEngine(
+        [f"d{i}" for i in range(2200)], docs, quantization="symmetric"
+    )
+    queries = docs[:6] + 0.01 * np.random.RandomState(4).randn(6, 48).astype(
+        np.float32
+    )
+    scores, ids = eng.search_vectors(queries, top_k=5)
+    assert scores.shape == (6, 5) and ids.shape == (6, 5)
+    assert (np.diff(scores, axis=1) <= 1e-6).all()  # descending
+    # Each query's nearest neighbour is its own source document.
+    np.testing.assert_array_equal(ids[:, 0], np.arange(6))
