@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Hybrid (sparse 0.3 + dense 0.7) retrieval throughput at FiQA scale.
+
+The reference ships hybrid fusion only as a config capability
+(reference rag_system/configs/ms_marco_paper_results.yaml, hybrid
+experiment: sparse_weight 0.3 / dense_weight 0.7) with no committed
+throughput number. This measures our HybridRetriever end-to-end through
+the registry dict surface on the FiQA-scale synthetic corpus — the same
+fixture as bench.py — and sanity-checks the fusion against its two
+constituent retrievers.
+
+Appends one JSON line to bench_results/hybrid.jsonl.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+NUM_DOCS = 57_638
+NUM_QUERIES = 6_648
+VOCAB = 100_000
+TOP_K = 50
+
+
+def main() -> None:
+    from osr_tpu.retrieval.registry import RetrieverRegistry
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    corpus = SyntheticDataGenerator(seed=42).zipf_corpus(
+        NUM_DOCS, VOCAB, avg_len=130, word_prefix="t", min_len=5
+    )
+    queries = SyntheticDataGenerator(seed=6).queries(
+        NUM_QUERIES, VOCAB, avg_terms=11, word_prefix="t", min_terms=2
+    )
+
+    retr = RetrieverRegistry.create(
+        {
+            "type": "hybrid",
+            "params": {
+                "sparse_weight": 0.3,
+                "dense_weight": 0.7,
+                "fusion_depth": 100,
+                "cache_dir": None,
+            },
+        }
+    )
+    t0 = time.perf_counter()
+    retr.build_index_from_corpus(corpus)
+    build_s = time.perf_counter() - t0
+
+    # Warm both engines' compiled programs on a small slice first.
+    warm = dict(list(queries.items())[:64])
+    retr.search(warm, top_k=TOP_K)
+    retr.clear_cache()
+
+    passes = []
+    results = None
+    for _ in range(3):
+        retr.clear_cache()
+        t0 = time.perf_counter()
+        results = retr.search(queries, top_k=TOP_K)
+        passes.append(round(NUM_QUERIES / (time.perf_counter() - t0), 1))
+    qps = sorted(passes)[len(passes) // 2]
+
+    # Fusion sanity: every fused result draws only from the union of the
+    # constituents' fusion_depth pools, and fused scores are in [0, 1].
+    nonempty = sum(1 for r in results.values() if r)
+    qid = next(q for q, r in results.items() if r)
+    s_pool = retr.sparse.search({qid: queries[qid]}, top_k=100)[qid]
+    d_pool = retr.dense.search({qid: queries[qid]}, top_k=100)[qid]
+    pool = set(s_pool) | set(d_pool)
+    assert set(results[qid]) <= pool, "fused docs outside constituent pools"
+    assert all(0.0 <= s <= 1.0 + 1e-6 for s in results[qid].values())
+
+    import jax
+
+    row = {
+        "metric": "hybrid_qps_fiqa_scale",
+        "qps": qps,
+        "qps_passes": passes,
+        "build_s": round(build_s, 2),
+        "num_docs": NUM_DOCS,
+        "num_queries": NUM_QUERIES,
+        "top_k": TOP_K,
+        "fusion_depth": 100,
+        "sparse_weight": 0.3,
+        "dense_weight": 0.7,
+        "nonempty_results": nonempty,
+        "device": str(jax.devices()[0]),
+    }
+    out = Path(__file__).resolve().parent.parent / "bench_results/hybrid.jsonl"
+    with out.open("a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
