@@ -148,7 +148,7 @@ def main():
     # machine/tunnel contention varies passes up to ~20%, so the median
     # is the honest headline; best-of is reported alongside, labeled.
     qps_passes = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         results = engine.search(queries, top_k=TOP_K)
         qps_passes.append(
