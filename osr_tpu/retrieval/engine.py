@@ -730,10 +730,16 @@ class DenseSearchEngine:
             return {}
         batch = np.stack([np.asarray(query_vectors[q]) for q in qids])
         scores, ids = self.search_vectors(batch, top_k=top_k)
+        # One bulk .tolist() per axis: native numpy->Python conversion is
+        # ~3x faster than per-element float()/int() casts at result scale
+        # (same pattern as the sparse engine's bulk result assembly).
+        scores_l = scores.tolist()
+        ids_l = ids.tolist()
+        docs = self.doc_ids
         return {
             qid: {
-                self.doc_ids[int(i)]: float(s)
-                for i, s in zip(ids[row], scores[row])
+                docs[i]: s
+                for i, s in zip(ids_l[row], scores_l[row])
                 if s > min_score
             }
             for row, qid in enumerate(qids)
