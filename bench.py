@@ -70,7 +70,16 @@ def measure_reference_cpu(corpus, queries, n_queries=192, budget_s=150.0):
         mod = importlib.util.module_from_spec(spec)
         sys.modules[spec.name] = mod
         spec.loader.exec_module(mod)
-        hardware = {"avx2": False, "cores": 1, "threads": 1, "memory_gb": 8}
+        import psutil
+
+        # Give the reference its best adaptive config on THIS machine
+        # (its batch size scales with memory_gb) rather than a fixed one.
+        hardware = {
+            "avx2": False,
+            "cores": psutil.cpu_count(logical=False) or 1,
+            "threads": psutil.cpu_count() or 1,
+            "memory_gb": psutil.virtual_memory().total // 2**30,
+        }
         cwd = os.getcwd()
         with tempfile.TemporaryDirectory() as td:
             os.chdir(td)  # the reference writes .rag_cache into CWD

@@ -103,7 +103,16 @@ def run_reference(ds_dir: Path, top_k: int = 100):
         for qid, q in load_queries(ds_dir).items()
         if qid in qrels
     }
-    hardware = {"avx2": False, "cores": 1, "threads": 1, "memory_gb": 8}
+    import psutil
+
+    # Give the reference its best adaptive config on THIS machine
+    # (its batch size scales with memory_gb) rather than a fixed one.
+    hardware = {
+        "avx2": False,
+        "cores": psutil.cpu_count(logical=False) or 1,
+        "threads": psutil.cpu_count() or 1,
+        "memory_gb": psutil.virtual_memory().total // 2**30,
+    }
     cwd = os.getcwd()
     with tempfile.TemporaryDirectory() as td:
         os.chdir(td)  # the reference writes .rag_cache into CWD
