@@ -52,6 +52,14 @@ def main():
         choices=("int8", "int4", "bf16", "f32"),
         help="head quantization (int4 halves head HBM; see test_int4.py)",
     )
+    ap.add_argument(
+        "--score-chunk-rows",
+        type=int,
+        default=None,
+        help="override the engine's auto score-chunking (None = auto by "
+        "its 6 GiB budget; needed >5M docs where head + one auto-sized "
+        "chunk crosses the 16 GB HBM line — see DEVELOPMENT.md)",
+    )
     args = ap.parse_args()
     vocab = args.vocab or min(4 * args.docs, 400_000)
 
@@ -172,6 +180,7 @@ def main():
         batch_sizes=(args.batch,),
         cache_queries=False,
         topk_mode="exact",
+        score_chunk_rows=args.score_chunk_rows,
     )
     t0 = time.perf_counter()
     res = engine.search(queries, top_k=args.topk)
