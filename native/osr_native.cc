@@ -451,7 +451,10 @@ int64_t tail_candidates(const int64_t* post_ptr, const int32_t* post_rows,
     constexpr int kBuckets = 1 << kBits;   // 2048
     constexpr int32_t kMask = kBuckets - 1;
     std::vector<std::pair<int32_t, float>> buf, buf2;
-    std::vector<int32_t> hist(kBuckets);
+    // int64 counters: a query whose terms' postings total >= 2^31 pairs
+    // would silently overflow int32 histogram offsets (unreachable at
+    // 1-10M docs, but the layout imposes no such cap).
+    std::vector<int64_t> hist(kBuckets);
     for (int64_t q = lo; q < hi; ++q) {
       auto& out = rows[static_cast<size_t>(q)];
       int64_t total_post = 0;
@@ -479,9 +482,9 @@ int64_t tail_candidates(const int64_t* post_ptr, const int32_t* post_rows,
            shift += kBits) {
         std::fill(hist.begin(), hist.end(), 0);
         for (const auto& pr : buf) ++hist[(pr.first >> shift) & kMask];
-        int32_t run = 0;
+        int64_t run = 0;
         for (int bkt = 0; bkt < kBuckets; ++bkt) {
-          int32_t c = hist[bkt];
+          int64_t c = hist[bkt];
           hist[bkt] = run;
           run += c;
         }
@@ -660,14 +663,18 @@ void cand_head_dot_t(const int8_t* head_t, int64_t r, const int32_t* rows,
 // score (the k head-top docs all have totals >= their head scores >= tau0),
 // so candidates with total < tau0 cannot enter the top-k and are skipped
 // before the pool sort — at 1M docs this drops most of the ~3,900-wide
-// per-query pools. A 1% slack covers the bf16 rounding band between the
-// device head channel (tau0's source) and the host candidate head-dot
-// (DEVELOPMENT.md merge numerics note), so a masked head-top's candidate
-// can never be wrongly dropped.
+// per-query pools. `tau_slack[q]` is a PER-QUERY upper bound on the
+// device(bf16)/host(f32) head-score discrepancy, computed by the caller
+// from the query's absolute head contributions (head terms can mix signs,
+// so under cancellation the rounding band scales with sum(|terms|), not
+// with |tau0| — a |tau0|-relative slack is NOT sound; see
+// postings.merge_tau_slack). +inf slack disables the prefilter for that
+// query (the isfinite guard below), so a masked head-top's candidate can
+// never be wrongly dropped.
 void merge_topk(const float* head_s, const int32_t* head_r, int64_t b,
                 int64_t kh, const int32_t* c_rows, const float* c_tot,
-                const int64_t* c_ptr, int64_t k, float* out_s,
-                int32_t* out_r) {
+                const int64_t* c_ptr, int64_t k, const float* tau_slack,
+                float* out_s, int32_t* out_r) {
   int threads = n_threads_for(b, 16);
   parallel_ranges(b, threads, [&](int64_t lo, int64_t hi, int) {
     std::vector<std::pair<float, int32_t>> pool;
@@ -679,7 +686,7 @@ void merge_topk(const float* head_s, const int32_t* head_r, int64_t b,
       float tau = -std::numeric_limits<float>::infinity();
       if (kh >= k) {
         float tau0 = head_s[q * kh + k - 1];  // k-th head-only score
-        float cand_tau = tau0 - std::fabs(tau0) * 0.01f - 1e-6f;
+        float cand_tau = tau0 - tau_slack[q] - 1e-6f;
         if (std::isfinite(cand_tau)) tau = cand_tau;
       }
       for (int64_t i = 0; i < kh; ++i) {

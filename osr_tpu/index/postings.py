@@ -239,6 +239,32 @@ def _bf16(x: np.ndarray) -> np.ndarray:
     return x.astype(ml_dtypes.bfloat16).astype(np.float32)
 
 
+def merge_tau_slack(
+    slack_per_term: np.ndarray,  # (F,) f32 per-head-term error bound
+    head_flat_ids: np.ndarray,  # (Nh,) int32 per-query head terms, flat
+    head_flat_counts: np.ndarray,  # (Nh,) float32
+    head_ptr: np.ndarray,  # (nq+1,)
+) -> np.ndarray:
+    """Per-query upper bound on |device head score - host head score|.
+
+    The device head dot rounds each scaled query weight to bf16
+    (ops/bm25.py:head_scores), so per term the discrepancy vs the host f32
+    dot is <= 2^-9 * |q_j * s_j| * |w_ij|; f32 accumulation order adds
+    <= F * 2^-24 relative to sum(|terms|) on each side. Head terms can mix
+    signs (builder.py places non-positive-IDF terms in the head), so under
+    cancellation the band scales with sum(|terms|), NOT with |score| — a
+    score-relative slack is unsound. Callers pass
+    ``slack_per_term[f] = REL_EPS * max|w_:f| * s_f`` (engine caches it);
+    this reduces it per query: ``slack_q = sum_j |count_j| * slack[id_j]``.
+    """
+    contrib = np.abs(head_flat_counts.astype(np.float32)) * slack_per_term[
+        head_flat_ids
+    ]
+    csum = np.concatenate([[0.0], np.cumsum(contrib, dtype=np.float64)])
+    ptr = np.asarray(head_ptr, dtype=np.int64)
+    return (csum[ptr[1:]] - csum[ptr[:-1]]).astype(np.float32)
+
+
 def merge_host(
     head_scores: np.ndarray,  # (B, k) device head top-k scores
     head_rows: np.ndarray,  # (B, k) int32 device head top-k rows
@@ -247,16 +273,27 @@ def merge_host(
     num_rows: int,
     k: int,
     use_native: bool = True,
+    tau_slack: Optional[np.ndarray] = None,  # (B,) f32; None = no prefilter
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact final top-k per query: (head top-k) UNION (candidate totals).
 
     Head-top entries that are tail-touched are masked (the candidate
     channel holds their exact totals); see ops/bm25.py:fused_search for the
-    exactness argument.
+    exactness argument. ``tau_slack`` enables the candidate prefilter with
+    a sound per-query rounding bound (:func:`merge_tau_slack`); pass zeros
+    when ``cand_head`` comes from the SAME device score matrix as
+    ``head_scores`` (no discrepancy), and None to disable the prefilter
+    when the provenance is unknown.
     """
     b, kh = head_scores.shape
     total = cand.total
     totals = cand_head[:total].astype(np.float32) + cand.tail[:total]
+    if tau_slack is not None and len(tau_slack) < b:
+        # head_scores is padded to the batch bucket; padded queries have
+        # -inf heads so their tau is -inf regardless of the slack value.
+        tau_slack = np.concatenate(
+            [tau_slack, np.full(b - len(tau_slack), np.inf, np.float32)]
+        )
 
     if use_native:
         try:
@@ -269,7 +306,7 @@ def merge_host(
                 )
             return merge_topk_native(
                 np.asarray(head_scores), np.asarray(head_rows),
-                cand.rows, totals, ptr, total, k,
+                cand.rows, totals, ptr, total, k, tau_slack=tau_slack,
             )
         except ImportError:
             pass
@@ -294,15 +331,17 @@ def merge_host(
 
     # Candidate prefilter (mirrors the C++ merge): the final k-th TOTAL is
     # >= tau0 = the k-th head-only score, so candidates with total < tau0
-    # (minus a 1% slack for the device/host bf16 rounding band) cannot
-    # enter the top-k. Only valid when the head contributes >= k entries.
+    # (minus the caller's per-query rounding-bound slack, see
+    # merge_tau_slack) cannot enter the top-k. Only valid when the head
+    # contributes >= k entries and the caller supplied a slack.
     cols_t = cand.cols[:total]
     rows_t = cand.rows[:total]
-    if total and kh >= k:
+    if total and kh >= k and tau_slack is not None:
         tau0 = head_scores[:, k - 1]
-        tau = np.where(
-            np.isfinite(tau0), tau0 - np.abs(tau0) * 0.01 - 1e-6, -np.inf
-        ).astype(np.float32)
+        cand_tau = tau0 - tau_slack.astype(np.float32) - 1e-6
+        tau = np.where(np.isfinite(cand_tau), cand_tau, -np.inf).astype(
+            np.float32
+        )
         keep = totals >= tau[cols_t]
         totals = totals[keep]
         cols_t = cols_t[keep]

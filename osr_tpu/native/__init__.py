@@ -133,7 +133,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     ]
     lib.merge_topk.restype = None
     lib.merge_topk.argtypes = [
-        p_f32, p_i32, c_i64, c_i64, p_i32, p_f32, p_i64, c_i64, p_f32, p_i32,
+        p_f32, p_i32, c_i64, c_i64, p_i32, p_f32, p_i64, c_i64, p_f32,
+        p_f32, p_i32,
     ]
 
     p_i8 = ctypes.POINTER(ctypes.c_int8)
@@ -559,19 +560,31 @@ def pack_hybrid_int4_native(
     return head, scales, post_ptr, post_rows[:tail_cap], post_weights[:tail_cap]
 
 
-def merge_topk_native(head_s, head_r, c_rows, c_tot, c_ptr, total, k):
-    """Exact host merge (see postings.merge_host) in C++."""
+def merge_topk_native(
+    head_s, head_r, c_rows, c_tot, c_ptr, total, k, tau_slack=None
+):
+    """Exact host merge (see postings.merge_host) in C++.
+
+    ``tau_slack`` is the per-query prefilter slack (see
+    postings.merge_tau_slack); None disables the prefilter (+inf slack).
+    """
     b, kh = head_s.shape
     head_s = np.ascontiguousarray(head_s, dtype=np.float32)
     head_r = np.ascontiguousarray(head_r, dtype=np.int32)
     c_rows = np.ascontiguousarray(c_rows[:total], dtype=np.int32)
     c_tot = np.ascontiguousarray(c_tot[:total], dtype=np.float32)
     c_ptr = np.ascontiguousarray(c_ptr, dtype=np.int64)
+    if tau_slack is None:
+        tau_slack = np.full(b, np.inf, dtype=np.float32)
+    else:
+        tau_slack = np.ascontiguousarray(tau_slack, dtype=np.float32)
+        if tau_slack.shape != (b,):
+            raise ValueError(f"tau_slack shape {tau_slack.shape} != ({b},)")
     out_s = np.empty((b, k), dtype=np.float32)
     out_r = np.empty((b, k), dtype=np.int32)
     _lib.merge_topk(
         _as_f32_ptr(head_s), _as_i32_ptr(head_r), b, kh,
         _as_i32_ptr(c_rows), _as_f32_ptr(c_tot), _as_i64_ptr(c_ptr), k,
-        _as_f32_ptr(out_s), _as_i32_ptr(out_r),
+        _as_f32_ptr(tau_slack), _as_f32_ptr(out_s), _as_i32_ptr(out_r),
     )
     return out_s, out_r

@@ -130,7 +130,25 @@ def _pick_tile_b(b: int, f: int) -> int:
         )
         if need <= budget:
             return tb
-    return TILE_B
+    # No candidate tile fits the VMEM model (very wide F): refuse to
+    # launch a kernel the model predicts overflows the 16 MB scoped
+    # limit — callers route such shapes to the XLA backend.
+    raise ValueError(
+        f"pallas head kernel: no query tile (512/256/128) dividing B={b} "
+        f"fits the {budget >> 20} MB VMEM budget at F={f}; "
+        "use head_backend='xla'"
+    )
+
+
+def head_tile_fits(b: int, f_logical: int) -> bool:
+    """True when some query tile fits the VMEM model at this head width —
+    the engine's head_backend='auto' routes to XLA when this is False
+    (F ≳ 5600 overflows even the 128 tile)."""
+    try:
+        _pick_tile_b(b, f_logical)
+        return True
+    except ValueError:
+        return False
 
 
 def _decode_int4(packed_i32):

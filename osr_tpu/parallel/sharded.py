@@ -333,13 +333,17 @@ class ShardedSparseSearchEngine:
         self, in_flight, top_k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         cand, (head_s, head_r, cand_head) = in_flight
+        head_s = np.asarray(head_s)
         return merge_host(
-            np.asarray(head_s),
+            head_s,
             np.asarray(head_r),
             cand,
             np.asarray(cand_head),
             self.index.layout.num_rows,
             top_k,
+            # cand_head is gathered from the same device score matrix as
+            # head_s (no host/device discrepancy) — zero slack is sound.
+            tau_slack=np.zeros(head_s.shape[0], dtype=np.float32),
         )
 
     def search_token_batch(

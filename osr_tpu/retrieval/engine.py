@@ -37,6 +37,7 @@ from osr_tpu.index.postings import (
     cand_head_scores_host,
     dense_tail_scores,
     merge_host,
+    merge_tau_slack,
     tail_candidates_flat,
 )
 from osr_tpu.index.tokenizer import Tokenizer
@@ -93,6 +94,16 @@ class _DeviceIndex:
         self.chunks = None
         self.chunk_bases = None
         if chunk_rows and head.shape[0] > chunk_rows:
+            if head.shape[0] >= (1 << 24):
+                # Chunk bases (and the packed top-k rows they offset) ride
+                # in f32 — exact only below 2^24 rows. Fail loudly rather
+                # than silently corrupting row ids past 16.7M docs; above
+                # that, shard the corpus (parallel/sharded.py).
+                raise ValueError(
+                    f"chunked scoring packs row ids as f32 and supports "
+                    f"< 2^24 rows per chip (got {head.shape[0]}); shard "
+                    "the corpus across devices instead"
+                )
             cr = max(int(chunk_rows), row_align)
             cr += (-cr) % max(row_align, 1)
             n_chunks = -(-head.shape[0] // cr)
@@ -152,12 +163,27 @@ class SparseSearchEngine:
             raise ValueError(f"Unknown topk_mode: {topk_mode}")
         self.topk_mode = topk_mode
         layout0 = index.layout
+        if layout0.num_rows >= (1 << 24):
+            # The packed top-k result carries row ids as f32 VALUES
+            # (ops/bm25.py:fused_search_packed) — exact only below 2^24.
+            raise ValueError(
+                f"single-chip engine supports < 2^24 docs (got "
+                f"{layout0.num_rows}); shard the corpus across devices "
+                "(parallel/sharded.py)"
+            )
         pallas_ok_dtype = layout0.head_dtype == "int8" or (
             layout0.head_dtype == "int4"
             # int4 Pallas needs a lane-aligned packed width (the packed
             # layout can't be padded post-hoc; see pallas/head.py).
             and layout0.head.shape[1] % 128 == 0
         )
+        if pallas_ok_dtype:
+            # The Mosaic kernel's VMEM model rejects very wide heads
+            # (F ≳ 5600 overflows even the smallest query tile) — the
+            # auto path must know to route those to XLA.
+            from osr_tpu.ops.pallas.head import head_tile_fits
+
+            pallas_ok_dtype = head_tile_fits(128, layout0.head_terms)
         if head_backend == "auto":
             # The Mosaic kernel runs at parity with the XLA chain and
             # produces identical results (tests/test_pallas_kernels.py;
@@ -250,6 +276,31 @@ class SparseSearchEngine:
                 self._head_t = transpose_i8_native(self._host_head)
             except ImportError:
                 pass
+        # Per-head-term slack for the merge prefilter (see
+        # postings.merge_tau_slack): an upper bound on the per-term
+        # device/host head-dot discrepancy. The device rounds each scaled
+        # query weight to bf16 (2^-9 half-ulp) and both sides accumulate F
+        # f32 terms; head terms can mix signs, so the bound must scale
+        # with max|w| * scale per term, never with the score.
+        ht = max(int(layout0.head_terms), 1)
+        if self._host_head_dtype == "int8":
+            rel = 2.0**-8 + 4.0 * ht * 2.0**-24  # 2x margin on 2^-9
+            wmax = 15.0 if layout0.head_dtype == "int4" else 127.0
+            self._slack_per_term = (
+                rel * wmax * np.asarray(layout0.head_scales, np.float32)
+            ).astype(np.float32)
+        else:
+            # bf16/f32 heads: same stored values on both sides; device
+            # error is bf16 products (bf16 mode) or f32 HIGHEST (f32 mode).
+            rel = (
+                2.0**-8 + 4.0 * ht * 2.0**-24
+                if self._host_head_dtype == "bf16"
+                else 2.0**-22 + 4.0 * ht * 2.0**-24
+            )
+            habs = np.abs(np.asarray(self._host_head, dtype=np.float32))
+            self._slack_per_term = (
+                rel * habs.max(axis=0, initial=0.0)
+            ).astype(np.float32)
         # Query cache: (query_text, top_k) -> (ids, scores), insert-only with
         # a cap, matching reference retrieval.py:287-289.
         self._query_cache: Optional[
@@ -351,6 +402,9 @@ class SparseSearchEngine:
         layout = self.index.layout
         if self.merge_backend == "device":
             cand_head = None  # comes back from the device with the top-k
+            # Device cand_head is gathered from the SAME score matrix as
+            # the head top-k — zero discrepancy, zero slack.
+            tau_slack = np.zeros(enc.head_ids.shape[0], dtype=np.float32)
         else:
             cand_head = cand_head_scores_host(
                 self._host_head,
@@ -362,13 +416,19 @@ class SparseSearchEngine:
                 enc.head_ptr,
                 head_t=self._head_t,
             )
-        return cand, out, cand_head
+            tau_slack = merge_tau_slack(
+                self._slack_per_term,
+                enc.head_flat_ids,
+                enc.head_flat_counts,
+                enc.head_ptr,
+            )
+        return cand, out, cand_head, tau_slack
 
     def finish_batch(
         self, in_flight, top_k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Collect device results and run the exact host merge."""
-        cand, (packed, cand_head_dev), cand_head = in_flight
+        cand, (packed, cand_head_dev), cand_head, tau_slack = in_flight
         if cand_head is None:
             cand_head = np.asarray(cand_head_dev)
         head_s, head_r = unpack_topk(np.asarray(packed))
@@ -379,6 +439,7 @@ class SparseSearchEngine:
             cand_head,
             self.index.layout.num_rows,
             top_k,
+            tau_slack=tau_slack,
         )
 
     def search_token_batch(
@@ -689,6 +750,16 @@ class DenseSearchEngine:
 
         q = jnp.asarray(query_vectors, dtype=jnp.float32)
         if self.quantization == "symmetric" and self.backend == "pallas":
+            if len(self.doc_ids) >= (1 << 24):
+                # The Mosaic step packs doc indices as f32 VALUES — exact
+                # only below 2^24 rows. Fail loudly instead of silently
+                # corrupting indices; the XLA backends fall back to the
+                # unpacked two-transfer result above that size.
+                raise ValueError(
+                    f"pallas dense backend packs indices as f32 and "
+                    f"supports < 2^24 docs (got {len(self.doc_ids)}); "
+                    "use backend='xla'"
+                )
             return self._search_pallas(q, top_k)
         packed = len(self.doc_ids) < (1 << 24)
         if self.quantization == "symmetric":

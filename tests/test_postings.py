@@ -13,6 +13,7 @@ from osr_tpu.index.postings import (
     FlatCandidates,
     dense_tail_scores,
     merge_host,
+    merge_tau_slack,
     pad_flat_width,
     tail_candidates_flat,
 )
@@ -399,3 +400,84 @@ def test_merge_tau_filter_matches_unfiltered_at_scale(use_native):
         np.testing.assert_allclose(
             got_s[q], want[q][order], rtol=1e-6, atol=1e-7
         )
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_merge_prefilter_sound_under_cancellation(use_native):
+    """The prefilter slack must scale with sum(|head terms|), not |tau0|:
+    with mixed-sign head terms, tau0 can be tiny (near-cancellation) while
+    the device/host rounding band is large. A candidate that IS the true
+    top doc sits just below tau0 by more than 1%*|tau0| but inside the
+    absolute rounding band — the per-query slack must keep it."""
+    k = 2
+    # Device-reported head top-k: tau0 = 0.010 (cancellation of +/-100s).
+    # Row 5 is TAIL-TOUCHED: it is masked from the head channel and its
+    # exact total rides the candidate channel only.
+    head_scores = np.array([[0.012, 0.010]], dtype=np.float32)
+    head_rows = np.array([[3, 5]], dtype=np.int32)
+    # Host recomputes row 5's head dot as 0.009 (device said 0.010 — the
+    # 0.001 gap exceeds 1%*|tau0| = 0.0001 but is well inside a rounding
+    # band of 0.05 derived from sum(|q_j*s_j*w_max|) ~ 200 under
+    # cancellation). Its total 0.0095 is the TRUE #2 result; dropping it
+    # would violate the exactness contract.
+    cand = FlatCandidates(
+        rows=np.array([5], np.int32),
+        cols=np.array([0], np.int32),
+        tail=np.array([0.0005], np.float32),
+        ptr=np.array([0, 1], np.int64),
+        total=1,
+    )
+    cand_head = np.array([0.009], np.float32)
+    s, r = merge_host(
+        head_scores, head_rows, cand, cand_head, 10, k,
+        use_native=use_native,
+        tau_slack=np.array([0.05], np.float32),
+    )
+    assert 5 in r[0].tolist() and np.isclose(s[0, 1], 0.0095), (s, r)
+    # Zero slack + the same tiny margins: the prefilter applies at face
+    # value and drops the candidate's total (documents the knob's sharp
+    # edge; backends differ in whether the masked head row id lingers
+    # with a -inf score, so assert on the score).
+    s0, r0 = merge_host(
+        head_scores, head_rows, cand, cand_head, 10, k,
+        use_native=use_native,
+        tau_slack=np.array([0.0], np.float32),
+    )
+    assert not np.isclose(s0[0], 0.0095).any(), (s0, r0)
+    # None = prefilter disabled entirely -> exact merge keeps it.
+    s1, r1 = merge_host(
+        head_scores, head_rows, cand, cand_head, 10, k,
+        use_native=use_native, tau_slack=None,
+    )
+    assert 5 in r1[0].tolist() and np.isclose(s1[0, 1], 0.0095)
+
+
+def test_merge_tau_slack_segment_sums():
+    slack_per_term = np.array([0.5, 0.0, 2.0], np.float32)
+    ids = np.array([0, 2, 1, 0], np.int32)
+    counts = np.array([2.0, 1.0, 3.0, -1.0], np.float32)
+    ptr = np.array([0, 2, 2, 4], np.int64)  # q1 has no head terms
+    got = merge_tau_slack(slack_per_term, ids, counts, ptr)
+    np.testing.assert_allclose(got, [2 * 0.5 + 2.0, 0.0, 0.0 + 0.5])
+
+
+@pytest.mark.parametrize("use_native", BACKENDS)
+def test_merge_prefilter_with_slack_stays_exact(use_native):
+    """Randomized: prefiltered merge with a generous slack == unfiltered
+    exact merge, including padded-batch tau_slack (fewer slack entries
+    than head rows)."""
+    rng = np.random.RandomState(11)
+    n_rows, b, k = 60, 5, 6
+    full_head, tail, cand, cand_head, head_s, head_r = _build_case(
+        rng, n_rows, b, k
+    )
+    slack = np.full(b - 2, 0.05, np.float32)  # shorter than b: pad path
+    got_s, got_r = merge_host(
+        head_s, head_r, cand, cand_head, n_rows, k,
+        use_native=use_native, tau_slack=slack,
+    )
+    ref_s, ref_r = merge_host(
+        head_s, head_r, cand, cand_head, n_rows, k,
+        use_native=use_native, tau_slack=None,
+    )
+    np.testing.assert_allclose(got_s, ref_s, rtol=1e-6, atol=1e-7)

@@ -118,7 +118,9 @@ def main():
         np.asarray(out)
         stages["download_only_ms"].append((time.perf_counter() - t0) * 1e3)
 
-        from osr_tpu.index.postings import cand_head_scores_host, merge_host
+        from osr_tpu.index.postings import (
+            cand_head_scores_host, merge_host, merge_tau_slack,
+        )
         from osr_tpu.ops.bm25 import unpack_topk
 
         t0 = time.perf_counter()
@@ -133,8 +135,13 @@ def main():
             head_t=engine._head_t,
         )
         hs, hr = unpack_topk(out_np)
+        slack = merge_tau_slack(
+            engine._slack_per_term, enc.head_flat_ids,
+            enc.head_flat_counts, enc.head_ptr,
+        )
         merge_host(
-            hs, hr, cand, cand_head, index.layout.num_rows, args.topk
+            hs, hr, cand, cand_head, index.layout.num_rows, args.topk,
+            tau_slack=slack,
         )
         stages["merge_ms"].append((time.perf_counter() - t0) * 1e3)
         stages["end_to_end_ms"].append((time.perf_counter() - t_all) * 1e3)

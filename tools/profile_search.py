@@ -34,7 +34,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from osr_tpu.index.builder import SparseIndexBuilder
-    from osr_tpu.index.postings import cand_head_scores_host, merge_host
+    from osr_tpu.index.postings import (
+        cand_head_scores_host, merge_host, merge_tau_slack,
+    )
     from osr_tpu.ops import bm25 as ops
     from osr_tpu.retrieval.engine import SparseSearchEngine
     from osr_tpu.testing import SyntheticDataGenerator
@@ -135,7 +137,13 @@ def main():
     ]
     t0 = time.perf_counter()
     for (hs, hr), (enc, cand, ch) in zip(fetched, handles):
-        merge_host(hs, hr, cand, ch, layout.num_rows, args.topk)
+        merge_host(
+            hs, hr, cand, ch, layout.num_rows, args.topk,
+            tau_slack=merge_tau_slack(
+                engine._slack_per_term, enc.head_flat_ids,
+                enc.head_flat_counts, enc.head_ptr,
+            ),
+        )
     t["host merge"] = time.perf_counter() - t0
 
     print(f"\nper-batch stage costs (B={B}, n={n}):")

@@ -89,7 +89,9 @@ def main():
           file=sys.stderr)
     engine.search(dict(list(queries.items())[: args.batch]), top_k=args.topk)
 
-    from osr_tpu.index.postings import cand_head_scores_host, merge_host
+    from osr_tpu.index.postings import (
+        cand_head_scores_host, merge_host, merge_tau_slack,
+    )
     from osr_tpu.ops.bm25 import unpack_topk
 
     def t(f):
@@ -122,7 +124,11 @@ def main():
     hs, hr = unpack_topk(packed_np)
     _, stats["merge_ms"] = t(
         lambda: merge_host(
-            hs, hr, cand, cand_head, layout.num_rows, args.topk
+            hs, hr, cand, cand_head, layout.num_rows, args.topk,
+            tau_slack=merge_tau_slack(
+                engine._slack_per_term, enc.head_flat_ids,
+                enc.head_flat_counts, enc.head_ptr,
+            ),
         )
     )
 
