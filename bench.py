@@ -116,9 +116,11 @@ def measure_reference_cpu(corpus, queries, n_queries=192, budget_s=150.0):
 def main():
     import jax
 
-    # Persistent compilation cache: cold-start compiles happen once/machine.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Persistent compilation cache: cold-start compiles happen once/machine
+    # (survives reboots — ~/.cache, not /tmp; see utils/compile_cache.py).
+    from osr_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from osr_tpu.index.builder import SparseIndexBuilder
     from osr_tpu.retrieval.engine import SparseSearchEngine

@@ -210,6 +210,9 @@ class ShardedSparseSearchEngine:
         query_cache_limit: int = 1000,
         pallas_interpret: bool = False,  # CPU-mesh tests of the kernels
     ):
+        from osr_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.index = index
         self.mesh = mesh
         self.n_q = mesh.shape[QUERY_AXIS]
@@ -476,7 +479,9 @@ class ShardedDenseSearchEngine:
         pallas_interpret: bool = False,
     ):
         from osr_tpu.ops import quantize as qz
+        from osr_tpu.utils.compile_cache import enable_persistent_cache
 
+        enable_persistent_cache()
         if quantization not in ("symmetric", "asymmetric", "none"):
             raise ValueError(f"Unknown quantization: {quantization}")
         if backend not in ("xla", "pallas"):

@@ -153,6 +153,9 @@ class SparseSearchEngine:
         head_backend: str = "auto",  # 'xla' | 'pallas' | 'auto'
         score_chunk_rows=None,  # None = auto by SCORE_BUDGET_BYTES; 0 = off
     ):
+        from osr_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.index = index
         self.device = device if device is not None else jax.devices()[0]
         self.batch_sizes = tuple(sorted(batch_sizes))
@@ -696,7 +699,9 @@ class DenseSearchEngine:
         #                         through the fused Mosaic kernel
     ):
         from osr_tpu.ops import quantize as qz
+        from osr_tpu.utils.compile_cache import enable_persistent_cache
 
+        enable_persistent_cache()
         self.doc_ids = list(doc_ids)
         self.quantization = quantization
         self.backend = backend

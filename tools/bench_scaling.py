@@ -53,6 +53,12 @@ def main():
         help="head quantization (int4 halves head HBM; see test_int4.py)",
     )
     ap.add_argument(
+        "--note",
+        default=None,
+        help="free-text label recorded in the output row (e.g. "
+        "'cold-compile-cache' / 'warm-compile-cache')",
+    )
+    ap.add_argument(
         "--score-chunk-rows",
         type=int,
         default=None,
@@ -65,8 +71,9 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from osr_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from osr_tpu.index.builder import SparseIndexBuilder
     from osr_tpu.retrieval.engine import SparseSearchEngine
@@ -212,6 +219,8 @@ def main():
         "score_chunks": engine.stats().get("score_chunks", 0),
         "device": str(dev),
     }
+    if args.note:
+        row["note"] = args.note
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "a") as f:
