@@ -49,6 +49,8 @@ class HFEncoder:
         pad_to_max: bool = False,  # fixed (B, max_length) shapes: ONE
         #   XLA compile instead of one per distinct padded length —
         #   essential when compiles are expensive (remote-TPU tunnel)
+        dtype: str = "float32",  # 'bfloat16' = bf16 compute on the MXU
+        #   (flax backend only; params stay f32, outputs return f32)
     ):
         try:
             from transformers import AutoTokenizer
@@ -66,7 +68,7 @@ class HFEncoder:
         if model is not None:
             self.backend = "flax" if _is_flax_model(model) else "torch"
         else:
-            self.model, self.backend = _load_model(model_name, backend)
+            self.model, self.backend = _load_model(model_name, backend, dtype)
         logger.info("HFEncoder %s via %s", model_name, self.backend)
 
     # -- encoding ----------------------------------------------------------
@@ -105,16 +107,45 @@ class HFEncoder:
             return_tensors=tensors,
         )
 
+    def _flax_step(self):
+        """One jitted program for the WHOLE encode step (transformer
+        forward + mean-pool + L2 normalize). The unjitted HF ``__call__``
+        dispatches op-by-op — measured 290 s / 4,000 docs through the
+        remote-TPU tunnel in r3 (bench_results/dense_encoder.json r3);
+        a single compiled program with static (B, T) shapes is the
+        TPU-native form. Cached on the instance; with ``pad_to_max`` there
+        is exactly one compile."""
+        if getattr(self, "_flax_step_fn", None) is None:
+            import jax
+            import jax.numpy as jnp
+
+            model = self.model
+
+            @jax.jit
+            def step(params, inputs):
+                hidden = model(
+                    **inputs, params=params, train=False
+                ).last_hidden_state  # (B, T, H)
+                mask = inputs["attention_mask"][..., None].astype(
+                    hidden.dtype
+                )
+                pooled = (hidden * mask).sum(axis=1) / jnp.maximum(
+                    mask.sum(axis=1), 1
+                )
+                pooled = pooled.astype(jnp.float32)
+                norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+                return pooled / jnp.maximum(norm, 1e-8)
+
+            self._flax_step_fn = step
+        return self._flax_step_fn
+
     def _encode_flax(self, texts: List[str]) -> np.ndarray:
         import jax.numpy as jnp
 
         batch = self._tokenize(texts, "np")
-        outputs = self.model(**batch)
-        hidden = outputs.last_hidden_state  # (B, T, H)
-        mask = jnp.asarray(batch["attention_mask"])[..., None]
-        pooled = (hidden * mask).sum(axis=1) / jnp.maximum(mask.sum(axis=1), 1)
-        norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
-        return np.asarray(pooled / jnp.maximum(norm, 1e-8), dtype=np.float32)
+        inputs = {k: jnp.asarray(v) for k, v in batch.items()}
+        pooled = self._flax_step()(self.model.params, inputs)
+        return np.asarray(pooled, dtype=np.float32)
 
     def _encode_torch(self, texts: List[str]) -> np.ndarray:
         import torch
@@ -132,12 +163,18 @@ def _is_flax_model(model) -> bool:
     return model.__class__.__name__.startswith("Flax")
 
 
-def _load_model(model_name: str, backend: str):
+def _load_model(model_name: str, backend: str, dtype: str = "float32"):
     if backend in ("auto", "flax"):
         try:
+            import jax.numpy as jnp
             from transformers import FlaxAutoModel
 
-            return FlaxAutoModel.from_pretrained(model_name), "flax"
+            return (
+                FlaxAutoModel.from_pretrained(
+                    model_name, dtype=jnp.dtype(dtype)
+                ),
+                "flax",
+            )
         except Exception as e:
             if backend == "flax":
                 raise

@@ -650,3 +650,102 @@ class ShardedDenseSearchEngine:
         # fill slots with -inf padding rows whose ids exceed len(doc_ids).
         s, i = self._search(q, k=min(top_k, len(self.doc_ids)))
         return np.asarray(s)[:nq], np.asarray(i)[:nq]
+
+
+class ShardedHybridEngine:
+    """Sharded weighted late fusion — the multi-chip form of the flat
+    ``HybridRetriever`` (reference ms_marco hybrid experiment, reference
+    rag_system/configs/ms_marco_paper_results.yaml: sparse 0.3 + dense
+    0.7). Both sharded engines score the same document sharding; fusion
+    runs on their (scores, ids) arrays host-side
+    (osr_tpu/retrieval/fusion.py) after the sparse dispatch and the dense
+    device step have been in flight together."""
+
+    def __init__(
+        self,
+        index: SparseIndex,
+        embeddings: np.ndarray,
+        mesh: Mesh,
+        sparse_weight: float = 0.3,
+        dense_weight: float = 0.7,
+        fusion_depth: int = 100,
+        query_embedding_fn=None,
+        batch_sizes: Sequence[int] = (8, 32, 128),
+        quantization: str = "symmetric",
+        head_backend: str = "auto",
+        dense_backend: str = "xla",
+        pallas_interpret: bool = False,
+    ):
+        from osr_tpu.index.dense import synthetic_query_embedding
+
+        self.sparse_weight = sparse_weight
+        self.dense_weight = dense_weight
+        self.fusion_depth = fusion_depth
+        self.sparse = ShardedSparseSearchEngine(
+            index,
+            mesh,
+            batch_sizes=batch_sizes,
+            head_backend=head_backend,
+            cache_queries=False,
+            pallas_interpret=pallas_interpret,
+        )
+        self.dense = ShardedDenseSearchEngine(
+            index.doc_ids,
+            embeddings,
+            mesh,
+            quantization=quantization,
+            backend=dense_backend,
+            pallas_interpret=pallas_interpret,
+        )
+        dim = embeddings.shape[1]
+        self._embed = query_embedding_fn or (
+            lambda text: synthetic_query_embedding(text, dim)
+        )
+
+    def search(
+        self, queries: Mapping[str, str], top_k: int = 10
+    ) -> Dict[str, Dict[str, float]]:
+        from osr_tpu.retrieval.fusion import (
+            fuse_topk_arrays,
+            fused_rows_to_results,
+        )
+
+        sp = self.sparse
+        results: Dict[str, Dict[str, float]] = {}
+        pending: List[Tuple[str, str]] = []
+        for qid, text in queries.items():
+            text = (text or "").strip()
+            if text:
+                pending.append((qid, text))
+            else:
+                results[qid] = {}
+
+        doc_ids = sp.index.doc_ids
+        depth = self.fusion_depth
+        max_b = sp.batch_sizes[-1]
+        for i in range(0, len(pending), max_b):
+            chunk = pending[i : i + max_b]
+            texts = [t for _, t in chunk]
+            # Sparse first (async dispatch + host tail work), then the
+            # dense step rides the mesh while the sparse merge finishes.
+            enc = sp.encode_queries(texts)
+            s_handle = sp.search_encoded_device(enc, depth)
+            vecs = np.stack([self._embed(t) for t in texts])
+            d_scores, d_ids = self.dense.search_vectors(vecs, top_k=depth)
+            s_scores, s_ids = sp.finish_batch(s_handle, depth)
+            n = len(chunk)  # sparse rows are padded to the batch bucket
+            f_sc, f_ids = fuse_topk_arrays(
+                s_scores[:n],
+                s_ids[:n],
+                d_scores,
+                d_ids,
+                self.sparse_weight,
+                self.dense_weight,
+                top_k,
+            )
+            results.update(
+                fused_rows_to_results(
+                    [q for q, _ in chunk], f_sc, f_ids, doc_ids
+                )
+            )
+        return results

@@ -740,17 +740,12 @@ class DenseSearchEngine:
         else:
             raise ValueError(f"Unknown quantization: {quantization}")
 
-    def search_vectors(
-        self, query_vectors: np.ndarray, top_k: int = 10
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """Return (scores (B, k), doc_indices (B, k)) for fp32 query vectors.
-
-        Results come back as ONE packed (B, 2k) f32 transfer (scores ‖
-        indices-as-values) whenever the corpus is small enough for f32 to
-        carry indices exactly (< 2^24 rows): the dev tunnel charges a fixed
-        ~30 ms per transfer, so one fetch instead of two halves the fixed
-        transfer cost per batch (DEVELOPMENT.md pitfalls).
-        """
+    def dispatch_vectors(self, query_vectors: np.ndarray, top_k: int):
+        """Async half of :meth:`search_vectors`: enqueue the device step
+        and return an opaque in-flight handle without blocking. JAX
+        dispatch is asynchronous, so the caller can overlap host work (or
+        another engine's device step — the hybrid fast path) with this
+        search and fetch later via :meth:`collect_vectors`."""
         from osr_tpu.ops import quantize as qz
 
         q = jnp.asarray(query_vectors, dtype=jnp.float32)
@@ -765,7 +760,15 @@ class DenseSearchEngine:
                     f"supports < 2^24 docs (got {len(self.doc_ids)}); "
                     "use backend='xla'"
                 )
-            return self._search_pallas(q, top_k)
+            # Fused Mosaic path (osr_tpu/ops/pallas/matmul.py): quantize +
+            # similarity + exact block-pruned top-k + result pack, all in
+            # ONE jitted program — a single dispatch per batch.
+            return (
+                "packed",
+                _pallas_dense_step(
+                    q, self._docs, self._scales, n_real=self._n_real, k=top_k
+                ),
+            )
         packed = len(self.doc_ids) < (1 << 24)
         if self.quantization == "symmetric":
             out = qz.int8_search_symmetric(
@@ -777,23 +780,34 @@ class DenseSearchEngine:
             )
         else:
             out = qz.fp_search(q, self._docs, k=top_k, packed=packed)
-        if packed:
+        return ("packed" if packed else "pair", out)
+
+    def collect_vectors(
+        self, in_flight
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Blocking half of :meth:`search_vectors`: fetch a handle from
+        :meth:`dispatch_vectors` as (scores (B, k), doc_indices (B, k))."""
+        kind, out = in_flight
+        if kind == "packed":
             arr = np.asarray(out)
             kk = arr.shape[-1] // 2
             return arr[:, :kk].copy(), arr[:, kk:].astype(np.int32)
         return np.asarray(out[0]), np.asarray(out[1])
 
-    def _search_pallas(self, q: jax.Array, top_k: int):
-        """Symmetric int8 search through the fused Mosaic similarity kernel
-        (osr_tpu/ops/pallas/matmul.py): quantize + similarity + exact
-        block-pruned top-k + result pack, all inside ONE jitted program —
-        a single dispatch and a single packed fetch per batch."""
-        out = _pallas_dense_step(
-            q, self._docs, self._scales, n_real=self._n_real, k=top_k
+    def search_vectors(
+        self, query_vectors: np.ndarray, top_k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (scores (B, k), doc_indices (B, k)) for fp32 query vectors.
+
+        Results come back as ONE packed (B, 2k) f32 transfer (scores ‖
+        indices-as-values) whenever the corpus is small enough for f32 to
+        carry indices exactly (< 2^24 rows): the dev tunnel charges a fixed
+        ~30 ms per transfer, so one fetch instead of two halves the fixed
+        transfer cost per batch (DEVELOPMENT.md pitfalls).
+        """
+        return self.collect_vectors(
+            self.dispatch_vectors(query_vectors, top_k)
         )
-        arr = np.asarray(out)
-        kk = arr.shape[-1] // 2
-        return arr[:, :kk].copy(), arr[:, kk:].astype(np.int32)
 
     def search(
         self,

@@ -237,3 +237,43 @@ def test_sharded_int4_matches_single_device(big_corpus, big_queries):
     want = single.search(big_queries, top_k=15)
     got = sharded.search(big_queries, top_k=15)
     _assert_same_modulo_kth_ties(want, got)
+
+
+def test_sharded_hybrid_matches_flat_hybrid(corpus, queries):
+    """Sharded hybrid fusion == flat hybrid fast path: both engines are
+    exact under sharding (the sparse merge bit-matches, per-row int8
+    quantization is row-local), so fused results must agree."""
+    from osr_tpu.retrieval.registry import RetrieverRegistry
+
+    flat = RetrieverRegistry.create(
+        {
+            "type": "hybrid",
+            "params": {
+                "sparse_weight": 0.3,
+                "dense_weight": 0.7,
+                "embedding_dim": 64,
+                "fusion_depth": 25,
+                "cache_dir": None,
+            },
+        }
+    )
+    flat.build_index_from_corpus(corpus)
+
+    from osr_tpu.parallel.sharded import ShardedHybridEngine
+
+    sharded = ShardedHybridEngine(
+        flat.sparse.engine.index,
+        # The flat dense retriever's synthetic embeddings (default seed).
+        synthetic_corpus_embeddings(len(corpus), dim=64),
+        make_mesh(8, query_parallel=2),
+        sparse_weight=0.3,
+        dense_weight=0.7,
+        fusion_depth=25,
+    )
+    want = flat.search(queries, top_k=50)
+    got = sharded.search(queries, top_k=50)
+    assert set(got) == set(want)
+    for qid in want:
+        assert set(got[qid]) == set(want[qid]), qid
+        for doc, s in want[qid].items():
+            assert got[qid][doc] == pytest.approx(s, abs=1e-4), (qid, doc)

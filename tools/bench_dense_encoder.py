@@ -35,9 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_standin_encoder(vocab_terms, hidden=256, layers=4, seed=0):
+def build_standin_encoder(
+    vocab_terms, hidden=256, layers=4, seed=0, dtype="bfloat16"
+):
     """Tiny BERT from local config + corpus vocabulary — the offline
-    deterministic stand-in (see module docstring)."""
+    deterministic stand-in (see module docstring). bf16 compute by
+    default: the MXU's native matmul dtype (params stay f32; pooled
+    outputs return f32)."""
+    import jax.numpy as jnp
     from transformers import BertConfig, BertTokenizerFast, FlaxBertModel
 
     from osr_tpu.encoders import HFEncoder
@@ -55,9 +60,10 @@ def build_standin_encoder(vocab_terms, hidden=256, layers=4, seed=0):
         intermediate_size=hidden * 4,
         max_position_embeddings=512,
     )
-    model = FlaxBertModel(cfg, seed=seed)  # deterministic random init
+    # deterministic random init; dtype sets the COMPUTE dtype
+    model = FlaxBertModel(cfg, seed=seed, dtype=jnp.dtype(dtype))
     return HFEncoder(
-        f"standin-bert-{layers}l-{hidden}h-seed{seed}",
+        f"standin-bert-{layers}l-{hidden}h-seed{seed}-{dtype}",
         model=model,
         tokenizer=tokenizer,
         max_length=128,
@@ -72,6 +78,12 @@ def main():
     ap.add_argument("--vocab", type=int, default=8000)
     ap.add_argument("--queries", type=int, default=256)
     ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument(
+        "--dtype",
+        default="bfloat16",
+        choices=("float32", "bfloat16"),
+        help="encoder COMPUTE dtype (bf16 = the MXU-native matmul dtype)",
+    )
     ap.add_argument(
         "--out",
         default=str(
@@ -90,8 +102,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/osr_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from osr_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from osr_tpu.metrics.ir import evaluate_retrieval
     from osr_tpu.retrieval.engine import DenseSearchEngine
@@ -118,14 +131,17 @@ def main():
         qrels[f"q{qi}"] = {doc_ids[src]: 1}
 
     terms = sorted({w for t in texts for w in t.split()})
-    encoder = build_standin_encoder(terms)
+    encoder = build_standin_encoder(terms, dtype=args.dtype)
+    t0 = time.perf_counter()
+    encoder.encode(texts[: encoder.batch_size])  # compile warmup
+    warmup_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     doc_emb = encoder.encode(texts)
     encode_s = time.perf_counter() - t0
     q_emb = encoder.encode(list(queries.values()))
     print(
         f"# encoded {len(texts)} docs ({doc_emb.shape}) in {encode_s:.1f}s "
-        f"via {encoder.backend}",
+        f"(+{warmup_s:.1f}s compile) via {encoder.backend}",
         file=sys.stderr,
     )
 
@@ -180,7 +196,10 @@ def main():
         "num_docs": len(doc_ids),
         "num_queries": len(qids),
         "dim": int(doc_emb.shape[1]),
+        "compute_dtype": args.dtype,
+        "encode_warmup_s": round(warmup_s, 1),
         "encode_docs_s": round(encode_s, 1),
+        "encode_docs_per_s": round(len(texts) / encode_s, 1),
         "fp32": quality(fp32_res),
         "int8_symmetric": quality(int8_res),
         "uint8_asymmetric": quality(asym_res),
