@@ -134,7 +134,13 @@ def head_scores(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("head_terms", "k", "topk_mode", "head_backend"),
+    static_argnames=(
+        "head_terms",
+        "k",
+        "topk_mode",
+        "head_backend",
+        "narrow_m",
+    ),
 )
 def fused_search(
     q_head_ids: jax.Array,  # (B, Qh) int32, padding >= head_terms
@@ -149,6 +155,7 @@ def fused_search(
     k: int,
     topk_mode: str = "exact",  # 'exact' | 'approx'
     head_backend: str = "xla",  # 'pallas' = fused Mosaic int8 kernel
+    narrow_m: int = 8,  # per-block top-m narrowing; 0 = full-width
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The batched device search step in one dispatch.
 
@@ -213,10 +220,21 @@ def fused_search(
         # Exact block-max-pruned selection: 75 ms vs 105 ms for plain
         # lax.top_k at (B=6656, R=57,640, k=50) on v5e (osr_tpu/ops/topk.py:
         # block_topk for the exactness argument and measurements).
-        from osr_tpu.ops.topk import block_topk, block_topk_from_max
+        from osr_tpu.ops.topk import (
+            block_topk,
+            block_topk_from_max,
+            block_topk_narrow,
+        )
 
         if bmax is not None:
-            head_top, head_rows = block_topk_from_max(hs, bmax, k=kk)
+            if narrow_m:
+                # Per-block top-m narrowed selection (tie-safe fallback
+                # compiled in; bit-identical — ops/topk.py:block_topk_narrow).
+                head_top, head_rows = block_topk_narrow(
+                    hs, bmax, k=kk, block_m=narrow_m
+                )
+            else:
+                head_top, head_rows = block_topk_from_max(hs, bmax, k=kk)
         else:
             head_top, head_rows = block_topk(hs, k=kk)
     else:
@@ -242,7 +260,13 @@ def pack_query_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("head_terms", "k", "topk_mode", "head_backend"),
+    static_argnames=(
+        "head_terms",
+        "k",
+        "topk_mode",
+        "head_backend",
+        "narrow_m",
+    ),
 )
 def fused_search_packed(
     q_packed: jax.Array,  # (B, Qh, 2) int32: [ids, bitcast f32 weights]
@@ -256,6 +280,7 @@ def fused_search_packed(
     k: int,
     topk_mode: str = "exact",
     head_backend: str = "xla",
+    narrow_m: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """Transfer-minimal variant of :func:`fused_search`: one packed input
     array, and the head top-k packed into one (B, 2k) f32 output (rows
@@ -275,6 +300,7 @@ def fused_search_packed(
         k=k,
         topk_mode=topk_mode,
         head_backend=head_backend,
+        narrow_m=narrow_m,
     )
     # Rows travel as f32 VALUES, not bitcasts: int32 bit patterns of small
     # integers are f32 denormals, which the TPU flushes to zero. Values are

@@ -134,6 +134,87 @@ def block_topk_from_max(
     return vals, rows.astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_cols", "block_m")
+)
+def block_topk_narrow(
+    scores: jax.Array,  # (B, R)
+    block_max: jax.Array,  # (B, G) precomputed per-block maxima
+    *,
+    k: int,
+    block_cols: int = 128,
+    block_m: int = 8,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`block_topk_from_max` with per-block top-m narrowing.
+
+    The full-width final selection sorts k*block_cols candidates per query
+    (measured 18.2 ms of the 41 ms device step at B=6656, R=57,640, k=50 —
+    DEVELOPMENT.md r3 stage table). Most selected blocks contribute at
+    most a handful of true top-k members, so: select each block's top
+    ``block_m`` (one short per-block sort over ``block_cols`` lanes), then
+    the final top-k over only k*block_m candidates.
+
+    Exact, with a tie-safe fallback: a document missed by the narrowing
+    ranks > m within its block, so its score <= that block's m-th value.
+    If every selected block's m-th value is strictly below the candidate
+    k-th value tau, no missed document can displace the candidate top-k —
+    the result is exact. Otherwise (``>=`` comparison: ties are unsafe by
+    construction) one ``lax.cond`` re-runs the full-width selection for
+    the whole batch. Both branches live in the compiled program; the
+    fallback fires only on data where >= block_m true top-k members share
+    one 128-lane block.
+
+    Bit-identical to :func:`block_topk_from_max` (not just set-equal):
+    ``lax.top_k`` breaks ties by lower index, and the narrowed candidate
+    order (block-major, lane-stable within a block) preserves the full
+    path's tie order; when the safety check fires, the output IS the full
+    path's. Verified in tests/test_topk.py.
+    """
+    b, r = scores.shape
+    kk = min(k, r)
+    pad = (-r) % block_cols
+    if pad:
+        scores = jnp.pad(
+            scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+        )
+    g = (r + pad) // block_cols
+    if block_max.shape[1] != g:
+        raise ValueError(
+            f"block_max has {block_max.shape[1]} blocks, expected {g}"
+        )
+    nb = min(kk, g)
+    m = min(block_m, block_cols)
+    if nb * m < kk:
+        # Too few narrowed candidates to even fill k — narrowing cannot
+        # apply (tiny corpora); use the full-width selection.
+        return block_topk_from_max(
+            scores[:, :r], block_max, k=k, block_cols=block_cols
+        )
+    xr = scores.reshape(b, g, block_cols)
+    _, top_blocks = lax.top_k(block_max, nb)  # (B, nb)
+    cand = jnp.take_along_axis(xr, top_blocks[:, :, None], axis=1)
+
+    vals_m, pos_m = lax.top_k(cand, m)  # (B, nb, m) per-block top-m
+    top_n, pos_n = lax.top_k(vals_m.reshape(b, nb * m), kk)
+    tau = top_n[:, -1]  # (B,) candidate k-th value
+    unsafe = jnp.any(vals_m[:, :, -1] >= tau[:, None])
+
+    def narrow(_):
+        blk = jnp.take_along_axis(top_blocks, pos_n // m, axis=1)
+        lane = jnp.take_along_axis(
+            pos_m.reshape(b, nb * m), pos_n, axis=1
+        )
+        return top_n, (blk * block_cols + lane).astype(jnp.int32)
+
+    def full(_):
+        vals, pos = lax.top_k(cand.reshape(b, nb * block_cols), kk)
+        blk = jnp.take_along_axis(top_blocks, pos // block_cols, axis=1)
+        rows = blk * block_cols + pos % block_cols
+        return vals, rows.astype(jnp.int32)
+
+    return lax.cond(unsafe, full, narrow, None)
+
+
 def merge_topk(
     scores_parts: Sequence[jax.Array],  # each (B, k_i)
     ids_parts: Sequence[jax.Array],  # each (B, k_i) global ids

@@ -152,6 +152,7 @@ class SparseSearchEngine:
         merge_backend: str = "auto",  # 'host' | 'device' | 'auto'
         head_backend: str = "auto",  # 'xla' | 'pallas' | 'auto'
         score_chunk_rows=None,  # None = auto by SCORE_BUDGET_BYTES; 0 = off
+        narrow_m: int = 8,  # per-block top-m narrowing; 0 = full-width
     ):
         from osr_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -165,6 +166,11 @@ class SparseSearchEngine:
             # strings rather than silently running a different mode.
             raise ValueError(f"Unknown topk_mode: {topk_mode}")
         self.topk_mode = topk_mode
+        # Exact-selection narrowing (ops/topk.py:block_topk_narrow): select
+        # each pruned block's top-m before the final top-k so the final
+        # sort covers k*m instead of k*128 candidates; a compiled tie-safe
+        # fallback keeps the result bit-identical. 0 disables.
+        self.narrow_m = int(narrow_m)
         layout0 = index.layout
         if layout0.num_rows >= (1 << 24):
             # The packed top-k result carries row ids as f32 VALUES
@@ -383,6 +389,7 @@ class SparseSearchEngine:
                         k=top_k,
                         topk_mode=self.topk_mode,
                         head_backend=self.head_backend,
+                        narrow_m=self.narrow_m,
                     )[0]
                 )
             packed = merge_packed_chunks(
@@ -401,6 +408,7 @@ class SparseSearchEngine:
                 k=top_k,
                 topk_mode=self.topk_mode,
                 head_backend=self.head_backend,
+                narrow_m=self.narrow_m,
             )
         layout = self.index.layout
         if self.merge_backend == "device":

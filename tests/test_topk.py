@@ -119,3 +119,89 @@ def test_block_topk_with_neg_inf_rows():
     vals, rows = block_topk(jnp.asarray(scores), k=5, block_cols=8)
     assert np.asarray(vals)[0, 0] == 1.0 and np.asarray(rows)[0, 0] == 3
     assert np.asarray(vals)[1, 0] == 2.0 and np.asarray(rows)[1, 0] == 17
+
+
+def _blockmax(scores: np.ndarray, block_cols: int) -> np.ndarray:
+    b, r = scores.shape
+    pad = (-r) % block_cols
+    p = np.pad(scores, ((0, 0), (0, pad)), constant_values=-np.inf)
+    return p.reshape(b, -1, block_cols).max(axis=2)
+
+
+def test_block_topk_narrow_bit_identical_random():
+    """Narrowed selection must be BIT-identical (values AND rows, order
+    included) to the full-width block_topk_from_max on spread-out data —
+    the safe path, where the narrowing actually engages."""
+    import jax.numpy as jnp
+
+    from osr_tpu.ops.topk import block_topk_from_max, block_topk_narrow
+
+    rng = np.random.RandomState(11)
+    for r, b, k, m in [(57_640, 8, 50, 8), (8192, 16, 20, 4), (6016, 4, 50, 8)]:
+        scores = rng.randn(b, r).astype(np.float32)
+        bmax = _blockmax(scores, 128)
+        fv, fr = block_topk_from_max(
+            jnp.asarray(scores), jnp.asarray(bmax), k=k
+        )
+        nv, nr = block_topk_narrow(
+            jnp.asarray(scores), jnp.asarray(bmax), k=k, block_m=m
+        )
+        np.testing.assert_array_equal(np.asarray(nv), np.asarray(fv))
+        np.testing.assert_array_equal(np.asarray(nr), np.asarray(fr))
+
+
+def test_block_topk_narrow_clustered_fallback():
+    """Adversarial data: > block_m true top-k members packed into single
+    128-lane blocks (plus exact ties straddling the k-th boundary) must
+    trip the tie-safe fallback and still return the full path's output
+    bit-for-bit."""
+    import jax.numpy as jnp
+
+    from osr_tpu.ops.topk import block_topk_from_max, block_topk_narrow
+
+    rng = np.random.RandomState(3)
+    b, r, k, m = 4, 8192, 50, 8
+    scores = rng.randn(b, r).astype(np.float32) * 1e-3
+    # Put 30 of the top-k into ONE block for each query (rank > m within
+    # the block => unsafe by construction), with heavy exact ties.
+    for q in range(b):
+        blk = 5 + q
+        scores[q, blk * 128 : blk * 128 + 30] = 100.0
+        scores[q, 4000 : 4000 + k] = 50.0  # exact ties at the boundary
+    bmax = _blockmax(scores, 128)
+    fv, fr = block_topk_from_max(jnp.asarray(scores), jnp.asarray(bmax), k=k)
+    nv, nr = block_topk_narrow(
+        jnp.asarray(scores), jnp.asarray(bmax), k=k, block_m=m
+    )
+    np.testing.assert_array_equal(np.asarray(nv), np.asarray(fv))
+    np.testing.assert_array_equal(np.asarray(nr), np.asarray(fr))
+
+
+def test_block_topk_narrow_vs_argsort_sweep():
+    """Exactness vs a numpy oracle across shapes, m values, and tie
+    densities (including the nb*m < k tiny-corpus fallback)."""
+    import jax.numpy as jnp
+
+    from osr_tpu.ops.topk import block_topk_narrow
+
+    rng = np.random.RandomState(7)
+    for r, b, k, m, tie_p in [
+        (1000, 16, 50, 8, 0.1),
+        (4096, 4, 10, 2, 0.5),
+        (300, 2, 300, 1, 0.0),  # nb*m < k -> full-width fallback
+        (512, 3, 4, 1, 0.9),
+        (20_000, 2, 100, 16, 0.3),
+    ]:
+        scores = rng.randn(b, r).astype(np.float32)
+        scores[rng.rand(b, r) < tie_p] = 1.5
+        bmax = _blockmax(scores, 128)
+        vals, rows = block_topk_narrow(
+            jnp.asarray(scores), jnp.asarray(bmax), k=k, block_m=m
+        )
+        vals, rows = np.asarray(vals), np.asarray(rows)
+        kk = min(k, r)
+        want = -np.sort(-scores, axis=1)[:, :kk]
+        np.testing.assert_allclose(vals, want, rtol=0)
+        for i in range(b):
+            np.testing.assert_allclose(scores[i, rows[i]], vals[i], rtol=0)
+            assert len(set(rows[i].tolist())) == kk

@@ -28,6 +28,9 @@ TOP_K = 50
 def main() -> None:
     from osr_tpu.retrieval.registry import RetrieverRegistry
     from osr_tpu.testing import SyntheticDataGenerator
+    from osr_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     corpus = SyntheticDataGenerator(seed=42).zipf_corpus(
         NUM_DOCS, VOCAB, avg_len=130, word_prefix="t", min_len=5
@@ -79,6 +82,7 @@ def main() -> None:
 
     row = {
         "metric": "hybrid_qps_fiqa_scale",
+        "path": "array-fusion",  # r3 rows (no marker) = dict fusion
         "qps": qps,
         "qps_passes": passes,
         "build_s": round(build_s, 2),
