@@ -76,6 +76,7 @@ def sharded_search(
     topk_mode: str = "exact",  # 'exact' | 'approx'
     head_backend: str = "xla",  # 'xla' | 'pallas'
     interpret: bool = False,  # Pallas interpret mode (CPU-mesh tests)
+    narrow_m: int = 8,  # per-block top-m narrowing; 0 = full-width
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The sharded device step in ONE program: per-shard head matmul
     (Mosaic kernel per shard on the Pallas backend), local top-k with
@@ -127,12 +128,30 @@ def sharded_search(
             s, idx = lax.approx_max_k(hs, kk, recall_target=0.95)
             idx = idx.astype(jnp.int32)
         elif use_prune:
-            from osr_tpu.ops.topk import block_topk, block_topk_from_max
+            from osr_tpu.ops.topk import (
+                block_topk_from_max,
+                block_topk_narrow,
+            )
 
-            if bmax is not None:
-                s, idx = block_topk_from_max(hs, bmax, k=kk)
+            if bmax is None:
+                # XLA backend: reduce the block maxima here (the Pallas
+                # backend fuses this into the matmul kernel).
+                pad = (-hs.shape[1]) % 128
+                hp = (
+                    jnp.pad(hs, ((0, 0), (0, pad)), constant_values=NEG_INF)
+                    if pad
+                    else hs
+                )
+                bmax = hp.reshape(hs.shape[0], -1, 128).max(axis=2)
+            if narrow_m:
+                # Bit-identical narrowed selection with compiled tie-safe
+                # fallback (ops/topk.py:block_topk_narrow); local-only,
+                # so the lax.cond stays clear of the collectives below.
+                s, idx = block_topk_narrow(
+                    hs, bmax, k=kk, block_m=narrow_m
+                )
             else:
-                s, idx = block_topk(hs, k=kk)
+                s, idx = block_topk_from_max(hs, bmax, k=kk)
         else:
             s, idx = lax.top_k(hs, kk)  # (B_local, kk) local rows
             idx = idx.astype(jnp.int32)

@@ -96,9 +96,8 @@ def harvest_chunks(max_chunks=None):
 
 def build_dataset(root: Path, chunks, num_queries: int):
     """Write BEIR-format corpus/queries/graded qrels; returns stats."""
-    from osr_tpu.index.tokenizer import Tokenizer
+    from osr_tpu.index.tokenizer import tokenize
 
-    tok = Tokenizer()
     root.mkdir(parents=True, exist_ok=True)
     with open(root / "corpus.jsonl", "w", encoding="utf-8") as f:
         for i, text in enumerate(chunks):
@@ -111,7 +110,7 @@ def build_dataset(root: Path, chunks, num_queries: int):
     inv = {}
     chunk_toks = []
     for i, text in enumerate(chunks):
-        toks = set(tok.tokenize(text))
+        toks = set(tokenize(text))
         chunk_toks.append(toks)
         for t in toks:
             inv.setdefault(t, set()).add(i)
@@ -134,7 +133,7 @@ def build_dataset(root: Path, chunks, num_queries: int):
                 continue
             start = int(rng.randint(0, len(words) - 6))
             quote = " ".join(words[start : start + 6])
-            qtoks = set(tok.tokenize(quote))
+            qtoks = set(tokenize(quote))
             if len(qtoks) < 4:
                 continue
             cands = None
