@@ -59,6 +59,13 @@ def main():
         "'cold-compile-cache' / 'warm-compile-cache')",
     )
     ap.add_argument(
+        "--head-budget-gib",
+        type=float,
+        default=8.0,
+        help="head byte budget used with --head-cap (the 5M F=4096 int4 "
+        "row needs ~10.3 GiB of head HBM; see DEVELOPMENT.md)",
+    )
+    ap.add_argument(
         "--score-chunk-rows",
         type=int,
         default=None,
@@ -138,7 +145,10 @@ def main():
         t0 = time.perf_counter()
         bkw = {"head_dtype": args.head_dtype}
         if args.head_cap:
-            bkw.update(head_cap=args.head_cap, head_budget_bytes=8 << 30)
+            bkw.update(
+                head_cap=args.head_cap,
+                head_budget_bytes=int(args.head_budget_gib * (1 << 30)),
+            )
         index = SparseIndexBuilder(method="bm25", **bkw).build(corpus)
         build_s = time.perf_counter() - t0
         print(f"# built in {build_s:.1f}s", file=sys.stderr)
@@ -181,6 +191,7 @@ def main():
     stats = index.stats()
     print(f"# stats: {stats}", file=sys.stderr)
 
+    t0 = time.perf_counter()
     engine = SparseSearchEngine(
         index,
         device=dev,
@@ -189,6 +200,18 @@ def main():
         topk_mode="exact",
         score_chunk_rows=args.score_chunk_rows,
     )
+    # Index upload, separated from compile: engine construction enqueues
+    # the device_put of the head (+ chunks); blocking here isolates the
+    # tunnel-transfer term of "warmup" from the compile term below.
+    import jax as _jax
+
+    d_idx = engine._dev
+    _jax.block_until_ready(
+        [c for pair in (d_idx.chunks or []) for c in pair]
+        if d_idx.chunks is not None
+        else [d_idx.head, d_idx.valid]
+    )
+    upload_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = engine.search(queries, top_k=args.topk)
     warm_s = time.perf_counter() - t0
@@ -209,6 +232,7 @@ def main():
         "max_tail_df": stats["max_tail_df"],
         "tail_nnz": stats["tail_nnz"],
         "build_s": round(build_s, 2),
+        "upload_s": round(upload_s, 1),
         "warmup_s": round(warm_s, 1),
         "qps_exact": round(qps, 1),
         "ms_per_query": round(1000.0 / qps, 3) if qps else None,
