@@ -155,7 +155,7 @@ def fused_search(
     k: int,
     topk_mode: str = "exact",  # 'exact' | 'approx'
     head_backend: str = "xla",  # 'pallas' = fused Mosaic int8 kernel
-    narrow_m: int = 8,  # per-block top-m narrowing; 0 = full-width
+    narrow_m: int = 0,  # per-block top-m narrowing; 0 = full-width
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The batched device search step in one dispatch.
 

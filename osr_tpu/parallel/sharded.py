@@ -59,6 +59,7 @@ from osr_tpu.parallel.mesh import DOC_AXIS, QUERY_AXIS
     jax.jit,
     static_argnames=(
         "mesh", "head_terms", "k", "topk_mode", "head_backend", "interpret",
+        "narrow_m",
     ),
 )
 def sharded_search(
@@ -76,7 +77,7 @@ def sharded_search(
     topk_mode: str = "exact",  # 'exact' | 'approx'
     head_backend: str = "xla",  # 'xla' | 'pallas'
     interpret: bool = False,  # Pallas interpret mode (CPU-mesh tests)
-    narrow_m: int = 8,  # per-block top-m narrowing; 0 = full-width
+    narrow_m: int = 0,  # per-block top-m narrowing; 0 = full-width
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """The sharded device step in ONE program: per-shard head matmul
     (Mosaic kernel per shard on the Pallas backend), local top-k with
@@ -228,12 +229,14 @@ class ShardedSparseSearchEngine:
         cache_queries: bool = True,
         query_cache_limit: int = 1000,
         pallas_interpret: bool = False,  # CPU-mesh tests of the kernels
+        narrow_m: int = 0,  # per-block top-m narrowing; 0 = full-width
     ):
         from osr_tpu.utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
         self.index = index
         self.mesh = mesh
+        self.narrow_m = int(narrow_m)
         self.n_q = mesh.shape[QUERY_AXIS]
         n_d = mesh.shape[DOC_AXIS]
         self.batch_sizes = tuple(
@@ -348,6 +351,7 @@ class ShardedSparseSearchEngine:
             topk_mode=self.topk_mode,
             head_backend=self.head_backend,
             interpret=self.pallas_interpret,
+            narrow_m=self.narrow_m,
         )
         return cand, out
 

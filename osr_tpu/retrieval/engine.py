@@ -152,7 +152,7 @@ class SparseSearchEngine:
         merge_backend: str = "auto",  # 'host' | 'device' | 'auto'
         head_backend: str = "auto",  # 'xla' | 'pallas' | 'auto'
         score_chunk_rows=None,  # None = auto by SCORE_BUDGET_BYTES; 0 = off
-        narrow_m: int = 8,  # per-block top-m narrowing; 0 = full-width
+        narrow_m: int = 0,  # per-block top-m narrowing; 0 = full-width
     ):
         from osr_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -169,7 +169,9 @@ class SparseSearchEngine:
         # Exact-selection narrowing (ops/topk.py:block_topk_narrow): select
         # each pruned block's top-m before the final top-k so the final
         # sort covers k*m instead of k*128 candidates; a compiled tie-safe
-        # fallback keeps the result bit-identical. 0 disables.
+        # fallback keeps the result bit-identical. 0 disables. The default
+        # stays full-width until the TPU measurement
+        # (tools/profile_narrow.py) lands; flip if it wins there.
         self.narrow_m = int(narrow_m)
         layout0 = index.layout
         if layout0.num_rows >= (1 << 24):

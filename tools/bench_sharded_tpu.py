@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--topk", type=int, default=50)
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--head-dtype", default="int8")
+    ap.add_argument("--narrow-m", type=int, default=0)
     ap.add_argument(
         "--out",
         default=str(
@@ -75,7 +76,11 @@ def main():
     mesh = make_mesh(1)  # the one real chip: mesh (q=1, d=1)
     t0 = time.perf_counter()
     sharded = ShardedSparseSearchEngine(
-        index, mesh, batch_sizes=(args.queries,), cache_queries=False
+        index,
+        mesh,
+        batch_sizes=(args.queries,),
+        cache_queries=False,
+        narrow_m=args.narrow_m,
     )
     res_sharded = sharded.search(queries, top_k=args.topk)
     warm_sharded_s = time.perf_counter() - t0
@@ -130,6 +135,7 @@ def main():
         "devices": 1,
         "mesh": dict(mesh.shape),
         "head_backend": sharded.head_backend,
+        "narrow_m": args.narrow_m,
         "pallas_interpret": False,
         "build_s": round(build_s, 2),
         "warmup_s_sharded": round(warm_sharded_s, 1),
