@@ -94,8 +94,15 @@ def harvest_chunks(max_chunks=None):
     return chunks
 
 
-def build_dataset(root: Path, chunks, num_queries: int):
-    """Write BEIR-format corpus/queries/graded qrels; returns stats."""
+def build_dataset(root: Path, chunks, num_queries: int, mode: str = "quote"):
+    """Write BEIR-format corpus/queries/graded qrels; returns stats.
+
+    mode='quote': 6-word verbatim quotes (the source chunk contains the
+    exact phrase, so BM25 can lean on every term co-occurring).
+    mode='sample': 6 distinct content words (>=4 chars) drawn at random
+    from across the whole chunk — a different lexical regime (no phrase
+    adjacency, but rarer terms: measured EASIER than quotes, nDCG@10
+    0.975 vs 0.927 — rare words pin the source chunk precisely)."""
     from osr_tpu.index.tokenizer import tokenize
 
     root.mkdir(parents=True, exist_ok=True)
@@ -131,8 +138,17 @@ def build_dataset(root: Path, chunks, num_queries: int):
             words = chunks[src].split()
             if len(words) < WINDOW:
                 continue
-            start = int(rng.randint(0, len(words) - 6))
-            quote = " ".join(words[start : start + 6])
+            if mode == "sample":
+                content = sorted(
+                    {w for w in (t.lower() for t in words) if len(w) >= 4}
+                )
+                if len(content) < 6:
+                    continue
+                picks = rng.choice(len(content), size=6, replace=False)
+                quote = " ".join(content[p] for p in picks)
+            else:
+                start = int(rng.randint(0, len(words) - 6))
+                quote = " ".join(words[start : start + 6])
             qtoks = set(tokenize(quote))
             if len(qtoks) < 4:
                 continue
@@ -159,6 +175,13 @@ def main():
     ap.add_argument("--num-queries", type=int, default=512)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument(
+        "--query-mode",
+        default="quote",
+        choices=("quote", "sample"),
+        help="quote = 6-word verbatim phrases; sample = 6 content "
+        "words drawn across the chunk (a second lexical regime)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -187,17 +210,19 @@ def main():
     out_path = (
         Path(__file__).parents[1] / "bench_results" / "quality_real_text.json"
     )
+    existing: dict = {}
     prior = None
     if out_path.exists():
-        prior = json.loads(out_path.read_text())
-        if prior.get("version") == 2:  # keep the original small fixture
-            prior = prior.get("small_fixture")
+        existing = json.loads(out_path.read_text())
+        prior = existing
+        if existing.get("version") == 2:  # keep the original small fixture
+            prior = existing.get("small_fixture")
 
     with tempfile.TemporaryDirectory() as td:
         ds = Path(td) / "prose_at_scale"
         t0 = time.perf_counter()
         n_queries, grade1_total = build_dataset(
-            ds, chunks, args.num_queries
+            ds, chunks, args.num_queries, mode=args.query_mode
         )
         print(
             f"# dataset: {len(chunks)} docs, {n_queries} queries, "
@@ -233,11 +258,18 @@ def main():
         if k.split("@")[0] in ("ndcg", "map", "recall", "p")
         or k in ("qps", "build_s", "method")
     }
+    qdesc = (
+        "6-word verbatim quote queries"
+        if args.query_mode == "quote"
+        else "6 content words (>=4 chars) sampled across the chunk "
+        "(second lexical regime: no phrase adjacency, rarer terms)"
+    )
     at_scale = {
         "dataset": "48-word/stride-24 chunks of all offline .md/.rst/.txt "
-        "prose (site-packages + python stdlib + reference repo); 6-word "
-        "quote queries; graded qrels (2=source, 1=all-token near-dups); "
-        "quotes matching >200 chunks rejected",
+        f"prose (site-packages + python stdlib + reference repo); {qdesc}; "
+        "graded qrels (2=source, 1=all-token near-dups); "
+        "queries matching >200 chunks rejected",
+        "query_mode": args.query_mode,
         "num_docs": len(chunks),
         "num_queries": n_queries,
         "grade1_qrels": grade1_total,
@@ -249,11 +281,17 @@ def main():
         at_scale["ndcg10_delta_osr_minus_ref"] = round(
             bm["ndcg@10"] - ref["ndcg@10"], 4
         )
+    section = (
+        "at_scale" if args.query_mode == "quote" else "at_scale_sampled"
+    )
     artifact = {
         "version": 2,
-        "at_scale": at_scale,
+        "at_scale": existing.get("at_scale"),
+        "at_scale_sampled": existing.get("at_scale_sampled"),
         "small_fixture": prior,
     }
+    artifact[section] = at_scale
+    artifact = {k: v for k, v in artifact.items() if v is not None}
     out_path.write_text(json.dumps(artifact, indent=1))
     print(json.dumps(at_scale))
 
