@@ -181,6 +181,15 @@ void parallel_ranges(int64_t n, int threads, Fn fn) {
 
 extern "C" {
 
+// ABI version of this library's C surface. Bump whenever an EXISTING
+// exported function's signature changes (new symbols alone don't need a
+// bump: the loader's AttributeError path catches those). The Python
+// binding (osr_tpu/native/__init__.py:_bind) refuses a mismatch —
+// without this, a stale-but-newer-mtime .so with a changed signature
+// (e.g. merge_topk gaining tau_slack in r4) would be called with the
+// wrong argument layout and corrupt memory instead of degrading.
+int64_t osr_abi_version(void) { return 2; }
+
 // ---------------------------------------------------------------------------
 // Host thread-count control
 // ---------------------------------------------------------------------------

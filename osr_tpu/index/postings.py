@@ -249,7 +249,8 @@ def merge_tau_slack(
 
     The device head dot rounds each scaled query weight to bf16
     (ops/bm25.py:head_scores), so per term the discrepancy vs the host f32
-    dot is <= 2^-9 * |q_j * s_j| * |w_ij|; f32 accumulation order adds
+    dot is <= 2^-8 * |q_j * s_j| * |w_ij| (bf16 half-ulp: 8-bit
+    significand); f32 accumulation order adds
     <= F * 2^-24 relative to sum(|terms|) on each side. Head terms can mix
     signs (builder.py places non-positive-IDF terms in the head), so under
     cancellation the band scales with sum(|terms|), NOT with |score| — a

@@ -86,7 +86,22 @@ def _load() -> ctypes.CDLL:
         raise ImportError(f"native library is stale: {e}")
 
 
+_ABI_VERSION = 2  # must match osr_abi_version() in native/osr_native.cc
+
+
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+
+    lib.osr_abi_version.restype = ctypes.c_int64
+    lib.osr_abi_version.argtypes = []
+    got = int(lib.osr_abi_version())
+    if got != _ABI_VERSION:
+        # A stale artifact whose mtime beats the source (copied .so,
+        # touched file) may still EXPORT every symbol while an existing
+        # signature changed — calling through the old layout would
+        # corrupt memory. Mismatch degrades to the NumPy paths.
+        raise AttributeError(
+            f"ABI version {got}, binding expects {_ABI_VERSION}"
+        )
 
     c_char_p = ctypes.c_char_p
     c_void_p = ctypes.c_void_p
@@ -323,7 +338,9 @@ class NativeVocab:
 
     def __del__(self):
         h = getattr(self, "_handle", None)
-        if h:
+        # _lib can already be None'd during interpreter shutdown; the
+        # process is exiting, so leaking the handle is fine.
+        if h and _lib is not None:
             _lib.vocab_free(h)
             self._handle = None
 

@@ -280,7 +280,7 @@ def fused_search_packed(
     k: int,
     topk_mode: str = "exact",
     head_backend: str = "xla",
-    narrow_m: int = 8,
+    narrow_m: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Transfer-minimal variant of :func:`fused_search`: one packed input
     array, and the head top-k packed into one (B, 2k) f32 output (rows

@@ -251,6 +251,13 @@ class ShardedSparseSearchEngine:
             layout.head_dtype == "int4"
             and layout.head.shape[1] % 128 == 0
         )
+        if pallas_ok_dtype:
+            # Same VMEM-width guard as the flat engine: very wide heads
+            # (F ≳ 5600) overflow even the smallest query tile — route
+            # them to XLA rather than raising inside shard_map tracing.
+            from osr_tpu.ops.pallas.head import head_tile_fits
+
+            pallas_ok_dtype = head_tile_fits(128, layout.head_terms)
         if head_backend == "auto":
             # Same policy as the single-device engine, per SHARD: the
             # Mosaic kernel applies on real TPUs with an int8/int4 head
@@ -268,7 +275,9 @@ class ShardedSparseSearchEngine:
         if head_backend == "pallas" and not pallas_ok_dtype:
             raise ValueError(
                 "head_backend='pallas' requires an int8 or (aligned) "
-                "int4 head"
+                "int4 head whose width fits the kernel's VMEM budget "
+                f"(head_terms={layout.head_terms}; see pallas/head.py:"
+                "head_tile_fits)"
             )
         if head_backend not in ("xla", "pallas"):
             raise ValueError(f"Unknown head_backend: {head_backend}")

@@ -218,7 +218,9 @@ class SparseSearchEngine:
         if head_backend == "pallas" and not pallas_ok_dtype:
             raise ValueError(
                 "head_backend='pallas' requires an int8 or (aligned) "
-                "int4 head"
+                "int4 head whose width fits the kernel's VMEM budget "
+                f"(head_terms={layout0.head_terms}; see pallas/head.py:"
+                "head_tile_fits)"
             )
         if head_backend not in ("xla", "pallas"):
             raise ValueError(f"Unknown head_backend: {head_backend}")
@@ -290,12 +292,15 @@ class SparseSearchEngine:
         # Per-head-term slack for the merge prefilter (see
         # postings.merge_tau_slack): an upper bound on the per-term
         # device/host head-dot discrepancy. The device rounds each scaled
-        # query weight to bf16 (2^-9 half-ulp) and both sides accumulate F
-        # f32 terms; head terms can mix signs, so the bound must scale
+        # query weight to bf16 (half-ulp = 2^-8: 8-bit significand — the
+        # rel below carries NO extra margin on this term; the surplus
+        # lives in the 4*ht*2^-24 accumulation bound, which overstates
+        # typical f32 accumulation error by >2x) and both sides accumulate
+        # F f32 terms; head terms can mix signs, so the bound must scale
         # with max|w| * scale per term, never with the score.
         ht = max(int(layout0.head_terms), 1)
         if self._host_head_dtype == "int8":
-            rel = 2.0**-8 + 4.0 * ht * 2.0**-24  # 2x margin on 2^-9
+            rel = 2.0**-8 + 4.0 * ht * 2.0**-24
             wmax = 15.0 if layout0.head_dtype == "int4" else 127.0
             self._slack_per_term = (
                 rel * wmax * np.asarray(layout0.head_scales, np.float32)
@@ -308,10 +313,16 @@ class SparseSearchEngine:
                 if self._host_head_dtype == "bf16"
                 else 2.0**-22 + 4.0 * ht * 2.0**-24
             )
-            habs = np.abs(np.asarray(self._host_head, dtype=np.float32))
-            self._slack_per_term = (
-                rel * habs.max(axis=0, initial=0.0)
-            ).astype(np.float32)
+            # Column-wise max|w| in row blocks: a full f32 copy of the
+            # head would transiently cost 2 * R*F*4 bytes (tens of GB at
+            # 1M+ docs) just to reduce to an (F,) vector.
+            hmax = np.zeros(self._host_head.shape[1], dtype=np.float32)
+            for lo in range(0, self._host_head.shape[0], 65536):
+                blk = np.abs(
+                    self._host_head[lo : lo + 65536].astype(np.float32)
+                )
+                np.maximum(hmax, blk.max(axis=0, initial=0.0), out=hmax)
+            self._slack_per_term = (rel * hmax).astype(np.float32)
         # Query cache: (query_text, top_k) -> (ids, scores), insert-only with
         # a cap, matching reference retrieval.py:287-289.
         self._query_cache: Optional[

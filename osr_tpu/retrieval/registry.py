@@ -285,9 +285,12 @@ class HybridRetriever:
         self, queries: Mapping[str, str], top_k: int = 10
     ) -> Dict[str, Dict[str, float]]:
         """Dict-level fusion — the r3 implementation, kept as the
-        semantics oracle for the array fast path."""
-        s_res = self.sparse.search(queries, top_k=self.fusion_depth)
-        d_res = self.dense.search(queries, top_k=self.fusion_depth)
+        semantics oracle for the array fast path. Whitespace-only queries
+        normalize to empty here exactly as in the fast path (the dense
+        engine would otherwise embed the raw whitespace string)."""
+        norm = {q: (t or "").strip() for q, t in queries.items()}
+        s_res = self.sparse.search(norm, top_k=self.fusion_depth)
+        d_res = self.dense.search(norm, top_k=self.fusion_depth)
         out: Dict[str, Dict[str, float]] = {}
         for qid in queries:
             fused: Dict[str, float] = {}

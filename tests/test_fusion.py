@@ -130,6 +130,7 @@ def test_hybrid_fast_path_matches_dict_path():
     r.build_index_from_corpus(corpus)
     queries = zipf_queries(32, vocab_size=500)
     queries["empty"] = ""
+    queries["blank"] = "  \t "  # whitespace-only: both paths return {}
     # top_k > both depths so no boundary-tie flakiness.
     fast = r.search(queries, top_k=80)
     slow = r._search_dicts(queries, top_k=80)
