@@ -575,26 +575,19 @@ class SparseSearchEngine:
                     continue
             pending.append((qid, text))
 
-        max_b = self.batch_sizes[-1]
-        in_flight = []  # (chunk, handle)
+        from osr_tpu.retrieval.pipeline_util import run_pipelined
+
         done = []
-
-        def collect(entry):
-            chunk, handle = entry
-            done.append((chunk, *self.finish_batch(handle, top_k)))
-
-        for i in range(0, len(pending), max_b):
-            chunk = pending[i : i + max_b]
-            enc = self.encode_queries([t for _, t in chunk])
-            in_flight.append(
-                (chunk, self.search_encoded_device(enc, top_k))
-            )
-            # Bounded pipeline: keep a few batches in flight so host and
-            # device overlap without unbounded queueing.
-            if len(in_flight) > 4:
-                collect(in_flight.pop(0))
-        while in_flight:
-            collect(in_flight.pop(0))
+        run_pipelined(
+            pending,
+            self.batch_sizes[-1],
+            lambda chunk: self.search_encoded_device(
+                self.encode_queries([t for _, t in chunk]), top_k
+            ),
+            lambda chunk, handle: done.append(
+                (chunk, *self.finish_batch(handle, top_k))
+            ),
+        )
 
         for chunk, scores, ids in done:
             # One bulk .tolist() per batch: native numpy->Python conversion

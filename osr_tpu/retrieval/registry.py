@@ -325,13 +325,23 @@ class HybridRetriever:
             else:
                 results[qid] = {}
 
-        doc_ids = self.sparse.engine.index.doc_ids
-        max_b = sp.batch_sizes[-1]
-        depth = self.fusion_depth
-        in_flight: List[tuple] = []
+        from osr_tpu.retrieval.pipeline_util import run_pipelined
 
-        def collect(entry):
-            chunk, s_handle, d_handle = entry
+        doc_ids = self.sparse.engine.index.doc_ids
+        depth = self.fusion_depth
+
+        def dispatch(chunk):
+            texts = [t for _, t in chunk]
+            # Dense first: its device step has no host stage, so it rides
+            # the device while the sparse host work (tokenize + tail
+            # postings) runs below.
+            vecs = np.stack([self.dense.embed_query(t) for t in texts])
+            d_handle = de.dispatch_vectors(vecs, depth)
+            enc = sp.encode_queries(texts)
+            return sp.search_encoded_device(enc, depth), d_handle
+
+        def collect(chunk, handles):
+            s_handle, d_handle = handles
             s_scores, s_ids = sp.finish_batch(s_handle, depth)
             d_scores, d_ids = de.collect_vectors(d_handle)
             n = len(chunk)  # sparse rows are padded to the batch bucket
@@ -350,22 +360,11 @@ class HybridRetriever:
                 )
             )
 
-        for i in range(0, len(pending), max_b):
-            chunk = pending[i : i + max_b]
-            texts = [t for _, t in chunk]
-            # Dense first: its device step has no host stage, so it rides
-            # the device while the sparse host work (tokenize + tail
-            # postings) runs below.
-            vecs = np.stack([self.dense.embed_query(t) for t in texts])
-            d_handle = de.dispatch_vectors(vecs, depth)
-            enc = sp.encode_queries(texts)
-            s_handle = sp.search_encoded_device(enc, depth)
-            in_flight.append((chunk, s_handle, d_handle))
-            # Bounded pipeline, mirroring the sparse engine's search().
-            if len(in_flight) > 2:
-                collect(in_flight.pop(0))
-        while in_flight:
-            collect(in_flight.pop(0))
+        # Depth 2 (vs the sparse engine's 4): each in-flight entry holds
+        # TWO device result buffers (sparse + dense).
+        run_pipelined(
+            pending, sp.batch_sizes[-1], dispatch, collect, depth=2
+        )
         return results
 
     def clear_cache(self) -> None:
