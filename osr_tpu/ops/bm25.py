@@ -309,6 +309,57 @@ def fused_search_packed(
     return packed, cand_head
 
 
+@functools.partial(
+    jax.jit, static_argnames=("head_terms", "k", "narrow_m", "interpret")
+)
+def fused_search_extract(
+    q_packed: jax.Array,  # (B, Qh, 2) int32: [ids, bitcast f32 weights]
+    head: jax.Array,  # (R, F) int8 or (R, F/2) uint8 int4-packed
+    head_scales: jax.Array,  # (F,) f32
+    valid: jax.Array,  # (R,) bool
+    *,
+    head_terms: int,
+    k: int,
+    narrow_m: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Extraction-kernel variant of :func:`fused_search_packed` for the
+    HOST-merge path (candidate head scores are computed host-side there,
+    so the device's only jobs are the head matmul and the top-k).
+
+    The Mosaic kernel (ops/pallas/head.py:masked_head_blocktopm) extracts
+    each 128-row block's top-``narrow_m`` (values, lanes) in the matmul
+    epilogue — the (B, R) f32 score matrix never exists in HBM, which
+    removes its write, the block-max re-read, AND the k*128-lane
+    candidate gather of the blockmax path. Selection finishes on-device
+    over the (B, G, m) candidates (ops/topk.py:blocktopm_topk).
+
+    Returns ONE packed (B, 2k'+1) f32 array: [top scores | rows as f32
+    values | tie-safety flag broadcast]. When flag != 0 the caller MUST
+    re-dispatch the standard full-width program (the candidate set could
+    miss a true positive-scored top-k member); with the flag clear the
+    engine's FINAL results are exactly the standard program's (entries
+    with non-positive scores may order differently in the packed head
+    top-k, but the result contract filters score <= 0 —
+    ops/topk.py:blocktopm_topk for the argument). Exact mode only."""
+    from osr_tpu.ops.pallas.head import masked_head_blocktopm
+    from osr_tpu.ops.topk import blocktopm_topk
+
+    ids = q_packed[..., 0]
+    weights = lax.bitcast_convert_type(q_packed[..., 1], jnp.float32)
+    qhead = scatter_query_head(ids, weights, head_terms=head_terms)
+    vals, rows = masked_head_blocktopm(
+        head, head_scales, qhead, valid, m=narrow_m, interpret=interpret
+    )
+    top, top_rows, unsafe = blocktopm_topk(vals, rows, k=k)
+    flag = jnp.broadcast_to(
+        unsafe.astype(jnp.float32)[None, None], (top.shape[0], 1)
+    )
+    return jnp.concatenate(
+        [top, top_rows.astype(jnp.float32), flag], axis=1
+    )
+
+
 def unpack_topk(packed: "np.ndarray") -> Tuple["np.ndarray", "np.ndarray"]:
     """Split the packed (B, 2k) f32 result into (scores, int32 rows)."""
     import numpy as np

@@ -282,6 +282,165 @@ def head_scores_blockmax_pallas(
     )(q_scaled, head, valid)
 
 
+def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m):
+    """Per-128-row-block top-m extraction, in VMEM, instead of writing the
+    (tile_b, TILE_R_BM) score tile to HBM at all.
+
+    m rounds of (row-max -> lowest-lane-of-max -> knock out that lane)
+    per block. Ties resolve to the LOWEST lane, and equal values extract
+    in lane order across rounds — exactly ``lax.top_k``'s tie order, which
+    is what makes the downstream selection bit-identical to the
+    full-width path (ops/topk.py:block_topk_narrow tie argument).
+
+    Outputs are TRANSPOSED (n_blocks*m, tile_b) for the same reason as
+    the blockmax kernel's maxima: each grid step then writes one aligned
+    (8k-sublane, full-lane) tile. Lane indices travel as f32 VALUES
+    (0..127: exact)."""
+    mask = valid_ref[:] > 0.5  # (1, TILE_R_BM)
+    masked = jnp.where(mask, acc, -jnp.inf)
+    n_blocks = TILE_R_BM // BLOCK_COLS
+    tb = masked.shape[0]
+    iota = lax.broadcasted_iota(jnp.float32, (tb, BLOCK_COLS), 1)
+    val_cols = []
+    lane_cols = []
+    for bi in range(n_blocks):
+        s = masked[:, bi * BLOCK_COLS : (bi + 1) * BLOCK_COLS]
+        for _ in range(m):
+            v = jnp.max(s, axis=1, keepdims=True)  # (tb, 1)
+            lane = jnp.min(
+                jnp.where(s == v, iota, float(BLOCK_COLS)),
+                axis=1,
+                keepdims=True,
+            )
+            val_cols.append(v)
+            lane_cols.append(lane)
+            s = jnp.where(iota == lane, -jnp.inf, s)
+    vals_ref[:] = jnp.concatenate(val_cols, axis=1).T
+    lanes_ref[:] = jnp.concatenate(lane_cols, axis=1).T
+
+
+def _make_blocktopm_kernel(m, int4):
+    def kernel(q_ref, head_ref, valid_ref, vals_ref, lanes_ref):
+        h = (
+            _decode_int4(head_ref[:].astype(jnp.int32))
+            if int4
+            else head_ref[:].astype(jnp.bfloat16)
+        )
+        acc = lax.dot_general(
+            q_ref[:],
+            h,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("m", "interpret"))
+def head_blocktopm_pallas(
+    q_scaled: jax.Array,  # (B, F) bfloat16
+    head: jax.Array,  # (R, F) int8 OR (R, F/2) uint8 int4-packed
+    valid: jax.Array,  # (1, R) float32
+    *,
+    m: int = 8,
+    interpret: bool = False,
+):
+    """((G*m, B) f32 per-block top-m values, (G*m, B) f32 lanes), G=R/128.
+
+    The matmul + masking + per-block top-m extraction in ONE kernel whose
+    only HBM output is 2 * G*m*B floats — at m=8 that is 1/8 the bytes of
+    the (B, R) score matrix, and the selection path never gathers score
+    blocks from HBM again (vs blockmax: matmul writes (B,R) + maxima,
+    then the pruned selection re-reads k*128 candidate lanes per query).
+    VMEM per grid step is LOWER than the blockmax kernel's (no
+    double-buffered (tile_b, TILE_R_BM) output tile; one in-register work
+    copy instead)."""
+    r, f_head = head.shape
+    b, f_logical = q_scaled.shape
+    int4 = head.dtype == jnp.uint8
+    g = r // BLOCK_COLS
+    n_blocks = TILE_R_BM // BLOCK_COLS
+    tile_b = _pick_tile_b(b, f_logical)
+    grid = (b // tile_b, r // TILE_R_BM)
+    kernel = _make_blocktopm_kernel(m, int4)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((g * m, b), jnp.float32),
+            jax.ShapeDtypeStruct((g * m, b), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (tile_b, f_logical),
+                    lambda i, j: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (TILE_R_BM, f_head),
+                    lambda i, j: (j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, TILE_R_BM),
+                    lambda i, j: (0, j),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (n_blocks * m, tile_b),
+                    lambda i, j: (j, i),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (n_blocks * m, tile_b),
+                    lambda i, j: (j, i),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * f_logical * b + (m + 4) * r * b,
+            bytes_accessed=(b // tile_b) * r * f_head
+            + f_logical * b * 2
+            + 2 * g * m * b * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_scaled, head, valid)
+
+
+def masked_head_blocktopm(
+    head: jax.Array,  # (R, F) int8 or (R, F/2) uint8 (int4-packed)
+    head_scales: jax.Array,  # (F,) f32
+    qhead: jax.Array,  # (B, F) f32 query counts
+    valid: jax.Array,  # (R,) bool
+    m: int = 8,
+    interpret: bool = False,
+):
+    """Engine-facing fused matmul + per-block top-m: returns
+    ((B, G, m) f32 values desc per block, (B, G, m) int32 GLOBAL row ids),
+    G = R/128 blocks counted over the PADDED row range (padding rows are
+    -inf and never selected while any real candidate remains)."""
+    head, q, v, r, f, b = _pad_operands(
+        head, head_scales, qhead, valid, TILE_R_BM
+    )
+    vals_t, lanes_t = head_blocktopm_pallas(
+        q, head, v, m=m, interpret=interpret
+    )
+    g = head.shape[0] // BLOCK_COLS
+    vals = vals_t.T.reshape(-1, g, m)[:b]
+    lanes = lanes_t.T.reshape(-1, g, m)[:b]
+    block_base = (
+        jnp.arange(g, dtype=jnp.int32)[None, :, None] * BLOCK_COLS
+    )
+    rows = block_base + lanes.astype(jnp.int32)
+    return vals, rows
+
+
 def _pad_operands(head, head_scales, qhead, valid, tile_r):
     """Scale/round the query operand and tile-align all shapes.
 

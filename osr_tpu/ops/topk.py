@@ -215,6 +215,52 @@ def block_topk_narrow(
     return lax.cond(unsafe, full, narrow, None)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def blocktopm_topk(
+    vals: jax.Array,  # (B, G, m) per-block top-m values, desc per block
+    rows: jax.Array,  # (B, G, m) int32 global row ids
+    *,
+    k: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact top-k from per-block top-m candidates (the Pallas
+    extraction kernel's output — ops/pallas/head.py:masked_head_blocktopm).
+
+    Returns (top values (B, k'), top rows (B, k'), unsafe (,) bool).
+    Selection: top-k blocks by their per-block max (``vals[..., 0]``),
+    then top-k over those blocks' k*m candidates — identical block set
+    and candidate tie order as :func:`block_topk_narrow`.
+
+    ``unsafe`` fires when some selected block's m-th value both reaches
+    the candidate k-th value tau AND is positive. A narrowing-missed
+    document (rank > m in its block) scores <= that m-th value, so with
+    the flag clear every missed document either ranks strictly below
+    tau or has a non-positive score — and the engines' result contract
+    filters scores <= 0 (reference retrieval.py:260 semantics), so the
+    FINAL result dict is exactly the full-width path's. (Among
+    non-positive tied entries the packed head top-k itself may order
+    differently; those entries never reach a result.) The caller must
+    re-run the full-width program when the flag fires — it cannot be
+    resolved here: the full score matrix was never materialized."""
+    b, g, m = vals.shape
+    kk = min(k, g * m)
+    nb = min(k, g)
+    bmax = vals[:, :, 0]
+    _, top_blocks = lax.top_k(bmax, nb)  # (B, nb)
+    cand_v = jnp.take_along_axis(
+        vals, top_blocks[:, :, None], axis=1
+    ).reshape(b, nb * m)
+    cand_r = jnp.take_along_axis(
+        rows, top_blocks[:, :, None], axis=1
+    ).reshape(b, nb * m)
+    kk = min(kk, nb * m)
+    top, pos = lax.top_k(cand_v, kk)
+    top_rows = jnp.take_along_axis(cand_r, pos, axis=1)
+    tau = top[:, -1]
+    mth = jnp.take_along_axis(vals[:, :, -1], top_blocks, axis=1)
+    unsafe = jnp.any((mth >= tau[:, None]) & (mth > 0.0))
+    return top, top_rows, unsafe
+
+
 def merge_topk(
     scores_parts: Sequence[jax.Array],  # each (B, k_i)
     ids_parts: Sequence[jax.Array],  # each (B, k_i) global ids

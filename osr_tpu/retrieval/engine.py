@@ -153,6 +153,7 @@ class SparseSearchEngine:
         head_backend: str = "auto",  # 'xla' | 'pallas' | 'auto'
         score_chunk_rows=None,  # None = auto by SCORE_BUDGET_BYTES; 0 = off
         narrow_m: int = 0,  # per-block top-m narrowing; 0 = full-width
+        narrow_backend: str = "xla",  # 'extract' = Mosaic top-m kernel
     ):
         from osr_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -173,6 +174,15 @@ class SparseSearchEngine:
         # stays full-width until the TPU measurement
         # (tools/profile_narrow.py) lands; flip if it wins there.
         self.narrow_m = int(narrow_m)
+        # 'extract': the Mosaic per-block top-m extraction kernel
+        # (ops/pallas/head.py:masked_head_blocktopm) — the (B, R) score
+        # matrix never reaches HBM; applies on the host-merge,
+        # non-chunked, exact, Pallas path with narrow_m > 0, else the
+        # engine silently uses the standard program. Unsafe batches
+        # (tie-safety flag) re-dispatch the standard program host-side.
+        if narrow_backend not in ("xla", "extract"):
+            raise ValueError(f"Unknown narrow_backend: {narrow_backend}")
+        self.narrow_backend = narrow_backend
         layout0 = index.layout
         if layout0.num_rows >= (1 << 24):
             # The packed top-k result carries row ids as f32 VALUES
@@ -351,6 +361,22 @@ class SparseSearchEngine:
             pad_to_menu=self.merge_backend == "device",
         )
 
+    def _use_extract(self, top_k: int) -> bool:
+        """The extraction-kernel path applies exactly where the standard
+        program would take the block-pruned exact selection, on the
+        host-merge Pallas path (no device candidate gather to serve)."""
+        r = self._dev.head.shape[0] if self._dev.head is not None else 0
+        kk = min(top_k, r) if r else 0
+        return (
+            self.narrow_backend == "extract"
+            and self.narrow_m > 0
+            and self.merge_backend == "host"
+            and self.topk_mode == "exact"
+            and self.head_backend == "pallas"
+            and r >= 4096
+            and r // 128 > 2 * kk
+        )
+
     def search_encoded_device(self, enc: EncodedBatch, top_k: int):
         """Async: dispatch the device step AND run every host stage that
         does not depend on device results (tail candidates + candidate head
@@ -409,6 +435,22 @@ class SparseSearchEngine:
                 jnp.stack(packeds), d.chunk_bases
             )
             out = (packed, None)
+        elif self._use_extract(top_k):
+            from osr_tpu.ops.bm25 import fused_search_extract
+
+            packed_x = fused_search_extract(
+                packed_q,
+                d.head,
+                d.head_scales,
+                d.valid,
+                head_terms=self.index.layout.head_terms,
+                k=top_k,
+                narrow_m=self.narrow_m,
+                interpret=getattr(self.device, "platform", "") != "tpu",
+            )
+            # Keep packed_q in the handle: the rare unsafe batch
+            # re-dispatches the standard full-width program from it.
+            out = (("extract", packed_x, packed_q), None)
         else:
             out = fused_search_packed(
                 packed_q,
@@ -455,7 +497,42 @@ class SparseSearchEngine:
         cand, (packed, cand_head_dev), cand_head, tau_slack = in_flight
         if cand_head is None:
             cand_head = np.asarray(cand_head_dev)
-        head_s, head_r = unpack_topk(np.asarray(packed))
+        if isinstance(packed, tuple) and packed[0] == "extract":
+            _, packed_x, packed_q = packed
+            arr = np.asarray(packed_x)  # (B, 2k'+1): [scores|rows|flag]
+            if arr[0, -1] != 0.0:
+                # Tie-safety flag: some block's m-th value reached the
+                # candidate tau, so the narrowed candidate set COULD miss
+                # a true top-k member. Re-dispatch the standard
+                # full-width program for this batch (rare; costs one
+                # extra round trip, never correctness).
+                d = self._dev
+                repacked, _ = fused_search_packed(
+                    packed_q,
+                    d.empty_i32,
+                    d.empty_i32,
+                    d.head,
+                    d.head_scales,
+                    d.valid,
+                    head_terms=self.index.layout.head_terms,
+                    k=top_k,
+                    topk_mode=self.topk_mode,
+                    # Off-TPU (interpret-mode tests) the non-interpret
+                    # Mosaic path can't run; the XLA chain is
+                    # numerically identical (tests/test_pallas_kernels).
+                    head_backend=(
+                        self.head_backend
+                        if getattr(self.device, "platform", "") == "tpu"
+                        else "xla"
+                    ),
+                )
+                head_s, head_r = unpack_topk(np.asarray(repacked))
+            else:
+                kk = (arr.shape[1] - 1) // 2
+                head_s = arr[:, :kk]
+                head_r = arr[:, kk:-1].astype(np.int32)
+        else:
+            head_s, head_r = unpack_topk(np.asarray(packed))
         return merge_host(
             head_s,
             head_r,

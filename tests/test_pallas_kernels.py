@@ -175,3 +175,147 @@ def test_pallas_head_scores_match_xla():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-6
     )
+
+
+def test_pallas_blocktopm_matches_oracle():
+    """Extraction kernel: per-block top-m (values, global rows) == a NumPy
+    top-m over the XLA score matrix, including tie order (lowest lane
+    first) and -inf padding blocks."""
+    import jax
+
+    from osr_tpu.ops.bm25 import head_scores
+    from osr_tpu.ops.pallas.head import masked_head_blocktopm
+
+    rng = np.random.RandomState(5)
+    r, f, b, m = 700, 160, 9, 4  # unaligned rows: padding blocks all -inf
+    head = rng.randint(-127, 128, (r, f)).astype(np.int8)
+    scales = (rng.rand(f).astype(np.float32) + 0.1) / 127.0
+    qhead = rng.randint(0, 4, (b, f)).astype(np.float32)
+    valid = rng.rand(r) > 0.1
+
+    interp = jax.devices()[0].platform != "tpu"
+    vals, rows = masked_head_blocktopm(
+        jnp.asarray(head),
+        jnp.asarray(scales),
+        jnp.asarray(qhead),
+        jnp.asarray(valid),
+        m=m,
+        interpret=interp,
+    )
+    want = head_scores(
+        jnp.asarray(head), jnp.asarray(scales), jnp.asarray(qhead)
+    )
+    want = np.asarray(
+        jnp.where(jnp.asarray(valid)[None, :], want, -jnp.inf)
+    )
+    g = vals.shape[1]
+    padded = np.pad(
+        want, ((0, 0), (0, g * 128 - r)), constant_values=-np.inf
+    ).reshape(b, g, 128)
+    # NumPy oracle with lax.top_k tie semantics: sort by (-value, lane).
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(128), padded.shape), -padded), axis=2
+    )[:, :, :m]
+    want_vals = np.take_along_axis(padded, order, axis=2)
+    np.testing.assert_array_equal(np.asarray(vals), want_vals)
+    want_rows = order + (np.arange(g) * 128)[None, :, None]
+    got_rows = np.asarray(rows)
+    # Row identity matters only where the value is finite (all -inf
+    # blocks: any lane is equally correct).
+    finite = np.isfinite(want_vals)
+    np.testing.assert_array_equal(got_rows[finite], want_rows[finite])
+
+
+def test_fused_search_extract_bit_identical_when_safe():
+    """fused_search_extract == fused_search_packed (packed layout, bit
+    for bit) on spread-out scores, with the tie-safety flag clear; on
+    adversarially clustered scores the flag must fire."""
+    import jax
+
+    from osr_tpu.ops import bm25 as ops
+
+    rng = np.random.RandomState(11)
+    r, f, b, k = 6144, 256, 8, 20
+    head = rng.randint(-127, 128, (r, f)).astype(np.int8)
+    scales = (rng.rand(f).astype(np.float32) + 0.1) / 127.0
+    valid = np.ones(r, dtype=bool)
+    q = 8
+    ids = np.stack(
+        [rng.choice(f, size=q, replace=False) for _ in range(b)]
+    ).astype(np.int32)
+    w = rng.random((b, q)).astype(np.float32)
+    packed_q = jnp.asarray(ops.pack_query_batch(ids, w))
+    empty = jnp.zeros(0, jnp.int32)
+    interp = jax.devices()[0].platform != "tpu"
+
+    got = np.asarray(
+        ops.fused_search_extract(
+            packed_q,
+            jnp.asarray(head),
+            jnp.asarray(scales),
+            jnp.asarray(valid),
+            head_terms=f,
+            k=k,
+            narrow_m=8,
+            interpret=interp,
+        )
+    )
+    flag, got_pk = got[:, -1], got[:, :-1]
+    want_pk, _ = ops.fused_search_packed(
+        packed_q,
+        empty,
+        empty,
+        jnp.asarray(head),
+        jnp.asarray(scales),
+        jnp.asarray(valid),
+        head_terms=f,
+        k=k,
+        head_backend="pallas" if not interp else "xla",
+    )
+    assert (flag == 0.0).all()
+    np.testing.assert_array_equal(got_pk, np.asarray(want_pk))
+
+    # Clustered case: one head row block repeated so > m of the top-k
+    # share a 128-row block -> the flag must fire.
+    head2 = head.copy()
+    head2[256 : 256 + 30] = 127  # 30 near-identical very strong rows
+    got2 = np.asarray(
+        ops.fused_search_extract(
+            packed_q,
+            jnp.asarray(head2),
+            jnp.asarray(scales),
+            jnp.asarray(valid),
+            head_terms=f,
+            k=k,
+            narrow_m=8,
+            interpret=interp,
+        )
+    )
+    assert (got2[:, -1] == 1.0).all()
+
+
+def test_engine_extract_backend_matches_standard():
+    """SparseSearchEngine(narrow_backend='extract') end-to-end == the
+    standard engine, dict-for-dict (CPU: interpret-mode kernel)."""
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.retrieval.engine import SparseSearchEngine
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(6000, 20_000, avg_len=60, word_prefix="t")
+    queries = gen.queries(24, 20_000, avg_terms=8, word_prefix="t")
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+
+    ex = SparseSearchEngine(
+        index,
+        batch_sizes=(24,),
+        cache_queries=False,
+        head_backend="pallas",
+        narrow_m=8,
+        narrow_backend="extract",
+    )
+    assert ex._use_extract(10)
+    std = SparseSearchEngine(index, batch_sizes=(24,), cache_queries=False)
+    r_ex = ex.search(queries, top_k=10)
+    r_std = std.search(queries, top_k=10)
+    assert r_ex == r_std
