@@ -100,7 +100,12 @@ def main():
         valid_np = np.pad(valid_np, (0, pad_r))
     rngq = np.random.default_rng(1)
     Q = 16
-    ids = rngq.integers(0, F, size=(B, Q)).astype(np.int32)
+    # Unique ids per row: scatter_query_head's unique-indices contract —
+    # duplicates make the scatter program-dependent and would break the
+    # cross-program bit-identity comparison below.
+    ids = np.stack(
+        [rngq.choice(F, size=Q, replace=False) for _ in range(B)]
+    ).astype(np.int32)
     w = rngq.random((B, Q)).astype(np.float32)
     head = jax.device_put(head_np, dev)
     scales = jax.device_put(lay.head_scales, dev)
@@ -129,6 +134,50 @@ def main():
         print(
             f"fused exact step narrow_m={m:2d}: {t*1e3:7.2f} ms"
             f"  bit-identical={ident}",
+            flush=True,
+        )
+
+    # ---- 3. extraction-kernel step (score matrix never in HBM) ------------
+    interp = dev.platform != "tpu"
+    for m in (4, 8, 16):
+        def stepx(m=m):
+            return ops.fused_search_extract(
+                packed, head, scales, valid,
+                head_terms=F, k=K, narrow_m=m, interpret=interp,
+            )
+
+        t = timeit(stepx)
+        out = np.asarray(stepx())
+        flag = float(out[0, -1])
+        # Result-identical up to non-positive entries and tie ORDER
+        # (extract mirrors the block-pruned path's block-rank tie order;
+        # when R/128 <= 2k the baseline program is plain lax.top_k with
+        # row-order ties). Compare positive (score, row) sets per query
+        # after canonical (-score, row) sorting.
+        kk = (out.shape[1] - 1) // 2
+
+        def canon(s, r):
+            order = np.lexsort((r, -s), axis=1)
+            return (
+                np.take_along_axis(s, order, axis=1),
+                np.take_along_axis(r, order, axis=1),
+            )
+
+        bs, br = canon(base[:, :kk], base[:, kk:])
+        xs, xr = canon(out[:, :kk], out[:, kk : 2 * kk])
+        pos = bs > 0
+        # Docs tied exactly AT the k-th value are interchangeable in any
+        # exact top-k (membership among equal scores is arbitrary):
+        # require identical positive scores, and identical rows strictly
+        # above the boundary value.
+        above = pos & (bs > bs[:, kk - 1 : kk])
+        ident = bool(
+            np.array_equal(xs[pos], bs[pos])
+            and np.array_equal(xr[above], br[above])
+        )
+        print(
+            f"fused EXTRACT step m={m:2d}: {t*1e3:7.2f} ms"
+            f"  flag={flag:.0f}  positive-set-identical={ident}",
             flush=True,
         )
 
