@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Run the round-4 real-chip evidence queue, cheapest first.
+
+The TPU tunnel is intermittent; when it comes back this banks every
+pending measurement in value-per-minute order so a mid-queue outage
+still leaves committed evidence. Each step runs as a subprocess with
+its own timeout and its stdout/stderr teed to
+bench_results/tpu_evidence_<step>.log; a failing or timing-out step is
+recorded and the queue continues.
+
+Queue (VERDICT r3 items in parentheses):
+  1. probe          — jax.devices() sanity (fast-fail if tunnel is down)
+  2. narrow         — tools/profile_narrow.py (item 8: narrowed selection)
+  3. hybrid         — tools/bench_hybrid.py (item 2: fast-path QPS)
+  4. sharded        — tools/bench_sharded_tpu.py (item 6)
+  5. encoder        — tools/bench_dense_encoder.py (item 4: TPU forward)
+  6. warm1m         — bench_scaling 1M int8 warm rerun with the
+                      upload/compile warmup decomposition (item 5)
+  7. scale5m        — bench_scaling 5M int4 F=4096 (item 7)
+  8. scale10m       — bench_scaling 10M int4 F=1024 chunked (item 3)
+
+Usage: python tools/run_tpu_evidence.py [--only step1,step2] [--skip ...]
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).parents[1]
+LOGDIR = ROOT / "bench_results"
+PY = sys.executable
+
+QUEUE = [
+    # (name, timeout_s, argv)
+    ("probe", 300, [PY, "-c",
+                    "import jax; d = jax.devices()[0]; "
+                    "assert d.platform == 'tpu', d; print(d)"]),
+    ("narrow", 2400, [PY, "tools/profile_narrow.py"]),
+    ("hybrid", 2400, [PY, "tools/bench_hybrid.py"]),
+    ("sharded", 3000, [PY, "tools/bench_sharded_tpu.py"]),
+    ("encoder", 3000, [PY, "tools/bench_dense_encoder.py"]),
+    ("warm1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
+                      "--head-dtype", "int8", "--note", "warm-decomposed"]),
+    # 5M x F=4096 int4 head = ~10.3 GiB HBM; cap score chunks at 500k
+    # rows (~4 GiB at B=2048) to stay under the 16 GB line.
+    ("scale5m", 7200, [PY, "tools/bench_scaling.py", "--docs", "5000000",
+                       "--head-dtype", "int4", "--head-cap", "4096",
+                       "--head-budget-gib", "11",
+                       "--score-chunk-rows", "500000",
+                       "--note", "head-width-cure-at-5M"]),
+    ("scale10m", 10800, [PY, "tools/bench_scaling.py", "--docs", "10000000",
+                         "--head-dtype", "int4", "--head-cap", "1024",
+                         "--score-chunk-rows", "500000",
+                         "--note", "10M-one-chip"]),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="")
+    ap.add_argument("--skip", default="")
+    args = ap.parse_args()
+    only = set(filter(None, args.only.split(",")))
+    skip = set(filter(None, args.skip.split(",")))
+
+    results = {}
+    for name, tmo, argv in QUEUE:
+        if (only and name not in only) or name in skip:
+            continue
+        log = LOGDIR / f"tpu_evidence_{name}.log"
+        print(f"== {name} (timeout {tmo}s) -> {log}", flush=True)
+        t0 = time.time()
+        with open(log, "w") as fh:
+            try:
+                rc = subprocess.run(
+                    argv, cwd=ROOT, stdout=fh, stderr=subprocess.STDOUT,
+                    timeout=tmo,
+                ).returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
+        dt = round(time.time() - t0, 1)
+        results[name] = {"rc": rc, "s": dt}
+        print(f"   {name}: rc={rc} in {dt}s", flush=True)
+        if name == "probe" and rc != 0:
+            print("tunnel down; aborting queue", flush=True)
+            break
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
