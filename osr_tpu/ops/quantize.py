@@ -51,6 +51,73 @@ def dequantize_symmetric(values: jax.Array, scales: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def quantize_symmetric_int4(
+    x: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int4 quantization, block-packed two codes/byte.
+
+    Returns (packed uint8 (N, D/2), scales float32 (N,)) with
+    ``x ≈ unpack_int4_signed(packed) * scales[:, None]``. Codes are SIGNED
+    nibbles in [-7, 7] stored two's-complement (embeddings mix signs
+    per-element, so the sparse head's unsigned-code/sign-in-scale trick
+    — index/layout.py:unpack_int4 — does not apply here). Block packing
+    (low nibble of byte c = logical column c, high nibble = column
+    c + D/2, matching the head's convention) lets the device kernel
+    decode with one lane-contiguous concat instead of a lane shuffle.
+    D must be even (embedding dims are).
+    """
+    d = x.shape[-1]
+    if d % 2:
+        raise ValueError(f"int4 packing needs an even dim (got {d})")
+    absmax = jnp.maximum(jnp.max(jnp.abs(x), axis=-1), _EPS)
+    scales = (absmax / 7.0).astype(jnp.float32)
+    codes = jnp.clip(
+        jnp.round(x / scales[..., None]), -7, 7
+    ).astype(jnp.int32)
+    half = d // 2
+    lo = codes[..., :half] & 0xF
+    hi = codes[..., half:] & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8), scales
+
+
+@jax.jit
+def unpack_int4_signed(packed: jax.Array) -> jax.Array:
+    """Decode block-packed SIGNED int4 (quantize_symmetric_int4 layout)
+    to int8 codes (N, 2 * packed.shape[-1]). The ``(v ^ 8) - 8`` form
+    sign-extends a two's-complement nibble without an arithmetic shift."""
+    p = packed.astype(jnp.int32)
+    lo = ((p & 0xF) ^ 8) - 8
+    hi = ((p >> 4) ^ 8) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "packed"))
+def int4_search_symmetric(
+    queries_fp32: jax.Array,  # (B, D)
+    docs_packed: jax.Array,  # (N, D/2) uint8, signed-nibble block-packed
+    doc_scales: jax.Array,  # (N,)
+    *,
+    k: int,
+    packed: bool = False,
+):
+    """int4 symmetric quantized search (XLA backend).
+
+    Queries stay int8 (they are few and transient); only the resident
+    corpus side is nibble-packed, which is where the HBM halving pays.
+    The decode materializes a transient (N, D) int8 tile stream that XLA
+    fuses into the matmul's operand pipeline; the RESIDENT index stays
+    D/2 bytes per row. For VMEM-decode with no HBM transient at all, use
+    the Pallas backend (ops/pallas/matmul.py:int4_similarity_pallas).
+    """
+    q_int8, q_scales = quantize_symmetric(queries_fp32)
+    sims = int8_dot_product_batch(
+        q_int8, unpack_int4_signed(docs_packed), q_scales, doc_scales
+    )
+    vals, ids = _select_topk(sims, k)
+    return _pack_result(vals, ids) if packed else (vals, ids)
+
+
+@jax.jit
 def quantize_asymmetric(
     x: jax.Array,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

@@ -753,18 +753,29 @@ def _pallas_dense_step(
     k: int,
 ) -> jax.Array:
     """One-dispatch dense search step for the Pallas backend: symmetric
-    query quantization, fused Mosaic int8 similarity, exact block-pruned
-    top-k over the real rows, packed (B, 2k) result (scores ‖ indices as
-    f32 values — exact for n_real < 2^24)."""
+    query quantization, fused Mosaic int8 (or VMEM-decoded int4)
+    similarity, exact block-pruned top-k over the real rows, packed
+    (B, 2k) result (scores ‖ indices as f32 values — exact for
+    n_real < 2^24). ``docs_int8`` may be the (Npad, D/2) uint8
+    nibble-packed corpus (quantize.py:quantize_symmetric_int4), selected
+    by its dtype."""
     from osr_tpu.ops import quantize as qz
-    from osr_tpu.ops.pallas.matmul import int8_similarity_pallas
+    from osr_tpu.ops.pallas.matmul import (
+        int4_similarity_pallas,
+        int8_similarity_pallas,
+    )
 
     b = q.shape[0]
     pad_b = (-b) % 128
     if pad_b:
         q = jnp.pad(q, ((0, pad_b), (0, 0)))
     q8, qs = qz.quantize_symmetric(q)
-    sims = int8_similarity_pallas(q8, docs_int8, qs, scales)
+    sim_fn = (
+        int4_similarity_pallas
+        if docs_int8.dtype == jnp.uint8
+        else int8_similarity_pallas
+    )
+    sims = sim_fn(q8, docs_int8, qs, scales)
     sims = sims[:b, :n_real]
     vals, ids = qz._select_topk(sims, k)
     return qz._pack_result(vals, ids)
@@ -784,10 +795,11 @@ class DenseSearchEngine:
         self,
         doc_ids: Sequence[str],
         embeddings: np.ndarray,  # (N, dim) float32
-        quantization: str = "symmetric",  # 'symmetric' | 'asymmetric' | 'none'
+        quantization: str = "symmetric",  # 'symmetric' | 'asymmetric'
+        #                                    | 'int4' | 'none'
         device=None,
-        backend: str = "xla",  # 'pallas' routes symmetric int8 similarity
-        #                         through the fused Mosaic kernel
+        backend: str = "xla",  # 'pallas' routes symmetric int8/int4
+        #                         similarity through the fused Mosaic kernel
     ):
         from osr_tpu.ops import quantize as qz
         from osr_tpu.utils.compile_cache import enable_persistent_cache
@@ -796,8 +808,20 @@ class DenseSearchEngine:
         self.doc_ids = list(doc_ids)
         self.quantization = quantization
         self.backend = backend
-        if backend == "pallas" and quantization != "symmetric":
-            raise ValueError("backend='pallas' requires symmetric quantization")
+        if backend == "pallas" and quantization not in ("symmetric", "int4"):
+            raise ValueError(
+                "backend='pallas' requires symmetric or int4 quantization"
+            )
+        if (
+            backend == "pallas"
+            and quantization == "int4"
+            and (embeddings.shape[1] // 2) % 128
+        ):
+            raise ValueError(
+                "pallas int4 needs a lane-aligned packed width: dim/2 must "
+                f"be a multiple of 128 (dim={embeddings.shape[1]}); use "
+                "backend='xla'"
+            )
         self.device = device if device is not None else jax.devices()[0]
         self.dim = embeddings.shape[1]
         if backend == "pallas":
@@ -817,6 +841,14 @@ class DenseSearchEngine:
         )
         if quantization == "symmetric":
             self._docs, self._scales = qz.quantize_symmetric(emb_dev)
+            if backend == "pallas" and len(self.doc_ids) < emb_dev.shape[0]:
+                self._scales = self._scales.at[len(self.doc_ids) :].set(0.0)
+            self._mins = None
+        elif quantization == "int4":
+            # Nibble-packed corpus: half the resident HBM of int8 at ~int4
+            # ranking quality (the same trade the sparse head's int4 mode
+            # makes — see tests/test_int4.py / bench_results README).
+            self._docs, self._scales = qz.quantize_symmetric_int4(emb_dev)
             if backend == "pallas" and len(self.doc_ids) < emb_dev.shape[0]:
                 self._scales = self._scales.at[len(self.doc_ids) :].set(0.0)
             self._mins = None
@@ -840,7 +872,10 @@ class DenseSearchEngine:
         from osr_tpu.ops import quantize as qz
 
         q = jnp.asarray(query_vectors, dtype=jnp.float32)
-        if self.quantization == "symmetric" and self.backend == "pallas":
+        if (
+            self.quantization in ("symmetric", "int4")
+            and self.backend == "pallas"
+        ):
             if len(self.doc_ids) >= (1 << 24):
                 # The Mosaic step packs doc indices as f32 VALUES — exact
                 # only below 2^24 rows. Fail loudly instead of silently
@@ -863,6 +898,10 @@ class DenseSearchEngine:
         packed = len(self.doc_ids) < (1 << 24)
         if self.quantization == "symmetric":
             out = qz.int8_search_symmetric(
+                q, self._docs, self._scales, k=top_k, packed=packed
+            )
+        elif self.quantization == "int4":
+            out = qz.int4_search_symmetric(
                 q, self._docs, self._scales, k=top_k, packed=packed
             )
         elif self.quantization == "asymmetric":

@@ -319,3 +319,72 @@ def test_engine_extract_backend_matches_standard():
     r_ex = ex.search(queries, top_k=10)
     r_std = std.search(queries, top_k=10)
     assert r_ex == r_std
+
+
+def test_int4_similarity_pallas_matches_xla_decode():
+    """The VMEM nibble-decode kernel must reproduce the XLA
+    unpack-then-int8-dot chain bit-for-bit (same integer arithmetic,
+    same f32 scale epilogue)."""
+    from osr_tpu.ops import quantize as qz
+    from osr_tpu.ops.pallas import matmul as pmm
+
+    rng = np.random.default_rng(7)
+    docs = rng.standard_normal((256, 256)).astype(np.float32)
+    queries = rng.standard_normal((64, 256)).astype(np.float32)
+    packed, ds = qz.quantize_symmetric_int4(jnp.asarray(docs))
+    q8, qs = qz.quantize_symmetric(
+        jnp.pad(jnp.asarray(queries), ((0, 64), (0, 0)))
+    )
+    got = pmm.int4_similarity_pallas(q8, packed, qs, ds, interpret=True)
+    want = qz.int8_dot_product_batch(
+        q8, qz.unpack_int4_signed(packed), qs, ds
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    with pytest.raises(ValueError):  # unaligned packed width
+        pmm.int4_similarity_pallas(
+            q8[:, :128], packed[:, :64], qs, ds, interpret=True
+        )
+
+
+def test_dense_engine_int4_pallas_matches_xla():
+    """DenseSearchEngine(quantization='int4', backend='pallas') returns
+    the int4 XLA backend's results exactly (interpret on CPU), and the
+    resident corpus really is nibble-packed."""
+    import unittest.mock as mock
+
+    from osr_tpu.index.dense import synthetic_corpus_embeddings
+    from osr_tpu.ops.pallas import matmul as pmm
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+
+    emb = synthetic_corpus_embeddings(230, dim=256, seed=11)
+    doc_ids = [f"d{i}" for i in range(200)]  # exercises row padding
+    queries = emb[200:230]
+
+    real = pmm.int4_similarity_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return real(*args, **kw)
+
+    with mock.patch.object(
+        pmm, "int4_similarity_pallas", side_effect=interp
+    ):
+        pal = DenseSearchEngine(
+            doc_ids, emb[:200], quantization="int4", backend="pallas"
+        )
+        assert pal._docs.dtype == jnp.uint8
+        assert pal._docs.shape[1] == 128  # dim/2: half the int8 bytes
+        s_p, i_p = pal.search_vectors(queries, top_k=7)
+    xla = DenseSearchEngine(doc_ids, emb[:200], quantization="int4")
+    s_x, i_x = xla.search_vectors(queries, top_k=7)
+    np.testing.assert_allclose(s_p, s_x, rtol=1e-6)
+    np.testing.assert_array_equal(i_p, i_x)
+
+    with pytest.raises(ValueError):  # dim/2 not lane-aligned
+        DenseSearchEngine(
+            doc_ids,
+            np.asarray(emb[:200, :130]),
+            quantization="int4",
+            backend="pallas",
+        )

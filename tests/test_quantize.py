@@ -139,3 +139,68 @@ def test_dense_engine_large_corpus_end_to_end():
     assert (np.diff(scores, axis=1) <= 1e-6).all()  # descending
     # Each query's nearest neighbour is its own source document.
     np.testing.assert_array_equal(ids[:, 0], np.arange(6))
+
+
+# ---------------------------------------------------------------------------
+# int4 dense quantization (beyond the reference: nibble-packed corpus side,
+# same trade as the sparse head's int4 mode — half the resident HBM)
+# ---------------------------------------------------------------------------
+
+
+def test_int4_roundtrip(embeddings):
+    packed, scales = qz.quantize_symmetric_int4(jnp.asarray(embeddings))
+    assert np.asarray(packed).dtype == np.uint8
+    assert packed.shape == (embeddings.shape[0], embeddings.shape[1] // 2)
+    codes = np.asarray(qz.unpack_int4_signed(packed))
+    assert codes.dtype == np.int8
+    assert codes.min() >= -7 and codes.max() <= 7
+    recon = codes.astype(np.float32) * np.asarray(scales)[:, None]
+    # max quantization step is absmax/7; mean error must be below half a step
+    max_step = (np.abs(embeddings).max(axis=1) / 7.0).max()
+    assert np.abs(recon - embeddings).mean() < max_step / 2 + 1e-6
+
+
+def test_int4_pack_layout():
+    """Block packing: byte c's LOW nibble = logical column c, HIGH nibble =
+    column c + D/2 (two's complement) — the head convention, lane-concat
+    decodable."""
+    x = np.array([[0.7, -0.3, 0.1, -0.7]], dtype=np.float32)  # scale 0.1
+    packed, scales = qz.quantize_symmetric_int4(jnp.asarray(x))
+    p = np.asarray(packed)[0]
+    np.testing.assert_allclose(np.asarray(scales), [0.1], rtol=1e-5)
+    # codes: [7, -3, 1, -7]; bytes: (lo=7, hi=1), (lo=-3&0xF=13, hi=-7&0xF=9)
+    assert p[0] == (7 | (1 << 4))
+    assert p[1] == (13 | (9 << 4))
+    codes = np.asarray(qz.unpack_int4_signed(packed))[0]
+    np.testing.assert_array_equal(codes, [7, -3, 1, -7])
+
+
+def test_int4_search_matches_manual_oracle(embeddings):
+    docs = jnp.asarray(embeddings[:300])
+    queries = jnp.asarray(embeddings[300:332])
+    packed, ds = qz.quantize_symmetric_int4(docs)
+    vals, ids = qz.int4_search_symmetric(queries, packed, ds, k=9)
+    # oracle: dequantize both sides exactly as the kernel does
+    q8, qs = qz.quantize_symmetric(queries)
+    sims = (
+        np.asarray(q8, np.float32) @ np.asarray(
+            qz.unpack_int4_signed(packed), np.float32
+        ).T
+        * np.asarray(qs)[:, None]
+        * np.asarray(ds)[None, :]
+    )
+    want = np.sort(sims, axis=1)[:, ::-1][:, :9]
+    np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-5)
+    # int4 ranking stays close to fp32: top-10 overlap on unit-norm vectors
+    fv, fi = qz.fp_search(queries, docs, k=10)
+    _, ii = qz.int4_search_symmetric(queries, packed, ds, k=10)
+    overlap = np.mean([
+        len(set(np.asarray(fi)[r]) & set(np.asarray(ii)[r])) / 10.0
+        for r in range(fi.shape[0])
+    ])
+    assert overlap >= 0.6, overlap  # clustered synthetic: int4 keeps ranks
+
+
+def test_int4_odd_dim_raises():
+    with pytest.raises(ValueError):
+        qz.quantize_symmetric_int4(jnp.ones((4, 5)))

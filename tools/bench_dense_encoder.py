@@ -162,6 +162,7 @@ def main():
     fp32_res, fp32_qps = run("none")
     int8_res, int8_qps = run("symmetric")
     asym_res, _ = run("asymmetric")
+    int4_res, int4_qps = run("int4")
 
     def quality(res):
         m = evaluate_retrieval(res, qrels, k_values=(args.topk,))
@@ -203,10 +204,12 @@ def main():
         "fp32": quality(fp32_res),
         "int8_symmetric": quality(int8_res),
         "uint8_asymmetric": quality(asym_res),
+        "int4_symmetric": quality(int4_res),
         "int8_vs_fp32_p_at_k_overlap": round(float(np.mean(overlaps)), 4),
         "int8_vs_fp32_spearman": round(float(np.mean(spearmans)), 4),
         "qps_fp32": round(fp32_qps, 1),
         "qps_int8": round(int8_qps, 1),
+        "qps_int4": round(int4_qps, 1),
         "top_k": args.topk,
         "device": str(dev),
     }
