@@ -494,28 +494,39 @@ class ShardedDenseSearchEngine:
     embedding shard on the MXU; candidates merge via all_gather over ICI.
 
     Option parity with :class:`DenseSearchEngine`: symmetric/asymmetric/
-    none quantization and the fused Pallas int8 similarity backend."""
+    int4/none quantization and the fused Pallas int8/int4 similarity
+    backends."""
 
     def __init__(
         self,
         doc_ids: Sequence[str],
         embeddings: np.ndarray,
         mesh: Mesh,
-        quantization: str = "symmetric",  # | 'asymmetric' | 'none'
-        backend: str = "xla",  # 'pallas' = fused Mosaic int8 similarity
+        quantization: str = "symmetric",  # | 'asymmetric' | 'int4' | 'none'
+        backend: str = "xla",  # 'pallas' = fused Mosaic int8/int4 similarity
         pallas_interpret: bool = False,
     ):
         from osr_tpu.ops import quantize as qz
         from osr_tpu.utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
-        if quantization not in ("symmetric", "asymmetric", "none"):
+        if quantization not in ("symmetric", "asymmetric", "int4", "none"):
             raise ValueError(f"Unknown quantization: {quantization}")
         if backend not in ("xla", "pallas"):
             raise ValueError(f"Unknown backend: {backend}")
-        if backend == "pallas" and quantization != "symmetric":
+        if backend == "pallas" and quantization not in ("symmetric", "int4"):
             raise ValueError(
-                "backend='pallas' requires symmetric quantization"
+                "backend='pallas' requires symmetric or int4 quantization"
+            )
+        if (
+            backend == "pallas"
+            and quantization == "int4"
+            and (embeddings.shape[1] // 2) % 128
+        ):
+            raise ValueError(
+                "pallas int4 needs a lane-aligned packed width: dim/2 must "
+                f"be a multiple of 128 (dim={embeddings.shape[1]}); use "
+                "backend='xla'"
             )
         self.doc_ids = list(doc_ids)
         self.mesh = mesh
@@ -540,6 +551,13 @@ class ShardedDenseSearchEngine:
             values, scales = qz.quantize_symmetric(emb_sharded)
             # Padding rows quantize to zeros; force their scale to 0 so
             # scores are exactly 0 (never beat real positive scores).
+            scales = scales.at[n:].set(0.0)
+            self._docs = jax.device_put(values, doc_sharding)
+            self._scales = jax.device_put(scales, vec_sharding)
+        elif quantization == "int4":
+            # Per-row nibble packing is row-local, so it shards exactly
+            # like symmetric int8 — each chip holds D/2 bytes per row.
+            values, scales = qz.quantize_symmetric_int4(emb_sharded)
             scales = scales.at[n:].set(0.0)
             self._docs = jax.device_put(values, doc_sharding)
             self._scales = jax.device_put(scales, vec_sharding)
@@ -571,10 +589,11 @@ class ShardedDenseSearchEngine:
         dim = queries.shape[1]
 
         def local(q, docs, scales, mins, valid):
-            if quantization == "symmetric":
+            if quantization in ("symmetric", "int4"):
                 q_int8, q_scales = qz.quantize_symmetric(q)
                 if backend == "pallas":
                     from osr_tpu.ops.pallas.matmul import (
+                        int4_similarity_pallas,
                         int8_similarity_pallas,
                     )
 
@@ -583,13 +602,23 @@ class ShardedDenseSearchEngine:
                     if pad_b:
                         q_int8 = jnp.pad(q_int8, ((0, pad_b), (0, 0)))
                         q_scales = jnp.pad(q_scales, (0, pad_b))
-                    sims = int8_similarity_pallas(
+                    sim_fn = (
+                        int4_similarity_pallas
+                        if quantization == "int4"
+                        else int8_similarity_pallas
+                    )
+                    sims = sim_fn(
                         q_int8, docs, q_scales, scales,
                         interpret=interpret,
                     )[:b]
                 else:
+                    d_int8 = (
+                        qz.unpack_int4_signed(docs)
+                        if quantization == "int4"
+                        else docs
+                    )
                     sims = qz.int8_dot_product_batch(
-                        q_int8, docs, q_scales, scales
+                        q_int8, d_int8, q_scales, scales
                     )
             elif quantization == "asymmetric":
                 # q.d expansion over per-vector affine dequant — see

@@ -192,14 +192,16 @@ def test_sharded_query_cache(big_index, big_queries):
 @pytest.mark.parametrize(
     "quantization,backend",
     [("symmetric", "xla"), ("symmetric", "pallas"), ("asymmetric", "xla"),
-     ("none", "xla")],
+     ("int4", "xla"), ("int4", "pallas"), ("none", "xla")],
 )
 def test_sharded_dense_options_match_single_device(quantization, backend):
-    """Dense option matrix: sharded == single-device for symmetric (xla +
-    pallas-interpret), asymmetric, and fp32 paths."""
+    """Dense option matrix: sharded == single-device for symmetric and
+    int4 (xla + pallas-interpret), asymmetric, and fp32 paths."""
     doc_ids = [f"d{i}" for i in range(517)]  # does not divide 8
-    emb = synthetic_corpus_embeddings(len(doc_ids), dim=64, seed=5)
-    queries = synthetic_corpus_embeddings(16, dim=64, seed=9)
+    # pallas int4 needs dim/2 lane-aligned (128); other cases stay small.
+    dim = 256 if (quantization, backend) == ("int4", "pallas") else 64
+    emb = synthetic_corpus_embeddings(len(doc_ids), dim=dim, seed=5)
+    queries = synthetic_corpus_embeddings(16, dim=dim, seed=9)
     single = DenseSearchEngine(
         doc_ids,
         emb,
