@@ -18,8 +18,8 @@ cache, not Python, decides residency (the corpus never has to fit in RAM).
 Payloads over ``compress_threshold`` bytes are zlib-compressed only when
 that actually shrinks them (the reference compressed unconditionally and
 measured a 0.993x "compression" ratio on incompressible data; see
-BASELINE.md). Decompression can route through the optional C++ codec in
-native/ when built.
+BASELINE.md). v2 payloads are length-prefixed binary fields (FLAG_BINARY);
+v1 JSON-object payloads still decode, so old stores keep reading.
 
 Unlike the reference's ``add_documents`` (which rewrites the whole file on
 every call, reference memory_index.py:300-335), appends here are
@@ -45,17 +45,16 @@ from osr_tpu.storage.documents import Document
 logger = logging.getLogger(__name__)
 
 MAGIC = b"OSRD"
-VERSION = 1
+VERSION = 2  # v2 adds FLAG_BINARY payloads; v1 files (JSON-only) still read
 HEADER_FMT = "<4sIQ"  # magic, version, footer offset
 HEADER_SIZE = struct.calcsize(HEADER_FMT)
 ALIGN = 16
 
 FLAG_COMPRESSED = 1
+FLAG_BINARY = 2  # length-prefixed fields instead of a JSON object
 
-try:  # optional native codec (see native/)
-    from osr_tpu.native import zlib_decompress as _native_decompress
-except Exception:  # pragma: no cover
-    _native_decompress = None
+_BIN_HDR = "<III"  # text_len, title_len, metadata_json_len
+_BIN_HDR_SIZE = struct.calcsize(_BIN_HDR)
 
 
 class LRUCache:
@@ -121,15 +120,31 @@ class LRUCache:
         return len(self._data)
 
 
-def _encode_payload(doc: Document, compress_threshold: int) -> tuple:
-    raw = json.dumps(
-        {"text": doc.text, "title": doc.title, "metadata": doc.metadata},
-        ensure_ascii=False,
-    ).encode("utf-8")
-    flags = 0
+def _encode_payload(
+    doc: Document, compress_threshold: int, compress_level: int = 1
+) -> tuple:
+    # v2 binary record: three length-prefixed fields (text, title,
+    # metadata-as-JSON — empty metadata writes zero bytes). Decoding is a
+    # struct.unpack + slices instead of a json.loads of the whole record,
+    # which dominated the sequential-scan profile (~8 us/doc of the
+    # ~15 us total at median FiQA doc size).
+    text_b = doc.text.encode("utf-8")
+    title_b = doc.title.encode("utf-8")
+    meta_b = (
+        json.dumps(doc.metadata, ensure_ascii=False).encode("utf-8")
+        if doc.metadata
+        else b""
+    )
+    raw = (
+        struct.pack(_BIN_HDR, len(text_b), len(title_b), len(meta_b))
+        + text_b
+        + title_b
+        + meta_b
+    )
+    flags = FLAG_BINARY
     payload = raw
     if len(raw) > compress_threshold:
-        compressed = zlib.compress(raw, 6)
+        compressed = zlib.compress(raw, compress_level)
         if len(compressed) < len(raw):
             payload = compressed
             flags |= FLAG_COMPRESSED
@@ -138,10 +153,26 @@ def _encode_payload(doc: Document, compress_threshold: int) -> tuple:
 
 def _decode_payload(payload: bytes, raw_len: int, flags: int, doc_id: str) -> Document:
     if flags & FLAG_COMPRESSED:
-        if _native_decompress is not None:
-            payload = _native_decompress(payload, raw_len)
-        else:
-            payload = zlib.decompress(payload)
+        # CPython's zlib is the same C library already; the ctypes-bound
+        # native codec pays ~30 us of per-call marshalling
+        # (create_string_buffer zero-fill + argument conversion) vs
+        # ~1.6 us total for zlib.decompress at median doc size — the
+        # native codec is for C++-internal batch paths, never per-doc.
+        payload = zlib.decompress(payload)
+    if flags & FLAG_BINARY:
+        text_len, title_len, meta_len = struct.unpack_from(_BIN_HDR, payload)
+        off = _BIN_HDR_SIZE
+        text = payload[off : off + text_len].decode("utf-8")
+        off += text_len
+        title = payload[off : off + title_len].decode("utf-8")
+        off += title_len
+        meta = (
+            json.loads(payload[off : off + meta_len].decode("utf-8"))
+            if meta_len
+            else {}
+        )
+        return Document(id=doc_id, text=text, title=title, metadata=meta)
+    # v1 record: one JSON object
     record = json.loads(payload.decode("utf-8"))
     return Document(
         id=doc_id,
@@ -161,10 +192,15 @@ class DocumentStore:
         cache_items: int = 1000,
         cache_bytes: int = 100 * 2**20,
         compress_threshold: int = 128,
+        compress_level: int = 1,
         num_workers: int = 4,
     ):
         self.path = Path(path)
         self.compress_threshold = compress_threshold
+        # Level 1 on the ingest path: ~3x cheaper than level 6 at a few
+        # percent ratio cost (level 6 spent half of the measured build
+        # time); optimize(compress_level=6) recompresses at rest.
+        self.compress_level = compress_level
         self.num_workers = num_workers
         self.cache = LRUCache(cache_items, cache_bytes)
         self._lock = threading.RLock()
@@ -192,7 +228,7 @@ class DocumentStore:
         magic, version, footer_off = struct.unpack(HEADER_FMT, header)
         if magic != MAGIC:
             raise ValueError(f"Not an OSRD store: {self.path}")
-        if version != VERSION:
+        if version not in (1, VERSION):  # v1 = JSON-only payloads
             raise ValueError(f"Unsupported store version {version}")
         self._file.seek(footer_off)
         footer = self._file.read()
@@ -244,7 +280,7 @@ class DocumentStore:
             try:
                 for doc in docs:
                     payload, raw_len, flags = _encode_payload(
-                        doc, self.compress_threshold
+                        doc, self.compress_threshold, self.compress_level
                     )
                     pad = (-pos) % ALIGN
                     if pad:
@@ -271,12 +307,14 @@ class DocumentStore:
                 self._remap()
             return count
 
-    def optimize(self) -> None:
+    def optimize(self, compress_level: Optional[int] = None) -> None:
         """Re-compact the blob section (drops holes left by re-adds;
         reference memory_index.py:501-525 capability).
 
         Streams through a temp file + atomic rename, so memory stays
-        bounded and a crash mid-compaction leaves the original intact."""
+        bounded and a crash mid-compaction leaves the original intact.
+        ``compress_level`` recompresses records at a different level
+        (e.g. 6 for archival after a level-1 fast ingest)."""
         import os
 
         tmp_path = self.path.with_suffix(self.path.suffix + ".compact")
@@ -285,6 +323,11 @@ class DocumentStore:
                 tmp_path,
                 create=True,
                 compress_threshold=self.compress_threshold,
+                compress_level=(
+                    self.compress_level
+                    if compress_level is None
+                    else compress_level
+                ),
             )
             try:
                 tmp.add_documents(self.iter_documents())

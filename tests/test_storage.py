@@ -275,3 +275,54 @@ def test_doc_store_crash_mid_append_keeps_committed_docs(tmp_path):
     assert recovered.get_document("c").text.startswith("gamma")
     assert recovered.get_document("a").text.startswith("alpha")
     recovered.close()
+
+
+def test_v1_json_payload_still_decodes(tmp_path):
+    """v2 readers must decode v1 records (JSON object, no FLAG_BINARY) and
+    v1-version files."""
+    import json
+    import struct
+    import zlib
+
+    from osr_tpu.storage import doc_store as ds
+
+    rec = {"text": "hello world", "title": "t", "metadata": {"a": 1}}
+    raw = json.dumps(rec).encode()
+    doc = ds._decode_payload(raw, len(raw), 0, "d1")
+    assert (doc.text, doc.title, doc.metadata) == ("hello world", "t", {"a": 1})
+    comp = zlib.compress(raw)
+    doc = ds._decode_payload(comp, len(raw), ds.FLAG_COMPRESSED, "d1")
+    assert doc.text == "hello world"
+
+    # A whole v1 file: header says version=1, one JSON record.
+    p = tmp_path / "v1.osrd"
+    payload = raw
+    off = ds.HEADER_SIZE
+    index = {"d1": [off, len(payload), len(raw), 0]}
+    footer = zlib.compress(json.dumps(index).encode())
+    with open(p, "wb") as f:
+        f.write(struct.pack(ds.HEADER_FMT, ds.MAGIC, 1, off + len(payload)))
+        f.write(payload)
+        f.write(footer)
+    store = ds.DocumentStore(p)
+    got = store.get_document("d1")
+    assert got is not None and got.text == "hello world"
+    store.close()
+
+
+def test_binary_payload_roundtrip_fields():
+    from osr_tpu.storage import doc_store as ds
+    from osr_tpu.storage.documents import Document
+
+    doc = Document(id="x", text="ünïcode ✓ text", title="tïtle",
+                   metadata={"k": [1, 2]})
+    payload, raw_len, flags = ds._encode_payload(doc, compress_threshold=10**9)
+    assert flags & ds.FLAG_BINARY and not (flags & ds.FLAG_COMPRESSED)
+    back = ds._decode_payload(payload, raw_len, flags, "x")
+    assert (back.text, back.title, back.metadata) == (
+        doc.text, doc.title, doc.metadata
+    )
+    # empty metadata writes zero meta bytes and decodes to {}
+    doc2 = Document(id="y", text="a", title="", metadata={})
+    payload2, raw_len2, flags2 = ds._encode_payload(doc2, 10**9)
+    assert ds._decode_payload(payload2, raw_len2, flags2, "y").metadata == {}
