@@ -117,6 +117,39 @@ def int4_search_symmetric(
     return _pack_result(vals, ids) if packed else (vals, ids)
 
 
+def quantize_symmetric_np(x) -> Tuple["np.ndarray", "np.ndarray"]:
+    """NumPy twin of :func:`quantize_symmetric` (codes identical; scales
+    within 1 f32 ulp — XLA lowers the /127 as a reciprocal multiply)
+    for host-side pre-quantization: at corpus scale the fp32 matrix never
+    has to exist on (or travel to) the device —
+    ``DenseSearchEngine.from_quantized`` uploads only the int8 bytes."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    absmax = np.maximum(np.abs(x).max(axis=-1), _EPS)
+    scales = (absmax / 127.0).astype(np.float32)
+    values = np.round(x / scales[..., None]).astype(np.int8)
+    return values, scales
+
+
+def quantize_symmetric_int4_np(x) -> Tuple["np.ndarray", "np.ndarray"]:
+    """NumPy twin of :func:`quantize_symmetric_int4` (same block packing
+    and signed-nibble encoding) for host-side pre-quantization."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    d = x.shape[-1]
+    if d % 2:
+        raise ValueError(f"int4 packing needs an even dim (got {d})")
+    absmax = np.maximum(np.abs(x).max(axis=-1), _EPS)
+    scales = (absmax / 7.0).astype(np.float32)
+    codes = np.clip(np.round(x / scales[..., None]), -7, 7).astype(np.int32)
+    half = d // 2
+    lo = codes[..., :half] & 0xF
+    hi = codes[..., half:] & 0xF
+    return (lo | (hi << 4)).astype(np.uint8), scales
+
+
 @jax.jit
 def quantize_asymmetric(
     x: jax.Array,

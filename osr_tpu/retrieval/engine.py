@@ -863,6 +863,62 @@ class DenseSearchEngine:
         else:
             raise ValueError(f"Unknown quantization: {quantization}")
 
+    @classmethod
+    def from_quantized(
+        cls,
+        doc_ids: Sequence[str],
+        docs_q: np.ndarray,  # int8 (N, D) | uint8 (N, D/2) int4-packed
+        scales: np.ndarray,  # (N,) float32 per-row
+        quantization: str = "symmetric",  # 'symmetric' | 'int4'
+        device=None,
+        backend: str = "xla",
+    ) -> "DenseSearchEngine":
+        """Build from HOST-pre-quantized rows (ops/quantize.py:
+        quantize_symmetric_np / quantize_symmetric_int4_np): at corpus
+        scale only the packed bytes travel to the device — the fp32
+        matrix (4x/8x the bytes) never exists on it. The regular
+        constructor's quantize-on-device path stays for small corpora."""
+        from osr_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+        docs_q = np.asarray(docs_q)
+        scales = np.asarray(scales, np.float32)
+        if quantization == "symmetric":
+            if docs_q.dtype != np.int8:
+                raise ValueError(f"symmetric rows must be int8: {docs_q.dtype}")
+            dim = docs_q.shape[1]
+        elif quantization == "int4":
+            if docs_q.dtype != np.uint8:
+                raise ValueError(f"int4 rows must be uint8: {docs_q.dtype}")
+            dim = 2 * docs_q.shape[1]
+        else:
+            raise ValueError(
+                f"from_quantized supports symmetric/int4, got {quantization}"
+            )
+        if len(doc_ids) != docs_q.shape[0] or len(doc_ids) != scales.shape[0]:
+            raise ValueError("doc_ids/rows/scales length mismatch")
+        if backend == "pallas" and quantization == "int4" and (dim // 2) % 128:
+            raise ValueError(
+                "pallas int4 needs a lane-aligned packed width: dim/2 must "
+                f"be a multiple of 128 (dim={dim}); use backend='xla'"
+            )
+        self = cls.__new__(cls)
+        self.doc_ids = list(doc_ids)
+        self.quantization = quantization
+        self.backend = backend
+        self.device = device if device is not None else jax.devices()[0]
+        self.dim = dim
+        self._mins = None
+        if backend == "pallas":
+            pad = (-docs_q.shape[0]) % 128
+            if pad:
+                docs_q = np.pad(docs_q, ((0, pad), (0, 0)))
+                scales = np.pad(scales, (0, pad))  # zero-scale pad rows
+            self._n_real = len(self.doc_ids)
+        self._docs = jax.device_put(docs_q, self.device)
+        self._scales = jax.device_put(scales, self.device)
+        return self
+
     def dispatch_vectors(self, query_vectors: np.ndarray, top_k: int):
         """Async half of :meth:`search_vectors`: enqueue the device step
         and return an opaque in-flight handle without blocking. JAX

@@ -204,3 +204,46 @@ def test_int4_search_matches_manual_oracle(embeddings):
 def test_int4_odd_dim_raises():
     with pytest.raises(ValueError):
         qz.quantize_symmetric_int4(jnp.ones((4, 5)))
+
+
+def test_numpy_quantizer_twins_match_jitted(embeddings):
+    x = jnp.asarray(embeddings)
+    v8, s8 = qz.quantize_symmetric(x)
+    nv8, ns8 = qz.quantize_symmetric_np(embeddings)
+    np.testing.assert_array_equal(np.asarray(v8), nv8)
+    # XLA lowers x/127 as a reciprocal multiply: scales agree to 1 ulp
+    np.testing.assert_allclose(np.asarray(s8), ns8, rtol=3e-7)
+    p4, s4 = qz.quantize_symmetric_int4(x)
+    np4, ns4 = qz.quantize_symmetric_int4_np(embeddings)
+    np.testing.assert_array_equal(np.asarray(p4), np4)
+    np.testing.assert_allclose(np.asarray(s4), ns4, rtol=3e-7)
+
+
+@pytest.mark.parametrize("quantization", ["symmetric", "int4"])
+def test_dense_engine_from_quantized_matches_regular(embeddings, quantization):
+    """from_quantized (host-pre-quantized bytes only) must return exactly
+    what the quantize-on-device constructor returns."""
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+
+    doc_ids = [f"d{i}" for i in range(300)]
+    docs = embeddings[:300]
+    queries = embeddings[300:332]
+    regular = DenseSearchEngine(doc_ids, docs, quantization=quantization)
+    qfn = (
+        qz.quantize_symmetric_np
+        if quantization == "symmetric"
+        else qz.quantize_symmetric_int4_np
+    )
+    rows, scales = qfn(docs)
+    pre = DenseSearchEngine.from_quantized(
+        doc_ids, rows, scales, quantization=quantization
+    )
+    s1, i1 = regular.search_vectors(queries, top_k=9)
+    s2, i2 = pre.search_vectors(queries, top_k=9)
+    np.testing.assert_allclose(s2, s1, rtol=1e-6)
+    np.testing.assert_array_equal(i2, i1)
+
+    with pytest.raises(ValueError):  # wrong dtype for the mode
+        DenseSearchEngine.from_quantized(
+            doc_ids, rows.astype(np.int16), scales, quantization=quantization
+        )

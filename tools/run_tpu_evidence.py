@@ -18,6 +18,7 @@ Queue (VERDICT r3 items in parentheses):
                       upload/compile warmup decomposition (item 5)
   7. scale5m        — bench_scaling 5M int4 F=4096 (item 7)
   8. scale10m       — bench_scaling 10M int4 F=1024 chunked (item 3)
+  (+ dense_scale    — 1M-doc dense int8/int4 QPS via from_quantized)
 
 Usage: python tools/run_tpu_evidence.py [--only step1,step2] [--skip ...]
 """
@@ -42,6 +43,8 @@ QUEUE = [
     ("hybrid", 2400, [PY, "tools/bench_hybrid.py"]),
     ("sharded", 3000, [PY, "tools/bench_sharded_tpu.py"]),
     ("encoder", 3000, [PY, "tools/bench_dense_encoder.py"]),
+    ("dense_scale", 3600, [PY, "tools/bench_dense_scale.py",
+                           "--docs", "1000000"]),
     ("warm1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
                       "--head-dtype", "int8", "--note", "warm-decomposed"]),
     # 5M x F=4096 int4 head = ~10.3 GiB HBM; cap score chunks at 500k
