@@ -824,6 +824,7 @@ class DenseSearchEngine:
             )
         self.device = device if device is not None else jax.devices()[0]
         self.dim = embeddings.shape[1]
+        self._chunks = None  # row-chunked scoring: from_quantized only
         if backend == "pallas":
             # The Pallas matmul tiles at 128 rows; pad docs with zero-scale
             # rows (their similarity dequantizes to exactly 0).
@@ -872,12 +873,20 @@ class DenseSearchEngine:
         quantization: str = "symmetric",  # 'symmetric' | 'int4'
         device=None,
         backend: str = "xla",
+        score_chunk_rows: Optional[int] = None,
     ) -> "DenseSearchEngine":
         """Build from HOST-pre-quantized rows (ops/quantize.py:
         quantize_symmetric_np / quantize_symmetric_int4_np): at corpus
         scale only the packed bytes travel to the device — the fp32
         matrix (4x/8x the bytes) never exists on it. The regular
-        constructor's quantize-on-device path stays for small corpora."""
+        constructor's quantize-on-device path stays for small corpora.
+
+        ``score_chunk_rows`` bounds device HBM the way the sparse
+        engine's chunked scoring does (engine ``score_chunk_rows``): the
+        (B, N) f32 similarity matrix is the capacity wall, so the corpus
+        splits into row chunks scored by one shared compiled program and
+        the per-chunk top-k merge on the host. Chunk-local ids also keep
+        the packed-f32 id transport exact past 2^24 total docs."""
         from osr_tpu.utils.compile_cache import enable_persistent_cache
 
         enable_persistent_cache()
@@ -909,6 +918,44 @@ class DenseSearchEngine:
         self.device = device if device is not None else jax.devices()[0]
         self.dim = dim
         self._mins = None
+        self._chunks = None
+        n = len(self.doc_ids)
+        if score_chunk_rows and n > score_chunk_rows:
+            # Full chunks share ONE compiled program; the last keeps its
+            # natural size (a second compile at most) so its top-k runs
+            # over exactly its real rows — padding it with zero-score
+            # rows could displace legitimately negative-scored docs from
+            # the chunk-local top-k (the same tie-safety reasoning as the
+            # sparse engine's exactness argument).
+            rows = score_chunk_rows
+            if rows >= (1 << 24):
+                # Chunk-local ids ride packed in f32 — exact only below
+                # 2^24 rows per chunk (same transport as the sparse
+                # engine's chunk bases).
+                raise ValueError(
+                    f"score_chunk_rows must be < 2^24 (got {rows})"
+                )
+            if backend == "pallas":
+                rows = -(-rows // 128) * 128
+            self._chunks = []
+            for base in range(0, n, rows):
+                cn = min(rows, n - base)
+                dq = docs_q[base : base + cn]
+                sc = scales[base : base + cn]
+                if backend == "pallas" and cn % 128:
+                    pad = (-cn) % 128  # lane alignment only, zero-scale
+                    dq = np.pad(dq, ((0, pad), (0, 0)))
+                    sc = np.pad(sc, (0, pad))
+                self._chunks.append(
+                    (
+                        jax.device_put(dq, self.device),
+                        jax.device_put(sc, self.device),
+                        base,
+                        cn,
+                    )
+                )
+            self._chunk_rows = rows
+            return self
         if backend == "pallas":
             pad = (-docs_q.shape[0]) % 128
             if pad:
@@ -928,6 +975,27 @@ class DenseSearchEngine:
         from osr_tpu.ops import quantize as qz
 
         q = jnp.asarray(query_vectors, dtype=jnp.float32)
+        if self._chunks is not None:
+            # Row-chunked scoring (from_quantized at corpus scale): all
+            # chunk dispatches go out back-to-back — JAX queues them
+            # asynchronously, so device work pipelines — and the
+            # per-chunk top-k candidates merge on the host in collect.
+            search_fn = (
+                qz.int4_search_symmetric
+                if self.quantization == "int4"
+                else qz.int8_search_symmetric
+            )
+            parts = []
+            for docs, scales, base, cn in self._chunks:
+                kk = min(top_k, cn)
+                if self.backend == "pallas":
+                    out = _pallas_dense_step(
+                        q, docs, scales, n_real=cn, k=kk
+                    )
+                else:
+                    out = search_fn(q, docs, scales, k=kk, packed=True)
+                parts.append((out, base, kk))
+            return ("chunked", (parts, top_k))
         if (
             self.quantization in ("symmetric", "int4")
             and self.backend == "pallas"
@@ -974,6 +1042,24 @@ class DenseSearchEngine:
         """Blocking half of :meth:`search_vectors`: fetch a handle from
         :meth:`dispatch_vectors` as (scores (B, k), doc_indices (B, k))."""
         kind, out = in_flight
+        if kind == "chunked":
+            parts, top_k = out
+            vals_parts, ids_parts = [], []
+            for packed, base, kk in parts:
+                arr = np.asarray(packed)
+                vals_parts.append(arr[:, :kk])
+                ids_parts.append(arr[:, kk:].astype(np.int64) + base)
+            vals = np.concatenate(vals_parts, axis=1)
+            ids = np.concatenate(ids_parts, axis=1)
+            k = min(top_k, vals.shape[1])
+            # Deterministic merge: by descending score, ascending doc id
+            # on ties (matches the ascending-id bias of block-pruned
+            # selection within a single sweep).
+            order = np.lexsort((ids, -vals), axis=1)[:, :k]
+            return (
+                np.take_along_axis(vals, order, axis=1),
+                np.take_along_axis(ids, order, axis=1).astype(np.int32),
+            )
         if kind == "packed":
             arr = np.asarray(out)
             kk = arr.shape[-1] // 2

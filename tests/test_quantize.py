@@ -247,3 +247,67 @@ def test_dense_engine_from_quantized_matches_regular(embeddings, quantization):
         DenseSearchEngine.from_quantized(
             doc_ids, rows.astype(np.int16), scales, quantization=quantization
         )
+
+
+@pytest.mark.parametrize(
+    "quantization,backend",
+    [("symmetric", "xla"), ("int4", "xla"),
+     ("symmetric", "pallas"), ("int4", "pallas")],
+)
+def test_dense_from_quantized_chunked_matches_unchunked(
+    embeddings, quantization, backend
+):
+    """Row-chunked dense scoring (from_quantized score_chunk_rows) must
+    equal the single-sweep result — uneven last chunk included."""
+    import unittest.mock as mock
+
+    from osr_tpu.index.dense import synthetic_corpus_embeddings
+    from osr_tpu.ops.pallas import matmul as pmm
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+
+    dim = 256 if backend == "pallas" else 64
+    emb = synthetic_corpus_embeddings(470, dim=dim, seed=21)
+    docs, queries = emb[:437], emb[437:470]  # 437 = 3x160 + 117 leftover
+    doc_ids = [f"d{i}" for i in range(437)]
+    qfn = (
+        qz.quantize_symmetric_np
+        if quantization == "symmetric"
+        else qz.quantize_symmetric_int4_np
+    )
+    rows, scales = qfn(docs)
+
+    import contextlib
+
+    if backend == "pallas":
+        real4, real8 = pmm.int4_similarity_pallas, pmm.int8_similarity_pallas
+        ctx = contextlib.ExitStack()
+        ctx.enter_context(mock.patch.object(
+            pmm, "int4_similarity_pallas",
+            side_effect=lambda *a, **k: real4(*a, **{**k, "interpret": True}),
+        ))
+        ctx.enter_context(mock.patch.object(
+            pmm, "int8_similarity_pallas",
+            side_effect=lambda *a, **k: real8(*a, **{**k, "interpret": True}),
+        ))
+    else:
+        ctx = contextlib.nullcontext()
+
+    with ctx:
+        flat = DenseSearchEngine.from_quantized(
+            doc_ids, rows, scales, quantization=quantization, backend=backend
+        )
+        chunked = DenseSearchEngine.from_quantized(
+            doc_ids, rows, scales, quantization=quantization,
+            backend=backend,
+            score_chunk_rows=128 if backend == "pallas" else 160,
+        )
+        assert chunked._chunks is not None and len(chunked._chunks) >= 3
+        s1, i1 = flat.search_vectors(queries, top_k=9)
+        s2, i2 = chunked.search_vectors(queries, top_k=9)
+        np.testing.assert_allclose(s2, s1, rtol=1e-6)
+        np.testing.assert_array_equal(i2, i1)
+        # top_k past the last chunk's size still returns min(top_k, N)
+        s3, i3 = chunked.search_vectors(queries[:4], top_k=200)
+        assert s3.shape == (4, 200) and i3.shape == (4, 200)
+        s4, i4 = flat.search_vectors(queries[:4], top_k=200)
+        np.testing.assert_allclose(s3, s4, rtol=1e-6)

@@ -40,6 +40,13 @@ def main():
     )
     ap.add_argument("--backend", default="pallas", choices=("pallas", "xla"))
     ap.add_argument(
+        "--score-chunk-rows",
+        type=int,
+        default=None,
+        help="row-chunked scoring: bounds the (B, N) f32 similarity "
+        "matrix on device (from_quantized score_chunk_rows)",
+    )
+    ap.add_argument(
         "--out",
         default=str(
             Path(__file__).parents[1]
@@ -103,7 +110,7 @@ def main():
         t0 = time.perf_counter()
         eng = DenseSearchEngine.from_quantized(
             doc_ids, rows, scales, quantization=mode, device=dev,
-            backend=args.backend,
+            backend=args.backend, score_chunk_rows=args.score_chunk_rows,
         )
         upload_s = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -124,6 +131,7 @@ def main():
             "quantization": mode,
             "backend": args.backend,
             "batch": args.batch,
+            "score_chunk_rows": args.score_chunk_rows,
             "top_k": args.topk,
             "packed_corpus_mb": round(packed_mb, 1),
             "host_quantize_s": round(quant_s, 2),
