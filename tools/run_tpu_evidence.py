@@ -14,6 +14,7 @@ Queue (VERDICT r3 items in parentheses):
   3. hybrid         — tools/bench_hybrid.py (item 2: fast-path QPS)
   4. sharded        — tools/bench_sharded_tpu.py (item 6)
   5. encoder        — tools/bench_dense_encoder.py (item 4: TPU forward)
+  5b. quality(+_sampled) — bench_quality_at_scale on-chip QPS (item 1)
   6. warm1m         — bench_scaling 1M int8 warm rerun with the
                       upload/compile warmup decomposition (item 5)
   7. scale5m        — bench_scaling 5M int4 F=4096 (item 7)
@@ -43,6 +44,12 @@ QUEUE = [
     ("hybrid", 2400, [PY, "tools/bench_hybrid.py"]),
     ("sharded", 3000, [PY, "tools/bench_sharded_tpu.py"]),
     ("encoder", 3000, [PY, "tools/bench_dense_encoder.py"]),
+    # Re-emit the at-scale quality artifact with on-chip QPS (VERDICT r3
+    # item 1 asked for "QPS on the real chip" in quality_real_text.json;
+    # the committed runs were made during the tunnel outage on CPU).
+    ("quality", 3600, [PY, "tools/bench_quality_at_scale.py"]),
+    ("quality_sampled", 3600, [PY, "tools/bench_quality_at_scale.py",
+                               "--query-mode", "sample"]),
     ("dense_scale", 3600, [PY, "tools/bench_dense_scale.py",
                            "--docs", "1000000"]),
     ("warm1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
