@@ -166,6 +166,15 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="osr_tpu", description="TPU-native sparse retrieval for RAG"
     )
+    parser.add_argument(
+        "--platform",
+        choices=("cpu", "tpu", "default"),
+        default="default",
+        help="force the JAX platform before any device use. 'cpu' runs "
+        "everything host-side (no TPU needed — environments that pin a "
+        "TPU platform via config are overridden too, which an env var "
+        "cannot do); 'default' keeps the environment's choice.",
+    )
     sub = parser.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("run", help="run experiments from a YAML config")
@@ -210,6 +219,18 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_cmd_bench)
 
     args = parser.parse_args(argv)
+    if args.platform != "default":
+        # Must land before the first jax.devices() call; config beats the
+        # JAX_PLATFORMS env var when a sitecustomize pins the platform.
+        import jax
+
+        if args.platform == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        else:  # 'tpu': keep an existing accelerator pin (e.g. a tunnel
+            # plugin platform), otherwise ask for tpu explicitly.
+            current = jax.config.jax_platforms or ""
+            if current in ("", "cpu"):
+                jax.config.update("jax_platforms", "tpu,cpu")
     return args.fn(args)
 
 

@@ -37,9 +37,14 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-NEG_INF = jnp.float32(-jnp.inf)
+# A NumPy scalar, NOT jnp.float32(...): a module-level jnp constant would
+# materialize a device array and initialize the JAX backend at import time
+# (hanging every `import osr_tpu` when a remote-TPU tunnel is unreachable).
+# np.float32 traces identically (strongly-typed f32) inside jit.
+NEG_INF = np.float32(-np.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("head_terms",))
