@@ -666,19 +666,17 @@ class SparseSearchEngine:
             ),
         )
 
+        from osr_tpu.retrieval.results import assemble_result_dicts
+
         for chunk, scores, ids in done:
-            # Batch-vectorized result assembly: one boolean mask + one
-            # object-array doc-id gather + one bulk tolist for the whole
-            # batch, then a dict(zip) per row over exact-size list slices —
+            # Batch-vectorized result assembly (retrieval/results.py):
             # measured 2x over a per-element filtering dict-comp at bench
             # shape (B=6648, k=50), which is ~10% of a whole TPU pass.
             n = len(self.index.doc_ids)
             mask = (scores > 0) & (ids >= 0) & (ids < n)
-            flat = np.nonzero(mask.ravel())[0]
-            names = self._doc_ids_object()[ids.ravel()[flat]].tolist()
-            vals = scores.ravel()[flat].astype(np.float64).tolist()
-            bounds = np.cumsum(mask.sum(axis=1), dtype=np.int64).tolist()
-            start = 0
+            dicts = assemble_result_dicts(
+                self._doc_ids_object(), ids, scores, mask
+            )
             for row, (qid, text) in enumerate(chunk):
                 if self._query_cache is not None:
                     with self._cache_lock:
@@ -687,9 +685,7 @@ class SparseSearchEngine:
                                 ids[row],
                                 scores[row],
                             )
-                end = bounds[row]
-                results[qid] = dict(zip(names[start:end], vals[start:end]))
-                start = end
+                results[qid] = dicts[row]
         return results
 
     def search_weighted(
@@ -1109,19 +1105,17 @@ class DenseSearchEngine:
         qids = list(query_vectors.keys())
         if not qids:
             return {}
+        from osr_tpu.retrieval.results import (
+            as_object_names,
+            assemble_result_dicts,
+        )
+
         batch = np.stack([np.asarray(query_vectors[q]) for q in qids])
         scores, ids = self.search_vectors(batch, top_k=top_k)
-        # One bulk .tolist() per axis: native numpy->Python conversion is
-        # ~3x faster than per-element float()/int() casts at result scale
-        # (same pattern as the sparse engine's bulk result assembly).
-        scores_l = scores.tolist()
-        ids_l = ids.tolist()
-        docs = self.doc_ids
-        return {
-            qid: {
-                docs[i]: s
-                for i, s in zip(ids_l[row], scores_l[row])
-                if s > min_score
-            }
-            for row, qid in enumerate(qids)
-        }
+        cached = getattr(self, "_doc_ids_obj", None)
+        if cached is None or len(cached) != len(self.doc_ids):
+            cached = self._doc_ids_obj = as_object_names(self.doc_ids)
+        n = len(self.doc_ids)
+        mask = (scores > min_score) & (ids >= 0) & (ids < n)
+        dicts = assemble_result_dicts(cached, ids, scores, mask)
+        return dict(zip(qids, dicts))

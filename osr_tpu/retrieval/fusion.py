@@ -105,15 +105,14 @@ def fused_rows_to_results(
     ids: np.ndarray,
     doc_ids: Sequence[str],
 ) -> Dict[str, Dict[str, float]]:
-    """Assemble {qid: {doc_id: fused_score}} from fused arrays (one bulk
-    tolist per axis — same pattern as the engines' result assembly)."""
-    ids_l = ids.tolist()
-    scores_l = scores.tolist()
-    out: Dict[str, Dict[str, float]] = {}
-    for row, qid in enumerate(qids):
-        out[qid] = {
-            doc_ids[i]: s
-            for i, s in zip(ids_l[row], scores_l[row])
-            if i >= 0
-        }
-    return out
+    """Assemble {qid: {doc_id: fused_score}} from fused arrays with the
+    shared batch-vectorized assembler (retrieval/results.py); ``-1`` ids
+    are the padding sentinel."""
+    from osr_tpu.retrieval.results import (
+        as_object_names,
+        assemble_result_dicts,
+    )
+
+    names = as_object_names(doc_ids)
+    dicts = assemble_result_dicts(names, ids, scores, ids >= 0)
+    return dict(zip(qids, dicts))
