@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import logging
+import os
 import subprocess
 from pathlib import Path
 from typing import List, Tuple
@@ -19,7 +20,14 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
-_LIB_PATH = _REPO_ROOT / "native" / "libosrnative.so"
+# OSR_TPU_NATIVE_LIB points an installed (site-packages) copy of the
+# package — which has no ../native source tree — at a prebuilt .so;
+# the default is the repo checkout's auto-built artifact.
+_LIB_PATH = Path(
+    os.environ.get(
+        "OSR_TPU_NATIVE_LIB", _REPO_ROOT / "native" / "libosrnative.so"
+    )
+)
 
 
 def _load() -> ctypes.CDLL:
