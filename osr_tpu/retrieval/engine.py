@@ -714,8 +714,14 @@ class SparseSearchEngine:
             )
             handle = self.search_encoded_device(enc, top_k)
             scores, ids = self.finish_batch(handle, top_k)
-            for row, qid in enumerate(chunk):
-                results[qid] = self._to_result(ids[row], scores[row])
+            from osr_tpu.retrieval.results import assemble_result_dicts
+
+            n = len(self.index.doc_ids)
+            mask = (scores > 0) & (ids >= 0) & (ids < n)
+            dicts = assemble_result_dicts(
+                self._doc_ids_object(), ids, scores, mask
+            )
+            results.update(zip(chunk, dicts))
         return results
 
     def _doc_ids_object(self) -> np.ndarray:
