@@ -326,3 +326,78 @@ def test_binary_payload_roundtrip_fields():
     doc2 = Document(id="y", text="a", title="", metadata={})
     payload2, raw_len2, flags2 = ds._encode_payload(doc2, 10**9)
     assert ds._decode_payload(payload2, raw_len2, flags2, "y").metadata == {}
+
+
+def _prose_docs(n=300):
+    import random
+
+    rng = random.Random(42)
+    words = (
+        "retrieval sparse index query document ranking latency throughput "
+        "memory compression benchmark pipeline evaluation corpus token "
+        "vector quantization storage footer payload".split()
+    )
+    return [
+        Document(
+            id=f"p{i}",
+            text=" ".join(rng.choice(words) for _ in range(120)),
+            title=f"T{i}",
+            metadata={"i": i},
+        )
+        for i in range(n)
+    ]
+
+
+def test_doc_store_zstd_codec_roundtrip(tmp_path):
+    pytest.importorskip("zstandard")
+    path = tmp_path / "z.osrd"
+    docs = _prose_docs(50)
+    store = DocumentStore(path, create=True, codec="zstd")
+    store.add_documents(docs)
+    stats = store.get_stats()
+    assert stats["codec"] == "zstd"
+    assert stats["compression_ratio"] > 1.5
+    assert store.get_document("p7").text == docs[7].text
+    store.close()
+    # reopening with the DEFAULT codec still reads zstd records (the
+    # codec flag travels per record)
+    store2 = DocumentStore(path)
+    assert store2.get_document("p49").metadata == {"i": 49}
+    # mixed-codec store: zlib appends coexist with zstd records
+    store2.add_documents([Document(id="extra", text="mixed " * 60)])
+    assert store2.get_document("extra").text.startswith("mixed")
+    assert store2.get_document("p3").text == docs[3].text
+    store2.close()
+
+
+def test_doc_store_zstd_dict_optimize(tmp_path):
+    pytest.importorskip("zstandard")
+    path = tmp_path / "d.osrd"
+    docs = _prose_docs(400)
+    store = DocumentStore(path, create=True)  # plain zlib ingest
+    store.add_documents(docs)
+    ratio_zlib = store.get_stats()["compression_ratio"]
+    store.optimize(train_dict=True)
+    stats = store.get_stats()
+    assert stats["codec"] == "zstd"
+    # dictionary compression must beat the zlib baseline on these
+    # small same-domain records
+    assert stats["compression_ratio"] > ratio_zlib
+    assert store.get_document("p123").text == docs[123].text
+    # appends after optimize use the dictionary and stay readable
+    store.add_documents([Document(id="after", text=docs[0].text)])
+    assert store.get_document("after").text == docs[0].text
+    store.close()
+
+    # the dictionary persists in the footer: a fresh open reads frames
+    store2 = DocumentStore(path)
+    assert store2.get_document("p321").text == docs[321].text
+    assert store2.get_document("after").text == docs[0].text
+    # threaded batch fetch exercises the per-thread decompressors
+    got = store2.get_documents([f"p{i}" for i in range(0, 400, 7)])
+    assert all(g is not None for g in got)
+    # converting back to zlib at rest drops the dict cleanly
+    store2.optimize(codec="zlib")
+    assert store2.get_stats()["codec"] == "zlib"
+    assert store2.get_document("p321").text == docs[321].text
+    store2.close()
