@@ -34,7 +34,21 @@ from osr_tpu.index.layout import HybridLayout
 
 logger = logging.getLogger(__name__)
 
-_FORMAT_VERSION = 3
+_FORMAT_VERSION = 3  # zlib container (np.savez_compressed)
+_FORMAT_VERSION_ZSTD = 4  # uncompressed container + zstd-1 per big array
+
+# Per-array zstd-1 instead of the npz container's zlib-6: at FiQA scale
+# the zlib save cost 7.6 s — 6x a full index REBUILD — while zstd-1
+# compresses the same bytes ~20x faster at essentially the same ratio
+# (the int8 head dominates and barely compresses beyond its zero runs).
+# At 1M+ docs (multi-GB heads, 70-340 s builds) this is what makes the
+# cache actually cheaper than rebuilding.
+_ZSTD_MIN_BYTES = 1 << 20
+
+try:
+    import zstandard as _zstd
+except ImportError:  # pragma: no cover - environment dependent
+    _zstd = None
 
 _HEAD_NP_DTYPE = {"int8": np.int8, "int4": np.uint8, "f32": np.float32}
 
@@ -83,9 +97,7 @@ def save_index(
         if layout.head_scales is not None
         else np.zeros(0, np.float32)
     )
-    np.savez_compressed(
-        path,
-        format_version=_FORMAT_VERSION,
+    arrays = dict(
         builder_params=_builder_params(builder),
         method=index.method,
         k1=index.k1,
@@ -111,7 +123,64 @@ def save_index(
         packed_post_weights=layout.post_weights,
         packed_valid=layout.valid,
     )
+    if _zstd is None:  # pragma: no cover - environment dependent
+        np.savez_compressed(path, format_version=_FORMAT_VERSION, **arrays)
+    else:
+        c = _zstd.ZstdCompressor(level=1)
+        packed = {}
+        for k, v in arrays.items():
+            # JSON strings become utf-8 buffers so they compress too
+            # (np.savez would store str scalars 4 bytes/char, raw).
+            if k.endswith("_json"):
+                v = np.frombuffer(v.encode("utf-8"), dtype=np.uint8)
+            a = np.asarray(v)
+            if a.dtype.kind in "iuf" and a.nbytes >= _ZSTD_MIN_BYTES:
+                blob = c.compress(np.ascontiguousarray(a).tobytes())
+                packed[f"zst_{k}"] = np.frombuffer(blob, dtype=np.uint8)
+                packed[f"zstmeta_{k}"] = json.dumps(
+                    {"dtype": a.dtype.str, "shape": list(a.shape)}
+                )
+            else:
+                packed[k] = v
+        np.savez(path, format_version=_FORMAT_VERSION_ZSTD, **packed)
     logger.info("Index cached to %s", path)
+
+
+class _CacheReader:
+    """Npz accessor that transparently restores zstd-packed (v4) arrays
+    and utf-8-buffered JSON strings; v3 files pass straight through."""
+
+    def __init__(self, z, version: int):
+        self._z = z
+        self._version = version
+
+    def __getitem__(self, key: str):
+        z = self._z
+        if key in z.files:
+            v = z[key]
+            if (
+                self._version >= _FORMAT_VERSION_ZSTD
+                and key.endswith("_json")
+                and v.dtype == np.uint8
+            ):
+                return v.tobytes().decode("utf-8")
+            return v
+        zk = f"zst_{key}"
+        if zk in z.files:
+            meta = json.loads(str(z[f"zstmeta_{key}"]))
+            raw = _zstd.ZstdDecompressor().decompress(
+                z[zk].tobytes(),
+                max_output_size=int(
+                    np.dtype(meta["dtype"]).itemsize
+                    * max(1, int(np.prod(meta["shape"])))
+                ),
+            )
+            arr = np.frombuffer(raw, dtype=np.dtype(meta["dtype"]))
+            arr = arr.reshape(meta["shape"])
+            if key.endswith("_json"):
+                return arr.tobytes().decode("utf-8")
+            return arr
+        raise KeyError(key)
 
 
 def _load_packed_layout(z, num_docs: int, vocab_size: int) -> HybridLayout:
@@ -142,9 +211,11 @@ def load_index(
     path: Union[str, Path], builder: SparseIndexBuilder
 ) -> SparseIndex:
     t0 = time.perf_counter()
-    with np.load(path, allow_pickle=False) as z:
-        if int(z["format_version"]) != _FORMAT_VERSION:
+    with np.load(path, allow_pickle=False) as znpz:
+        version = int(znpz["format_version"])
+        if version not in (_FORMAT_VERSION, _FORMAT_VERSION_ZSTD):
             raise ValueError("Incompatible index cache version")
+        z = _CacheReader(znpz, version)
         if str(z["method"]) != builder.method:
             # The stored idf belongs to the stored method's formula; silently
             # re-weighting with it under another method would be wrong.

@@ -93,3 +93,47 @@ def test_method_mismatch_raises(corpus, tmp_path):
     save_index(index, tmp_path / "idx.npz", builder)
     with pytest.raises(ValueError, match="bm25"):
         load_index(tmp_path / "idx.npz", SparseIndexBuilder(method="tfidf"))
+
+
+def test_cache_v3_zlib_file_still_loads(tmp_path, monkeypatch):
+    """A cache written by the zlib (v3) path loads under the v4 reader."""
+    from osr_tpu.index import cache as cache_mod
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    corpus = SyntheticDataGenerator(seed=42).zipf_corpus(
+        120, 800, avg_len=30, word_prefix="t", min_len=5
+    )
+    b = SparseIndexBuilder(method="bm25", keep_raw_rows=True)
+    idx = b.build(corpus)
+    p = tmp_path / "v3.npz"
+    monkeypatch.setattr(cache_mod, "_zstd", None)  # force the v3 writer
+    cache_mod.save_index(idx, p, b)
+    monkeypatch.undo()
+    idx2 = cache_mod.load_index(p, b)
+    import numpy as np
+
+    assert np.array_equal(idx2.layout.head, idx.layout.head)
+    assert idx2.doc_ids == idx.doc_ids
+
+
+def test_cache_v4_roundtrip_small_arrays_uncompressed(tmp_path):
+    """Small indices stay below the zstd threshold; the v4 container must
+    roundtrip them (json strings as utf-8 buffers) bit-exactly."""
+    from osr_tpu.index import cache as cache_mod
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    corpus = SyntheticDataGenerator(seed=7).zipf_corpus(
+        60, 400, avg_len=20, word_prefix="w", min_len=5
+    )
+    b = SparseIndexBuilder(method="tfidf", keep_raw_rows=True)
+    idx = b.build(corpus)
+    p = tmp_path / "v4.npz"
+    cache_mod.save_index(idx, p, b)
+    idx2 = cache_mod.load_index(p, b)
+    import numpy as np
+
+    assert np.array_equal(idx2.layout.head, idx.layout.head)
+    assert idx2.vocabulary == idx.vocabulary
+    assert abs(idx2.avgdl - idx.avgdl) < 1e-6
