@@ -469,9 +469,18 @@ class DocumentStore:
                 for i, doc in enumerate(self.iter_documents())
                 if i % step == 0
             ]
-            zdict_bytes = _zstd.train_dictionary(
-                dict_size, samples
-            ).as_bytes()
+            try:
+                zdict_bytes = _zstd.train_dictionary(
+                    dict_size, samples
+                ).as_bytes()
+            except _zstd.ZstdError as e:
+                # Too few / too-small samples (tiny or empty stores):
+                # compact with plain zstd rather than failing the pass.
+                logger.warning(
+                    "zstd dictionary training skipped (%s); "
+                    "compacting without a dictionary", e
+                )
+                zdict_bytes = None
 
         tmp_path = self.path.with_suffix(self.path.suffix + ".compact")
         with self._lock:
