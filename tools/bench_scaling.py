@@ -73,10 +73,33 @@ def main():
         "its 6 GiB budget; needed >5M docs where head + one auto-sized "
         "chunk crosses the 16 GB HBM line — see DEVELOPMENT.md)",
     )
+    ap.add_argument(
+        "--narrow-m",
+        type=int,
+        default=0,
+        help="per-block top-m narrowed exact selection (0 = full width); "
+        "applies per score chunk too — see ops/topk.py:block_topk_narrow",
+    )
+    ap.add_argument(
+        "--narrow-backend",
+        default="xla",
+        choices=("xla", "extract"),
+        help="'extract' = Mosaic per-block top-m extraction kernel "
+        "(score matrix never reaches HBM; non-chunked path only)",
+    )
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (smoke tests; also avoids hanging on "
+        "an unreachable remote-TPU tunnel)",
+    )
     args = ap.parse_args()
     vocab = args.vocab or min(4 * args.docs, 400_000)
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from osr_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -199,6 +222,8 @@ def main():
         cache_queries=False,
         topk_mode="exact",
         score_chunk_rows=args.score_chunk_rows,
+        narrow_m=args.narrow_m,
+        narrow_backend=args.narrow_backend,
     )
     # Index upload, separated from compile: engine construction enqueues
     # the device_put of the head (+ chunks); blocking here isolates the
@@ -245,6 +270,9 @@ def main():
     }
     if args.note:
         row["note"] = args.note
+    if args.narrow_m:
+        row["narrow_m"] = args.narrow_m
+        row["narrow_backend"] = args.narrow_backend
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     with open(out_path, "a") as f:

@@ -54,6 +54,11 @@ QUEUE = [
                            "--docs", "1000000"]),
     ("warm1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
                       "--head-dtype", "int8", "--note", "warm-decomposed"]),
+    # Narrowed per-chunk exact selection at 1M docs (the chunked path's
+    # R-proportional final-top-k shrinks k*128 -> k*m candidates/chunk).
+    ("narrow1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
+                        "--head-dtype", "int8", "--narrow-m", "8",
+                        "--note", "narrowed-selection-1M"]),
     # 5M x F=4096 int4 head = ~10.3 GiB HBM; cap score chunks at 500k
     # rows (~4 GiB at B=2048) to stay under the 16 GB line.
     ("scale5m", 7200, [PY, "tools/bench_scaling.py", "--docs", "5000000",
