@@ -377,6 +377,110 @@ class SparseSearchEngine:
             and r // 128 > 2 * kk
         )
 
+    def _use_extract_chunked(self, top_k: int) -> bool:
+        """Chunked analogue of :meth:`_use_extract`: at 1M+ docs the
+        (B, Rc) score write + re-read is chunk-multiplied, so removing it
+        per chunk is where the extraction kernel pays most. Chunks below
+        the kernel's shape floor fall back to the standard program
+        per-chunk inside :meth:`_dispatch_chunked`."""
+        if not (
+            self.narrow_backend == "extract"
+            and self.narrow_m > 0
+            and self.merge_backend == "host"
+            and self.topk_mode == "exact"
+            and self.head_backend == "pallas"
+        ):
+            return False
+        return any(
+            h.shape[0] >= 4096
+            and h.shape[0] // 128 > 2 * min(top_k, h.shape[0])
+            for h, _ in self._dev.chunks
+        )
+
+    def _dispatch_chunked(
+        self,
+        packed_q: jax.Array,
+        top_k: int,
+        extract: bool = False,
+        std_backend: Optional[str] = None,
+    ) -> jax.Array:
+        """Chunked scoring: one fused dispatch per row chunk (equal
+        shapes — ONE compile) + a device-side merge, so the score matrix
+        never exists at full R and only one packed result crosses the
+        tunnel. With ``extract=True``, chunks large enough for the
+        extraction kernel skip the (B, Rc) score write entirely and the
+        result carries a trailing tie-safety flag column (max over
+        chunks; finish_batch re-dispatches the standard chunked program
+        when it is set)."""
+        from osr_tpu.ops.bm25 import (
+            fused_search_extract,
+            merge_packed_chunks,
+        )
+
+        d = self._dev
+        interp = getattr(self.device, "platform", "") != "tpu"
+        if std_backend is None:
+            # Small-chunk / fallback dispatches can't run the
+            # non-interpret Mosaic head off-TPU; the XLA chain is
+            # numerically identical (tests/test_pallas_kernels.py).
+            std_backend = (
+                "xla" if (extract and interp) else self.head_backend
+            )
+        packeds = []
+        flags = []
+        for head_c, valid_c in d.chunks:
+            if packeds:
+                # Serialize chunk dispatches: async enqueue reserves
+                # each chunk's (B, Rc) score workspace up front, so
+                # two in-flight chunks would hold BOTH buffers —
+                # measured HBM OOM at F=4096, B=2048, 1M docs.
+                # Blocking bounds live workspace to ~one chunk (the
+                # device executes serially anyway; cost is one
+                # dispatch round-trip per extra chunk).
+                packeds[-1].block_until_ready()
+            rc = head_c.shape[0]
+            if (
+                extract
+                and rc >= 4096
+                and rc // 128 > 2 * min(top_k, rc)
+            ):
+                px = fused_search_extract(
+                    packed_q,
+                    head_c,
+                    d.head_scales,
+                    valid_c,
+                    head_terms=self.index.layout.head_terms,
+                    k=top_k,
+                    narrow_m=self.narrow_m,
+                    interpret=interp,
+                )
+                flags.append(px[:, -1])
+                packeds.append(px[:, :-1])
+            else:
+                packeds.append(
+                    fused_search_packed(
+                        packed_q,
+                        d.empty_i32,
+                        d.empty_i32,
+                        head_c,
+                        d.head_scales,
+                        valid_c,
+                        head_terms=self.index.layout.head_terms,
+                        k=top_k,
+                        topk_mode=self.topk_mode,
+                        head_backend=std_backend,
+                        narrow_m=self.narrow_m,
+                    )[0]
+                )
+        merged = merge_packed_chunks(jnp.stack(packeds), d.chunk_bases)
+        if not extract:
+            return merged
+        if flags:
+            flag = jnp.max(jnp.stack(flags, axis=0), axis=0)[:, None]
+        else:  # every chunk fell below the kernel floor
+            flag = jnp.zeros((merged.shape[0], 1), jnp.float32)
+        return jnp.concatenate([merged, flag], axis=1)
+
     def search_encoded_device(self, enc: EncodedBatch, top_k: int):
         """Async: dispatch the device step AND run every host stage that
         does not depend on device results (tail candidates + candidate head
@@ -399,42 +503,17 @@ class SparseSearchEngine:
             pack_query_batch(enc.head_ids, enc.head_weights)
         )
         if d.chunks is not None:
-            # Chunked scoring: one fused dispatch per row chunk (all the
-            # same shape — ONE compile) + a device-side merge, so the
-            # score matrix never exists at full R and only one packed
-            # result crosses the tunnel.
-            from osr_tpu.ops.bm25 import merge_packed_chunks
-
-            packeds = []
-            for head_c, valid_c in d.chunks:
-                if packeds:
-                    # Serialize chunk dispatches: async enqueue reserves
-                    # each chunk's (B, Rc) score workspace up front, so
-                    # two in-flight chunks would hold BOTH buffers —
-                    # measured HBM OOM at F=4096, B=2048, 1M docs.
-                    # Blocking bounds live workspace to ~one chunk (the
-                    # device executes serially anyway; cost is one
-                    # dispatch round-trip per extra chunk).
-                    packeds[-1].block_until_ready()
-                packeds.append(
-                    fused_search_packed(
+            if self._use_extract_chunked(top_k):
+                out = (
+                    (
+                        "extract",
+                        self._dispatch_chunked(packed_q, top_k, extract=True),
                         packed_q,
-                        d.empty_i32,
-                        d.empty_i32,
-                        head_c,
-                        d.head_scales,
-                        valid_c,
-                        head_terms=self.index.layout.head_terms,
-                        k=top_k,
-                        topk_mode=self.topk_mode,
-                        head_backend=self.head_backend,
-                        narrow_m=self.narrow_m,
-                    )[0]
+                    ),
+                    None,
                 )
-            packed = merge_packed_chunks(
-                jnp.stack(packeds), d.chunk_bases
-            )
-            out = (packed, None)
+            else:
+                out = (self._dispatch_chunked(packed_q, top_k), None)
         elif self._use_extract(top_k):
             from osr_tpu.ops.bm25 import fused_search_extract
 
@@ -507,25 +586,37 @@ class SparseSearchEngine:
                 # full-width program for this batch (rare; costs one
                 # extra round trip, never correctness).
                 d = self._dev
-                repacked, _ = fused_search_packed(
-                    packed_q,
-                    d.empty_i32,
-                    d.empty_i32,
-                    d.head,
-                    d.head_scales,
-                    d.valid,
-                    head_terms=self.index.layout.head_terms,
-                    k=top_k,
-                    topk_mode=self.topk_mode,
-                    # Off-TPU (interpret-mode tests) the non-interpret
-                    # Mosaic path can't run; the XLA chain is
-                    # numerically identical (tests/test_pallas_kernels).
-                    head_backend=(
-                        self.head_backend
-                        if getattr(self.device, "platform", "") == "tpu"
-                        else "xla"
-                    ),
-                )
+                if d.chunks is not None:
+                    repacked = self._dispatch_chunked(
+                        packed_q,
+                        top_k,
+                        std_backend=(
+                            self.head_backend
+                            if getattr(self.device, "platform", "")
+                            == "tpu"
+                            else "xla"
+                        ),
+                    )
+                else:
+                    repacked, _ = fused_search_packed(
+                        packed_q,
+                        d.empty_i32,
+                        d.empty_i32,
+                        d.head,
+                        d.head_scales,
+                        d.valid,
+                        head_terms=self.index.layout.head_terms,
+                        k=top_k,
+                        topk_mode=self.topk_mode,
+                        # Off-TPU (interpret-mode tests) the non-interpret
+                        # Mosaic path can't run; the XLA chain is
+                        # numerically identical (tests/test_pallas_kernels).
+                        head_backend=(
+                            self.head_backend
+                            if getattr(self.device, "platform", "") == "tpu"
+                            else "xla"
+                        ),
+                    )
                 head_s, head_r = unpack_topk(np.asarray(repacked))
             else:
                 kk = (arr.shape[1] - 1) // 2

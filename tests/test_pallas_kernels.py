@@ -388,3 +388,81 @@ def test_dense_engine_int4_pallas_matches_xla():
             quantization="int4",
             backend="pallas",
         )
+
+
+def test_engine_extract_backend_matches_standard_chunked():
+    """Chunked scoring with narrow_backend='extract': per-chunk Mosaic
+    top-m extraction (score matrix never at full Rc) must match the
+    standard chunked engine dict-for-dict. The chunk plan mixes one
+    below-floor chunk, exercising the per-chunk standard fallback."""
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.retrieval.engine import SparseSearchEngine
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(10_000, 20_000, avg_len=60, word_prefix="t")
+    queries = gen.queries(24, 20_000, avg_terms=8, word_prefix="t")
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+
+    ex = SparseSearchEngine(
+        index,
+        batch_sizes=(24,),
+        cache_queries=False,
+        head_backend="pallas",
+        narrow_m=8,
+        narrow_backend="extract",
+        score_chunk_rows=4096,
+    )
+    assert ex._dev.chunks is not None and len(ex._dev.chunks) == 3
+    assert ex._use_extract_chunked(10)
+    std = SparseSearchEngine(
+        index, batch_sizes=(24,), cache_queries=False,
+        score_chunk_rows=4096,
+    )
+    r_ex = ex.search(queries, top_k=10)
+    r_std = std.search(queries, top_k=10)
+    assert r_ex == r_std
+    # and equal to the unchunked engine too
+    flat = SparseSearchEngine(index, batch_sizes=(24,), cache_queries=False)
+    assert r_ex == flat.search(queries, top_k=10)
+
+
+def test_engine_extract_chunked_unsafe_flag_falls_back(monkeypatch):
+    """A raised tie-safety flag must re-dispatch the standard chunked
+    program — results identical, never trusting the narrowed set."""
+    import osr_tpu.ops.bm25 as bm25_ops
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.retrieval.engine import SparseSearchEngine
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(10_000, 20_000, avg_len=60, word_prefix="t")
+    queries = gen.queries(12, 20_000, avg_terms=8, word_prefix="t")
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+
+    real = bm25_ops.fused_search_extract
+
+    calls = {"n": 0}
+
+    def always_unsafe(*args, **kwargs):
+        calls["n"] += 1
+        out = real(*args, **kwargs)
+        return out.at[:, -1].set(1.0)
+
+    monkeypatch.setattr(bm25_ops, "fused_search_extract", always_unsafe)
+    ex = SparseSearchEngine(
+        index,
+        batch_sizes=(12,),
+        cache_queries=False,
+        head_backend="pallas",
+        narrow_m=8,
+        narrow_backend="extract",
+        score_chunk_rows=4096,
+    )
+    r_ex = ex.search(queries, top_k=10)
+    std = SparseSearchEngine(
+        index, batch_sizes=(12,), cache_queries=False,
+        score_chunk_rows=4096,
+    )
+    assert calls["n"] > 0, "extract kernel was never invoked"
+    assert r_ex == std.search(queries, top_k=10)

@@ -59,6 +59,12 @@ QUEUE = [
     ("narrow1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
                         "--head-dtype", "int8", "--narrow-m", "8",
                         "--note", "narrowed-selection-1M"]),
+    # Chunked-extract at 1M docs: the per-chunk (B, Rc) score write —
+    # ~8 GB of HBM traffic per pass at B=2048 — never happens.
+    ("extract1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
+                         "--head-dtype", "int8", "--narrow-m", "8",
+                         "--narrow-backend", "extract",
+                         "--note", "chunked-extract-1M"]),
     # 5M x F=4096 int4 head = ~10.3 GiB HBM; cap score chunks at 500k
     # rows (~4 GiB at B=2048) to stay under the 16 GB line.
     ("scale5m", 7200, [PY, "tools/bench_scaling.py", "--docs", "5000000",
