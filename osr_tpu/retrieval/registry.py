@@ -48,6 +48,10 @@ class SparseRetriever:
         head_dtype: str = "int8",  # 'int4' halves head HBM (test_int4.py)
         cache_dir: Optional[str] = ".rag_cache",
         cache_matrices: bool = True,
+        topk_mode: str = "exact",
+        narrow_m: int = 0,
+        narrow_backend: str = "xla",
+        score_chunk_rows: Optional[int] = None,
         **_: Any,
     ):
         self.method = method
@@ -58,6 +62,14 @@ class SparseRetriever:
         )
         self.cache_dir = cache_dir if cache_matrices else None
         self.index = None
+        # Engine tuning reachable from YAML retriever params (exact vs
+        # approx top-k, narrowed/extract selection, score chunking).
+        self._engine_kwargs = dict(
+            topk_mode=topk_mode,
+            narrow_m=narrow_m,
+            narrow_backend=narrow_backend,
+            score_chunk_rows=score_chunk_rows,
+        )
         self.engine: Optional[SparseSearchEngine] = None
 
     def build_index_from_corpus(self, corpus: Mapping[str, Any]) -> None:
@@ -67,7 +79,7 @@ class SparseRetriever:
             self.index = load_or_build(self.builder, corpus, self.cache_dir)
         else:
             self.index = self.builder.build(corpus)
-        self.engine = SparseSearchEngine(self.index)
+        self.engine = SparseSearchEngine(self.index, **self._engine_kwargs)
 
     def search(
         self, queries: Mapping[str, str], top_k: int = 10
