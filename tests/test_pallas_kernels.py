@@ -466,3 +466,34 @@ def test_engine_extract_chunked_unsafe_flag_falls_back(monkeypatch):
     )
     assert calls["n"] > 0, "extract kernel was never invoked"
     assert r_ex == std.search(queries, top_k=10)
+
+
+def test_engine_extract_backend_int4_head(monkeypatch):
+    """extract backend over an int4-packed head (flat AND chunked) must
+    match the standard int4 engine dict-for-dict."""
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.retrieval.engine import SparseSearchEngine
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(10_000, 20_000, avg_len=60, word_prefix="t")
+    queries = gen.queries(16, 20_000, avg_terms=8, word_prefix="t")
+    index = SparseIndexBuilder(method="bm25", head_dtype="int4").build(corpus)
+
+    std = SparseSearchEngine(index, batch_sizes=(16,), cache_queries=False)
+    want = std.search(queries, top_k=10)
+    for chunk_rows in (None, 4096):
+        ex = SparseSearchEngine(
+            index,
+            batch_sizes=(16,),
+            cache_queries=False,
+            head_backend="pallas",
+            narrow_m=8,
+            narrow_backend="extract",
+            score_chunk_rows=chunk_rows,
+        )
+        if chunk_rows:
+            assert ex._use_extract_chunked(10)
+        else:
+            assert ex._use_extract(10)
+        assert ex.search(queries, top_k=10) == want, f"chunk={chunk_rows}"
