@@ -102,7 +102,14 @@ def build_dataset(root: Path, chunks, num_queries: int, mode: str = "quote"):
     mode='sample': 6 distinct content words (>=4 chars) drawn at random
     from across the whole chunk — a different lexical regime (no phrase
     adjacency, but rarer terms: measured EASIER than quotes, nDCG@10
-    0.975 vs 0.927 — rare words pin the source chunk precisely)."""
+    0.975 vs 0.927 — rare words pin the source chunk precisely).
+    mode='noisy': 4 consecutive source words + 2 content words from a
+    DIFFERENT random chunk — the hard regime: the source no longer
+    contains every query token, the confounder chunk genuinely matches
+    a third of the query, so ranking lands well off the ceiling and the
+    osr-vs-reference delta is measured where scorers can actually
+    disagree. Grade-1 all-token near-dups are usually empty here; the
+    source stays grade 2."""
     from osr_tpu.index.tokenizer import tokenize
 
     root.mkdir(parents=True, exist_ok=True)
@@ -146,6 +153,23 @@ def build_dataset(root: Path, chunks, num_queries: int, mode: str = "quote"):
                     continue
                 picks = rng.choice(len(content), size=6, replace=False)
                 quote = " ".join(content[p] for p in picks)
+            elif mode == "noisy":
+                start = int(rng.randint(0, len(words) - 4))
+                quote4 = words[start : start + 4]
+                other = int(rng.randint(len(chunks)))
+                if other == src:
+                    continue
+                noise_pool = sorted(
+                    {
+                        w
+                        for w in (t.lower() for t in chunks[other].split())
+                        if len(w) >= 4
+                    }
+                )
+                if len(noise_pool) < 2:
+                    continue
+                npick = rng.choice(len(noise_pool), size=2, replace=False)
+                quote = " ".join(quote4 + [noise_pool[p] for p in npick])
             else:
                 start = int(rng.randint(0, len(words) - 6))
                 quote = " ".join(words[start : start + 6])
@@ -158,13 +182,24 @@ def build_dataset(root: Path, chunks, num_queries: int, mode: str = "quote"):
                 cands = s.copy() if cands is None else (cands & s)
                 if not cands:
                     break
-            if not cands or src not in cands or len(cands) > MAX_GRADE1:
+            if mode == "noisy":
+                # The source need not contain the noise tokens; it must
+                # contain the 4-word quote. All-token chunks (rare) stay
+                # grade 1; the query is rejected only when the quote part
+                # is degenerate or the all-token set is boilerplate-wide.
+                if not set(tokenize(" ".join(quote4))) <= chunk_toks[src]:
+                    continue
+                cands = cands or set()
+                if len(cands) > MAX_GRADE1:
+                    continue
+            elif not cands or src not in cands or len(cands) > MAX_GRADE1:
                 continue
             fq.write(json.dumps({"_id": f"q{made}", "text": quote}) + "\n")
             ft.write(f"q{made}\tp{src}\t2\n")
-            for c in sorted(cands - {src}):
+            grade1 = sorted(cands - {src})
+            for c in grade1:
                 ft.write(f"q{made}\tp{c}\t1\n")
-            grade1_total += len(cands) - 1
+            grade1_total += len(grade1)
             made += 1
     return made, grade1_total
 
@@ -176,11 +211,19 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--skip-reference", action="store_true")
     ap.add_argument(
+        "--f32-control",
+        action="store_true",
+        help="also run the engine with an f32 (unquantized) head to "
+        "attribute any reference delta to int8 near-tie flips",
+    )
+    ap.add_argument(
         "--query-mode",
         default="quote",
-        choices=("quote", "sample"),
+        choices=("quote", "sample", "noisy"),
         help="quote = 6-word verbatim phrases; sample = 6 content "
-        "words drawn across the chunk (a second lexical regime)",
+        "words drawn across the chunk (a second lexical regime); "
+        "noisy = 4 source words + 2 confounder words from another "
+        "chunk (the hard off-ceiling regime)",
     )
     args = ap.parse_args()
 
@@ -236,6 +279,23 @@ def main():
             out_dir=Path(td) / "reports",
             top_k=100,
         )
+        ours_f32 = None
+        if args.f32_control:
+            # Control for off-ceiling regimes: the engine's default int8
+            # head quantization flips near-ties; the f32 head isolates
+            # quantization's contribution to any osr-vs-reference delta.
+            ours_f32 = run_quality_benchmark(
+                ds,
+                methods=("bm25_custom",),
+                out_dir=Path(td) / "reports_f32",
+                top_k=100,
+                method_params={
+                    "bm25_custom": {
+                        "head_dtype": "f32",
+                        "cache_matrices": False,
+                    }
+                },
+            )
         ref = None
         if not args.skip_reference:
             spec = importlib.util.spec_from_file_location(
@@ -258,12 +318,14 @@ def main():
         if k.split("@")[0] in ("ndcg", "map", "recall", "p")
         or k in ("qps", "build_s", "method")
     }
-    qdesc = (
-        "6-word verbatim quote queries"
-        if args.query_mode == "quote"
-        else "6 content words (>=4 chars) sampled across the chunk "
-        "(second lexical regime: no phrase adjacency, rarer terms)"
-    )
+    qdesc = {
+        "quote": "6-word verbatim quote queries",
+        "sample": "6 content words (>=4 chars) sampled across the chunk "
+        "(second lexical regime: no phrase adjacency, rarer terms)",
+        "noisy": "4 consecutive source words + 2 content words from a "
+        "different random chunk (hard regime: source lacks a third of "
+        "the query; ranking lands well off the ceiling)",
+    }[args.query_mode]
     at_scale = {
         "dataset": "48-word/stride-24 chunks of all offline .md/.rst/.txt "
         f"prose (site-packages + python stdlib + reference repo); {qdesc}; "
@@ -276,18 +338,30 @@ def main():
         "osr_tpu": {m: keep(s) for m, s in ours.items()},
         "reference": ref,
     }
+    if ours_f32:
+        at_scale["osr_tpu_f32head"] = {
+            m: keep(s) for m, s in ours_f32.items()
+        }
     bm = at_scale["osr_tpu"].get("bm25_custom", {})
     if ref and "ndcg@10" in bm and "ndcg@10" in ref:
         at_scale["ndcg10_delta_osr_minus_ref"] = round(
             bm["ndcg@10"] - ref["ndcg@10"], 4
         )
-    section = (
-        "at_scale" if args.query_mode == "quote" else "at_scale_sampled"
-    )
+        f32bm = at_scale.get("osr_tpu_f32head", {}).get("bm25_custom", {})
+        if "ndcg@10" in f32bm:
+            at_scale["ndcg10_delta_f32head_minus_ref"] = round(
+                f32bm["ndcg@10"] - ref["ndcg@10"], 4
+            )
+    section = {
+        "quote": "at_scale",
+        "sample": "at_scale_sampled",
+        "noisy": "at_scale_noisy",
+    }[args.query_mode]
     artifact = {
         "version": 2,
         "at_scale": existing.get("at_scale"),
         "at_scale_sampled": existing.get("at_scale_sampled"),
+        "at_scale_noisy": existing.get("at_scale_noisy"),
         "small_fixture": prior,
     }
     artifact[section] = at_scale

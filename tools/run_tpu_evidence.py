@@ -50,6 +50,8 @@ QUEUE = [
     ("quality", 3600, [PY, "tools/bench_quality_at_scale.py"]),
     ("quality_sampled", 3600, [PY, "tools/bench_quality_at_scale.py",
                                "--query-mode", "sample"]),
+    ("quality_noisy", 3600, [PY, "tools/bench_quality_at_scale.py",
+                             "--query-mode", "noisy", "--f32-control"]),
     ("dense_scale", 3600, [PY, "tools/bench_dense_scale.py",
                            "--docs", "1000000"]),
     ("warm1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
