@@ -114,7 +114,16 @@ def main(argv=None) -> int:  # CLI: python -m osr_tpu.benchmarks.integration
         "--suites", nargs="*", choices=list(ALL_SUITES.keys()), default=None
     )
     parser.add_argument("--config", help="YAML benchmark config")
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (no accelerator required)",
+    )
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.config:
         cfg = load_benchmark_config(args.config)
         np.random.seed(cfg["seed"])
