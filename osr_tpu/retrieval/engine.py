@@ -55,7 +55,10 @@ from osr_tpu.ops.bm25 import (
 
 logger = logging.getLogger(__name__)
 
-DEFAULT_BATCH_SIZES = (8, 32, 128)
+# The 512 bucket matters on remote-TPU links: a fixed ~30 ms per
+# transfer means a 512-query workload pays 1 round trip instead of 4.
+# Each bucket compiles once per machine (persistent compilation cache).
+DEFAULT_BATCH_SIZES = (8, 32, 128, 512)
 
 
 # Auto row-chunking engages when the (B_max, R) f32 score matrix would
