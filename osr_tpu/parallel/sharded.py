@@ -223,7 +223,7 @@ class ShardedSparseSearchEngine:
         self,
         index: SparseIndex,
         mesh: Mesh,
-        batch_sizes: Sequence[int] = (8, 32, 128),
+        batch_sizes: Sequence[int] = (8, 32, 128, 512),
         topk_mode: str = "exact",  # 'approx' uses lax.approx_max_k
         head_backend: str = "auto",  # 'xla' | 'pallas' | 'auto'
         cache_queries: bool = True,
@@ -726,7 +726,7 @@ class ShardedHybridEngine:
         dense_weight: float = 0.7,
         fusion_depth: int = 100,
         query_embedding_fn=None,
-        batch_sizes: Sequence[int] = (8, 32, 128),
+        batch_sizes: Sequence[int] = (8, 32, 128, 512),
         quantization: str = "symmetric",
         head_backend: str = "auto",
         dense_backend: str = "xla",
