@@ -167,6 +167,12 @@ class _CacheReader:
             return v
         zk = f"zst_{key}"
         if zk in z.files:
+            if _zstd is None:  # pragma: no cover - environment dependent
+                raise ValueError(
+                    "index cache is zstd-packed (v4) but the zstandard "
+                    "module is unavailable; rebuild the index or install "
+                    "zstandard"
+                )
             meta = json.loads(str(z[f"zstmeta_{key}"]))
             raw = _zstd.ZstdDecompressor().decompress(
                 z[zk].tobytes(),

@@ -223,7 +223,7 @@ class ShardedSparseSearchEngine:
         self,
         index: SparseIndex,
         mesh: Mesh,
-        batch_sizes: Sequence[int] = (8, 32, 128, 512),
+        batch_sizes: Sequence[int] = (8, 32, 128, 256, 512),
         topk_mode: str = "exact",  # 'approx' uses lax.approx_max_k
         head_backend: str = "auto",  # 'xla' | 'pallas' | 'auto'
         cache_queries: bool = True,
@@ -726,7 +726,7 @@ class ShardedHybridEngine:
         dense_weight: float = 0.7,
         fusion_depth: int = 100,
         query_embedding_fn=None,
-        batch_sizes: Sequence[int] = (8, 32, 128, 512),
+        batch_sizes: Sequence[int] = (8, 32, 128, 256, 512),
         quantization: str = "symmetric",
         head_backend: str = "auto",
         dense_backend: str = "xla",
@@ -776,7 +776,14 @@ class ShardedHybridEngine:
             else:
                 results[qid] = {}
 
-        doc_ids = sp.index.doc_ids
+        from osr_tpu.retrieval.results import as_object_names
+
+        # O(N) object-array build once per ENGINE, not per batch.
+        doc_ids = getattr(self, "_doc_names", None)
+        if doc_ids is None or len(doc_ids) != len(sp.index.doc_ids):
+            doc_ids = self._doc_names = as_object_names(
+                sp.index.doc_ids
+            )
         depth = self.fusion_depth
         max_b = sp.batch_sizes[-1]
         for i in range(0, len(pending), max_b):

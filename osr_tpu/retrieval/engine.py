@@ -55,10 +55,13 @@ from osr_tpu.ops.bm25 import (
 
 logger = logging.getLogger(__name__)
 
-# The 512 bucket matters on remote-TPU links: a fixed ~30 ms per
+# The 256/512 buckets matter on remote-TPU links: a fixed ~30 ms per
 # transfer means a 512-query workload pays 1 round trip instead of 4.
-# Each bucket compiles once per machine (persistent compilation cache).
-DEFAULT_BATCH_SIZES = (8, 32, 128, 512)
+# The 256 step bounds padded device work at 2x for any workload size
+# (129 queries pad to 256, not 512 — the head matmul scales with padded
+# B, which dominates at 1M+ docs where a pass far exceeds the 30 ms
+# round trip). Each bucket compiles once per machine (persistent cache).
+DEFAULT_BATCH_SIZES = (8, 32, 128, 256, 512)
 
 
 # Auto row-chunking engages when the (B_max, R) f32 score matrix would
@@ -394,11 +397,11 @@ class SparseSearchEngine:
             and self.head_backend == "pallas"
         ):
             return False
-        return any(
-            h.shape[0] >= 4096
-            and h.shape[0] // 128 > 2 * min(top_k, h.shape[0])
-            for h, _ in self._dev.chunks
-        )
+        # Chunk sizes are equalized (every chunk padded to one shared
+        # shape — see _DeviceIndex), so one chunk's floor check covers
+        # them all.
+        rc = self._dev.chunks[0][0].shape[0]
+        return rc >= 4096 and rc // 128 > 2 * min(top_k, rc)
 
     def _dispatch_chunked(
         self,
@@ -410,11 +413,13 @@ class SparseSearchEngine:
         """Chunked scoring: one fused dispatch per row chunk (equal
         shapes — ONE compile) + a device-side merge, so the score matrix
         never exists at full R and only one packed result crosses the
-        tunnel. With ``extract=True``, chunks large enough for the
-        extraction kernel skip the (B, Rc) score write entirely and the
-        result carries a trailing tie-safety flag column (max over
-        chunks; finish_batch re-dispatches the standard chunked program
-        when it is set)."""
+        tunnel. With ``extract=True`` (callers gate on
+        :meth:`_use_extract_chunked`; chunk shapes are equalized, so the
+        kernel floor holds for every chunk when it holds for one), the
+        extraction kernel skips each chunk's (B, Rc) score write
+        entirely and the result carries a trailing tie-safety flag
+        column (max over chunks; finish_batch re-dispatches the
+        standard chunked program when it is set)."""
         from osr_tpu.ops.bm25 import (
             fused_search_extract,
             merge_packed_chunks,
@@ -423,12 +428,7 @@ class SparseSearchEngine:
         d = self._dev
         interp = getattr(self.device, "platform", "") != "tpu"
         if std_backend is None:
-            # Small-chunk / fallback dispatches can't run the
-            # non-interpret Mosaic head off-TPU; the XLA chain is
-            # numerically identical (tests/test_pallas_kernels.py).
-            std_backend = (
-                "xla" if (extract and interp) else self.head_backend
-            )
+            std_backend = self.head_backend
         packeds = []
         flags = []
         for head_c, valid_c in d.chunks:
@@ -441,12 +441,7 @@ class SparseSearchEngine:
                 # device executes serially anyway; cost is one
                 # dispatch round-trip per extra chunk).
                 packeds[-1].block_until_ready()
-            rc = head_c.shape[0]
-            if (
-                extract
-                and rc >= 4096
-                and rc // 128 > 2 * min(top_k, rc)
-            ):
+            if extract:
                 px = fused_search_extract(
                     packed_q,
                     head_c,
@@ -478,10 +473,7 @@ class SparseSearchEngine:
         merged = merge_packed_chunks(jnp.stack(packeds), d.chunk_bases)
         if not extract:
             return merged
-        if flags:
-            flag = jnp.max(jnp.stack(flags, axis=0), axis=0)[:, None]
-        else:  # every chunk fell below the kernel floor
-            flag = jnp.zeros((merged.shape[0], 1), jnp.float32)
+        flag = jnp.max(jnp.stack(flags, axis=0), axis=0)[:, None]
         return jnp.concatenate([merged, flag], axis=1)
 
     def search_encoded_device(self, enc: EncodedBatch, top_k: int):

@@ -339,7 +339,10 @@ class HybridRetriever:
 
         from osr_tpu.retrieval.pipeline_util import run_pipelined
 
-        doc_ids = self.sparse.engine.index.doc_ids
+        # Object-dtype once per search, not per batch: rebuilding the
+        # O(N) name array inside collect() would cost tens of ms per
+        # batch at 1M docs (the sparse engine caches the same array).
+        doc_ids = self.sparse.engine._doc_ids_object()
         depth = self.fusion_depth
 
         def dispatch(chunk):

@@ -46,9 +46,12 @@ logger = logging.getLogger(__name__)
 
 MAGIC = b"OSRD"
 VERSION = 2  # v2 adds FLAG_BINARY payloads; v1 files (JSON-only) still read
-VERSION_DICT = 3  # v3 footer = {"docs": ..., "zdict": base64} (trained
-# zstd dictionary persisted with the store; written only when one exists,
-# so dict-less stores stay byte-compatible with v2 readers)
+VERSION_DICT = 3  # v3 footer = {"docs": ..., "zdict": base64|None,
+# "codec": ...}. Written whenever the store is zstd-flavored — a trained
+# dictionary exists, the configured codec is zstd, or ANY record carries
+# FLAG_ZSTD — so a pre-zstd v2 reader fails loudly on its version gate
+# instead of silently struct-unpacking zstd frames as raw records.
+# Plain-zlib stores keep writing v2 flat footers, byte-compatible.
 HEADER_FMT = "<4sIQ"  # magic, version, footer offset
 HEADER_SIZE = struct.calcsize(HEADER_FMT)
 ALIGN = 16
@@ -344,11 +347,30 @@ class DocumentStore:
                     # The file's persisted dictionary is authoritative:
                     # its frames reference this dict's id.
                     self._set_zdict(base64.b64decode(parsed["zdict"]))
-                    self._make_compressor()
+                # The persisted codec wins on reopen (a reopened
+                # dict-trained store must keep appending zstd frames, and
+                # a no-arg optimize() must preserve them); convert with
+                # optimize(codec=...). Degrade to zlib appends if the
+                # zstandard module has gone missing.
+                file_codec = parsed.get("codec")
+                if file_codec in ("zlib", "zstd"):
+                    if file_codec == "zstd" and _zstd is None:
+                        logger.warning(  # pragma: no cover - env
+                            "store %s is zstd-flavored but zstandard is "
+                            "unavailable; appends fall back to zlib "
+                            "(existing zstd records will fail to read)",
+                            self.path,
+                        )
+                    else:
+                        self.codec = file_codec
+                self._make_compressor()
             else:
                 self._index = parsed
         else:
             self._index = {}
+        self._has_zstd_records = any(
+            e[3] & FLAG_ZSTD for e in self._index.values()
+        )
         self._footer_off = footer_off
         self._remap()
 
@@ -400,22 +422,33 @@ class DocumentStore:
                         pos += pad
                     self._file.write(payload)
                     self._index[doc.id] = [pos, len(payload), raw_len, flags]
+                    if flags & FLAG_ZSTD:
+                        self._has_zstd_records = True
                     # A re-added id supersedes any cached copy.
                     self.cache.discard(doc.id)
                     pos += len(payload)
                     count += 1
             finally:
-                if self._zdict_bytes is not None:
+                if (
+                    self._zdict_bytes is not None
+                    or self.codec == "zstd"
+                    or self._has_zstd_records
+                ):
                     import base64
 
                     version = VERSION_DICT
                     footer_obj: object = {
                         "docs": self._index,
-                        "zdict": base64.b64encode(
-                            self._zdict_bytes
-                        ).decode("ascii"),
+                        "zdict": (
+                            base64.b64encode(self._zdict_bytes).decode(
+                                "ascii"
+                            )
+                            if self._zdict_bytes is not None
+                            else None
+                        ),
+                        "codec": self.codec,
                     }
-                else:  # dict-less stores stay byte-compatible with v2
+                else:  # plain-zlib stores stay byte-compatible with v2
                     version = VERSION
                     footer_obj = self._index
                 footer = zlib.compress(json.dumps(footer_obj).encode())

@@ -393,8 +393,8 @@ def test_dense_engine_int4_pallas_matches_xla():
 def test_engine_extract_backend_matches_standard_chunked():
     """Chunked scoring with narrow_backend='extract': per-chunk Mosaic
     top-m extraction (score matrix never at full Rc) must match the
-    standard chunked engine dict-for-dict. The chunk plan mixes one
-    below-floor chunk, exercising the per-chunk standard fallback."""
+    standard chunked engine dict-for-dict. Chunk shapes are equalized
+    by _DeviceIndex, so every chunk takes the extract kernel here."""
     from osr_tpu.index.builder import SparseIndexBuilder
     from osr_tpu.retrieval.engine import SparseSearchEngine
     from osr_tpu.testing import SyntheticDataGenerator
@@ -497,3 +497,44 @@ def test_engine_extract_backend_int4_head(monkeypatch):
         else:
             assert ex._use_extract(10)
         assert ex.search(queries, top_k=10) == want, f"chunk={chunk_rows}"
+
+
+def test_engine_extract_chunked_below_floor_uses_standard_path():
+    """When the equalized chunk size is below the extraction kernel's
+    shape floor, _use_extract_chunked must decline and the engine must
+    fall through to the standard chunked program (still correct)."""
+    from osr_tpu.index.builder import SparseIndexBuilder
+    from osr_tpu.retrieval.engine import SparseSearchEngine
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(10_000, 20_000, avg_len=60, word_prefix="t")
+    queries = gen.queries(12, 20_000, avg_terms=8, word_prefix="t")
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+
+    ex = SparseSearchEngine(
+        index,
+        batch_sizes=(12,),
+        cache_queries=False,
+        head_backend="pallas",
+        narrow_m=8,
+        narrow_backend="extract",
+        score_chunk_rows=2048,
+    )
+    assert ex._dev.chunks is not None
+    assert ex._dev.chunks[0][0].shape[0] < 4096
+    # The floor declines (all chunks equalized below 4096 rows), so the
+    # engine would take the standard chunked program — which on CPU
+    # cannot run the non-interpret Mosaic head; on TPU it just works.
+    assert not ex._use_extract_chunked(10)
+    # Correctness of the declined path at this chunking, CPU backend:
+    auto = SparseSearchEngine(
+        index, batch_sizes=(12,), cache_queries=False,
+        narrow_m=8, narrow_backend="extract", score_chunk_rows=2048,
+    )
+    assert not auto._use_extract_chunked(10)  # auto backend = xla on CPU
+    std = SparseSearchEngine(
+        index, batch_sizes=(12,), cache_queries=False,
+        score_chunk_rows=2048,
+    )
+    assert auto.search(queries, top_k=10) == std.search(queries, top_k=10)

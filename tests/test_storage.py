@@ -401,3 +401,49 @@ def test_doc_store_zstd_dict_optimize(tmp_path):
     assert store2.get_stats()["codec"] == "zlib"
     assert store2.get_document("p321").text == docs[321].text
     store2.close()
+
+
+def test_doc_store_zstd_codec_and_dict_survive_reopen(tmp_path):
+    """Code-review regression: the persisted codec must win on reopen —
+    appends keep writing zstd, and a no-arg optimize() must NOT silently
+    recompress everything back to zlib / drop the trained dictionary."""
+    pytest.importorskip("zstandard")
+    path = tmp_path / "r.osrd"
+    docs = _prose_docs(300)
+    store = DocumentStore(path, create=True)
+    store.add_documents(docs)
+    store.optimize(train_dict=True)
+    ratio_dict = store.get_stats()["compression_ratio"]
+    store.close()
+
+    again = DocumentStore(path)  # default codec arg
+    assert again.codec == "zstd"
+    assert again._zdict_bytes is not None
+    again.add_documents([Document(id="late", text=docs[0].text)])
+    assert again._index["late"][3] & 4  # FLAG_ZSTD: dict compressor used
+    again.optimize()  # no-arg compaction keeps the zstd dictionary
+    stats = again.get_stats()
+    assert stats["codec"] == "zstd"
+    assert stats["compression_ratio"] >= ratio_dict * 0.95
+    assert again.get_document("p123").text == docs[123].text
+    again.close()
+
+
+def test_doc_store_plain_zstd_store_is_version_gated(tmp_path):
+    """A dict-less zstd store must carry the v3 header so pre-zstd v2
+    readers fail loudly instead of misparsing zstd frames."""
+    pytest.importorskip("zstandard")
+    import struct
+
+    path = tmp_path / "g.osrd"
+    store = DocumentStore(path, create=True, codec="zstd")
+    store.add_documents(_prose_docs(20))
+    store.close()
+    with open(path, "rb") as f:
+        magic, version, _ = struct.unpack("<4sIQ", f.read(16))
+    assert magic == b"OSRD" and version == 3
+    # and it reopens with the zstd codec adopted from the footer
+    again = DocumentStore(path)
+    assert again.codec == "zstd"
+    assert len(again) == 20
+    again.close()
