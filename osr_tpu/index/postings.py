@@ -239,6 +239,64 @@ def _bf16(x: np.ndarray) -> np.ndarray:
     return x.astype(ml_dtypes.bfloat16).astype(np.float32)
 
 
+def prepare_host_merge(layout, want_head_t: bool = True):
+    """Host-side state for the exact candidate merge, shared by the flat
+    and sharded engines: the host head view (int4 unpacked once to the
+    same int8 values the device sees), an optional term-major int8 copy
+    for the streaming candidate scorer, and the per-head-term slack bound
+    for the merge prefilter (see :func:`merge_tau_slack`).
+
+    Returns ``(host_head, host_head_dtype, head_t, slack_per_term)``.
+    """
+    host_head = layout.head
+    host_head_dtype = layout.head_dtype
+    if layout.head_dtype == "int4":
+        from osr_tpu.index.layout import unpack_int4
+
+        # Host DRAM is not the scarce resource — the int4 layout halves
+        # HBM; decoded values ARE the int8 values the device matmul
+        # sees, so the merge numerics stay consistent.
+        host_head = unpack_int4(layout.head, layout.head_terms)
+        host_head_dtype = "int8"
+    head_t = None
+    if want_head_t and host_head_dtype == "int8":
+        try:
+            from osr_tpu.native import transpose_i8_native
+
+            head_t = transpose_i8_native(host_head)
+        except ImportError:
+            pass
+    # Per-head-term slack for the merge prefilter: an upper bound on the
+    # per-term device/host head-dot discrepancy. The device rounds each
+    # scaled query weight to bf16 (half-ulp = 2^-8) and both sides
+    # accumulate F f32 terms; head terms can mix signs, so the bound
+    # scales with max|w| * scale per term, never with the score.
+    ht = max(int(layout.head_terms), 1)
+    if host_head_dtype == "int8":
+        rel = 2.0**-8 + 4.0 * ht * 2.0**-24
+        wmax = 15.0 if layout.head_dtype == "int4" else 127.0
+        slack = (
+            rel * wmax * np.asarray(layout.head_scales, np.float32)
+        ).astype(np.float32)
+    else:
+        # bf16/f32 heads: same stored values on both sides; device error
+        # is bf16 products (bf16 mode) or f32 HIGHEST (f32 mode).
+        rel = (
+            2.0**-8 + 4.0 * ht * 2.0**-24
+            if host_head_dtype == "bf16"
+            else 2.0**-22 + 4.0 * ht * 2.0**-24
+        )
+        # Column-wise max|w| in row blocks: a full f32 copy of the head
+        # would transiently cost 2 * R*F*4 bytes (tens of GB at 1M+
+        # docs) just to reduce to an (F,) vector.
+        hmax = np.zeros(host_head.shape[1], dtype=np.float32)
+        for lo in range(0, host_head.shape[0], 65536):
+            blk = np.abs(host_head[lo : lo + 65536].astype(np.float32))
+            np.maximum(hmax, blk.max(axis=0, initial=0.0), out=hmax)
+        slack = (rel * hmax).astype(np.float32)
+    return host_head, host_head_dtype, head_t, slack
+
+
 def merge_tau_slack(
     slack_per_term: np.ndarray,  # (F,) f32 per-head-term error bound
     head_flat_ids: np.ndarray,  # (Nh,) int32 per-query head terms, flat

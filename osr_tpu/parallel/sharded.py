@@ -208,6 +208,81 @@ def sharded_search(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "head_terms", "k", "narrow_m", "interpret"),
+)
+def sharded_search_extract(
+    q_head_ids: jax.Array,  # (B, Q) int32, sharded over q
+    q_head_weights: jax.Array,  # (B, Q) float32, sharded over q
+    head: jax.Array,  # (R_padded, F), sharded over d
+    head_scales,  # (F,) f32 or None, replicated
+    valid: jax.Array,  # (R_padded,) bool, sharded over d
+    *,
+    mesh: Mesh,
+    head_terms: int,
+    k: int,
+    narrow_m: int = 8,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Extract-mode sharded step for the HOST-merge path: per-shard fused
+    matmul + per-block top-m extraction (the local (B_local, R_local)
+    score matrix never exists in HBM), exact local top-k from the
+    (B, G, m) candidates, all-gather merge over ICI, and a pmax-combined
+    tie-safety flag as a (B, 1) f32 column. Candidate head scores are
+    computed host-side by the caller (postings.prepare_host_merge) —
+    there is no score matrix left to gather from, which is the point.
+    When the flag is nonzero the caller re-dispatches the standard
+    :func:`sharded_search` program (exactness contract as in the flat
+    engine's extract path — ops/bm25.py:fused_search_extract)."""
+    r_padded = head.shape[0]
+    n_d = mesh.shape[DOC_AXIS]
+
+    def local(qt, qwts, head_l, scales, valid_l):
+        from osr_tpu.ops.pallas.head import masked_head_blocktopm
+        from osr_tpu.ops.topk import blocktopm_topk
+
+        rows_local = r_padded // n_d
+        qhead = scatter_query_head(qt, qwts, head_terms=head_terms)
+        vals, rows = masked_head_blocktopm(
+            head_l, scales, qhead, valid_l, m=narrow_m, interpret=interpret
+        )
+        kk = min(k, rows_local)
+        top, top_rows, unsafe = blocktopm_topk(vals, rows, k=kk)
+        ids = top_rows + lax.axis_index(DOC_AXIS) * rows_local
+        s_all = lax.all_gather(top, DOC_AXIS, axis=1, tiled=True)
+        i_all = lax.all_gather(ids, DOC_AXIS, axis=1, tiled=True)
+        kk2 = min(k, s_all.shape[1])
+        tops, pos = lax.top_k(s_all, kk2)
+        tids = jnp.take_along_axis(i_all, pos, axis=1)
+        flag = lax.pmax(
+            unsafe.astype(jnp.float32), (DOC_AXIS, QUERY_AXIS)
+        )
+        return (
+            tops,
+            tids,
+            jnp.broadcast_to(flag[None, None], (tops.shape[0], 1)),
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(QUERY_AXIS, None),
+            P(QUERY_AXIS, None),
+            P(DOC_AXIS, None),
+            P(),
+            P(DOC_AXIS),
+        ),
+        out_specs=(
+            P(QUERY_AXIS, None),
+            P(QUERY_AXIS, None),
+            P(QUERY_AXIS, None),
+        ),
+        check_vma=False,
+    )(q_head_ids, q_head_weights, head, head_scales, valid)
+
+
 class ShardedSparseSearchEngine:
     """Document-sharded, query-data-parallel BM25/TF-IDF search.
 
@@ -230,6 +305,7 @@ class ShardedSparseSearchEngine:
         query_cache_limit: int = 1000,
         pallas_interpret: bool = False,  # CPU-mesh tests of the kernels
         narrow_m: int = 0,  # per-block top-m narrowing; 0 = full-width
+        narrow_backend: str = "xla",  # 'extract' = Mosaic top-m kernel
     ):
         from osr_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -237,6 +313,9 @@ class ShardedSparseSearchEngine:
         self.index = index
         self.mesh = mesh
         self.narrow_m = int(narrow_m)
+        if narrow_backend not in ("xla", "extract"):
+            raise ValueError(f"Unknown narrow_backend: {narrow_backend}")
+        self.narrow_backend = narrow_backend
         self.n_q = mesh.shape[QUERY_AXIS]
         n_d = mesh.shape[DOC_AXIS]
         self.batch_sizes = tuple(
@@ -315,6 +394,28 @@ class ShardedSparseSearchEngine:
         ] = ({} if cache_queries else None)
         self._cache_limit = query_cache_limit
         self._cache_lock = threading.RLock()
+        # Extract mode computes candidate head scores HOST-side (there is
+        # no device score matrix to gather from); prepare the shared
+        # host-merge state only when that mode can actually engage.
+        self._host_merge = None
+        if self.narrow_backend == "extract" and self.narrow_m > 0:
+            from osr_tpu.index.postings import prepare_host_merge
+
+            self._host_merge = prepare_host_merge(layout, want_head_t=True)
+
+    def _use_extract(self, top_k: int) -> bool:
+        """Same applicability rule as the flat engine's extract path,
+        evaluated on the LOCAL shard size."""
+        if not (
+            self.narrow_backend == "extract"
+            and self.narrow_m > 0
+            and self.topk_mode == "exact"
+            and self.head_backend == "pallas"
+        ):
+            return False
+        rows_local = self.r_padded // self.mesh.shape[DOC_AXIS]
+        kk = min(top_k, rows_local)
+        return rows_local >= 4096 and rows_local // 128 > 2 * kk
 
     def encode_queries(self, texts: Sequence[str]) -> EncodedBatch:
         from osr_tpu.retrieval.encoding import pick_batch_size
@@ -346,9 +447,49 @@ class ShardedSparseSearchEngine:
             num_rows=layout.num_rows,
             pad_to_menu=True,
         )
+        q_ids = jax.device_put(enc.head_ids, self._qshard)
+        q_wts = jax.device_put(enc.head_weights, self._qshard)
+        if self._use_extract(top_k):
+            from osr_tpu.index.postings import (
+                cand_head_scores_host,
+                merge_tau_slack,
+            )
+
+            out = sharded_search_extract(
+                q_ids,
+                q_wts,
+                self._head,
+                self._scales,
+                self._valid,
+                mesh=self.mesh,
+                head_terms=layout.head_terms,
+                k=top_k,
+                narrow_m=self.narrow_m,
+                interpret=self.pallas_interpret,
+            )
+            host_head, host_dtype, head_t, slack = self._host_merge
+            cand_head = cand_head_scores_host(
+                host_head,
+                host_dtype,
+                layout.head_scales,
+                cand,
+                enc.head_flat_ids,
+                enc.head_flat_counts,
+                enc.head_ptr,
+                head_t=head_t,
+            )
+            tau_slack = merge_tau_slack(
+                slack,
+                enc.head_flat_ids,
+                enc.head_flat_counts,
+                enc.head_ptr,
+            )
+            # q arrays ride in the handle for the rare tie-unsafe
+            # fallback re-dispatch of the standard program.
+            return cand, ("extract", out, q_ids, q_wts), cand_head, tau_slack
         out = sharded_search(
-            jax.device_put(enc.head_ids, self._qshard),
-            jax.device_put(enc.head_weights, self._qshard),
+            q_ids,
+            q_wts,
             jax.device_put(cand.rows, self._repl),
             jax.device_put(cand.cols, self._repl),
             self._head,
@@ -362,12 +503,57 @@ class ShardedSparseSearchEngine:
             interpret=self.pallas_interpret,
             narrow_m=self.narrow_m,
         )
-        return cand, out
+        return cand, out, None, None
 
     def finish_batch(
         self, in_flight, top_k: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        cand, (head_s, head_r, cand_head) = in_flight
+        cand, out, cand_head_host, tau_slack = in_flight
+        if isinstance(out, tuple) and out[0] == "extract":
+            _, (tops, tids, flag), q_ids, q_wts = out
+            if float(np.asarray(flag)[0, 0]) != 0.0:
+                # Tie-safety flag (rare): some shard's narrowed candidate
+                # set could miss a true top-k member — re-dispatch the
+                # standard full-width sharded program for this batch.
+                head_s, head_r, cand_head = sharded_search(
+                    q_ids,
+                    q_wts,
+                    jax.device_put(cand.rows, self._repl),
+                    jax.device_put(cand.cols, self._repl),
+                    self._head,
+                    self._scales,
+                    self._valid,
+                    mesh=self.mesh,
+                    head_terms=self.index.layout.head_terms,
+                    k=top_k,
+                    topk_mode=self.topk_mode,
+                    head_backend=self.head_backend,
+                    interpret=self.pallas_interpret,
+                    narrow_m=0,
+                )
+                head_s = np.asarray(head_s)
+                return merge_host(
+                    head_s,
+                    np.asarray(head_r),
+                    cand,
+                    np.asarray(cand_head),
+                    self.index.layout.num_rows,
+                    top_k,
+                    tau_slack=np.zeros(head_s.shape[0], dtype=np.float32),
+                )
+            head_s = np.asarray(tops)
+            return merge_host(
+                head_s,
+                np.asarray(tids),
+                cand,
+                cand_head_host,
+                self.index.layout.num_rows,
+                top_k,
+                # Host-computed candidate head scores: the sound per-query
+                # rounding bound applies (postings.merge_tau_slack).
+                tau_slack=tau_slack,
+            )
+        head_s, head_r, cand_head = out
         head_s = np.asarray(head_s)
         return merge_host(
             head_s,

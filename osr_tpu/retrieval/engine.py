@@ -38,6 +38,7 @@ from osr_tpu.index.postings import (
     dense_tail_scores,
     merge_host,
     merge_tau_slack,
+    prepare_host_merge,
     tail_candidates_flat,
 )
 from osr_tpu.index.tokenizer import Tokenizer
@@ -282,63 +283,17 @@ class SparseSearchEngine:
             row_align=row_align,
             chunk_rows=score_chunk_rows or None,
         )
-        # Host-side head view for the candidate scorer: int4 unpacks ONCE
-        # to int8 on the host (host DRAM is not the scarce resource — the
-        # int4 layout halves HBM; decoded values ARE the int8 values the
-        # device matmul sees, so the merge numerics stay consistent).
-        self._host_head = index.layout.head
-        self._host_head_dtype = index.layout.head_dtype
-        if index.layout.head_dtype == "int4":
-            from osr_tpu.index.layout import unpack_int4
-
-            self._host_head = unpack_int4(
-                index.layout.head, index.layout.head_terms
-            )
-            self._host_head_dtype = "int8"
-        # Term-major host copy of the int8 head for the candidate scorer
-        # (streaming column access; see postings.cand_head_scores_host).
-        self._head_t: Optional[np.ndarray] = None
-        if merge_backend == "host" and self._host_head_dtype == "int8":
-            try:
-                from osr_tpu.native import transpose_i8_native
-
-                self._head_t = transpose_i8_native(self._host_head)
-            except ImportError:
-                pass
-        # Per-head-term slack for the merge prefilter (see
-        # postings.merge_tau_slack): an upper bound on the per-term
-        # device/host head-dot discrepancy. The device rounds each scaled
-        # query weight to bf16 (half-ulp = 2^-8: 8-bit significand — the
-        # rel below carries NO extra margin on this term; the surplus
-        # lives in the 4*ht*2^-24 accumulation bound, which overstates
-        # typical f32 accumulation error by >2x) and both sides accumulate
-        # F f32 terms; head terms can mix signs, so the bound must scale
-        # with max|w| * scale per term, never with the score.
-        ht = max(int(layout0.head_terms), 1)
-        if self._host_head_dtype == "int8":
-            rel = 2.0**-8 + 4.0 * ht * 2.0**-24
-            wmax = 15.0 if layout0.head_dtype == "int4" else 127.0
-            self._slack_per_term = (
-                rel * wmax * np.asarray(layout0.head_scales, np.float32)
-            ).astype(np.float32)
-        else:
-            # bf16/f32 heads: same stored values on both sides; device
-            # error is bf16 products (bf16 mode) or f32 HIGHEST (f32 mode).
-            rel = (
-                2.0**-8 + 4.0 * ht * 2.0**-24
-                if self._host_head_dtype == "bf16"
-                else 2.0**-22 + 4.0 * ht * 2.0**-24
-            )
-            # Column-wise max|w| in row blocks: a full f32 copy of the
-            # head would transiently cost 2 * R*F*4 bytes (tens of GB at
-            # 1M+ docs) just to reduce to an (F,) vector.
-            hmax = np.zeros(self._host_head.shape[1], dtype=np.float32)
-            for lo in range(0, self._host_head.shape[0], 65536):
-                blk = np.abs(
-                    self._host_head[lo : lo + 65536].astype(np.float32)
-                )
-                np.maximum(hmax, blk.max(axis=0, initial=0.0), out=hmax)
-            self._slack_per_term = (rel * hmax).astype(np.float32)
+        # Host-side merge state (head view, term-major copy, prefilter
+        # slack) — shared with the sharded engine's extract mode; the
+        # rationale for every term lives in postings.prepare_host_merge.
+        (
+            self._host_head,
+            self._host_head_dtype,
+            self._head_t,
+            self._slack_per_term,
+        ) = prepare_host_merge(
+            index.layout, want_head_t=merge_backend == "host"
+        )
         # Query cache: (query_text, top_k) -> (ids, scores), insert-only with
         # a cap, matching reference retrieval.py:287-289.
         self._query_cache: Optional[

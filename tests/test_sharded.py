@@ -279,3 +279,77 @@ def test_sharded_hybrid_matches_flat_hybrid(corpus, queries):
         assert set(got[qid]) == set(want[qid]), qid
         for doc, s in want[qid].items():
             assert got[qid][doc] == pytest.approx(s, abs=1e-4), (qid, doc)
+
+
+def test_sharded_extract_matches_standard_and_flat():
+    """Extract-mode sharded search (per-shard Mosaic top-m extraction +
+    host-side candidate head scores) must match the standard sharded
+    engine AND the flat engine dict-for-dict. Shards must clear the
+    kernel floor: 20k docs over 4 doc-shards -> 5,120 rows/shard."""
+    corpus = zipf_corpus(num_docs=20_000, vocab_size=20_000, avg_len=60)
+    queries = zipf_queries(
+        num_queries=8, vocab_size=20_000, terms_per_query=6
+    )
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+    mesh = make_mesh(8, query_parallel=2)
+
+    ex = ShardedSparseSearchEngine(
+        index,
+        mesh,
+        batch_sizes=(8,),
+        cache_queries=False,
+        head_backend="pallas",
+        pallas_interpret=True,
+        narrow_m=8,
+        narrow_backend="extract",
+    )
+    assert ex._use_extract(10)
+    std = ShardedSparseSearchEngine(
+        index, mesh, batch_sizes=(8,), cache_queries=False
+    )
+    flat = SparseSearchEngine(index, batch_sizes=(8,), cache_queries=False)
+    r_ex = ex.search(queries, top_k=10)
+    r_std = std.search(queries, top_k=10)
+    assert r_ex == r_std
+    assert r_ex == flat.search(queries, top_k=10)
+
+
+def test_sharded_extract_unsafe_flag_falls_back(monkeypatch):
+    """A raised tie-safety flag must re-dispatch the standard sharded
+    program — results identical to the standard engine."""
+    import osr_tpu.parallel.sharded as sh
+
+    corpus = zipf_corpus(num_docs=20_000, vocab_size=20_000, avg_len=60)
+    queries = zipf_queries(
+        num_queries=4, vocab_size=20_000, terms_per_query=6
+    )
+    index = SparseIndexBuilder(method="bm25").build(corpus)
+    mesh = make_mesh(8, query_parallel=2)
+
+    real = sh.sharded_search_extract
+    calls = {"n": 0}
+
+    def always_unsafe(*args, **kwargs):
+        calls["n"] += 1
+        tops, tids, flag = real(*args, **kwargs)
+        import jax.numpy as jnp
+
+        return tops, tids, jnp.ones_like(flag)
+
+    monkeypatch.setattr(sh, "sharded_search_extract", always_unsafe)
+    ex = sh.ShardedSparseSearchEngine(
+        index,
+        mesh,
+        batch_sizes=(4,),
+        cache_queries=False,
+        head_backend="pallas",
+        pallas_interpret=True,
+        narrow_m=8,
+        narrow_backend="extract",
+    )
+    std = sh.ShardedSparseSearchEngine(
+        index, mesh, batch_sizes=(4,), cache_queries=False
+    )
+    r_ex = ex.search(queries, top_k=10)
+    assert calls["n"] > 0, "extract program was never dispatched"
+    assert r_ex == std.search(queries, top_k=10)

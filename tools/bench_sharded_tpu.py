@@ -36,6 +36,13 @@ def main():
     ap.add_argument("--head-dtype", default="int8")
     ap.add_argument("--narrow-m", type=int, default=0)
     ap.add_argument(
+        "--narrow-backend",
+        default="xla",
+        choices=("xla", "extract"),
+        help="'extract' = per-shard Mosaic top-m extraction + host-side "
+        "candidate head scores (sharded_search_extract)",
+    )
+    ap.add_argument(
         "--out",
         default=str(
             Path(__file__).parents[1] / "bench_results" / "sharded_tpu.jsonl"
@@ -81,6 +88,7 @@ def main():
         batch_sizes=(args.queries,),
         cache_queries=False,
         narrow_m=args.narrow_m,
+        narrow_backend=args.narrow_backend,
     )
     res_sharded = sharded.search(queries, top_k=args.topk)
     warm_sharded_s = time.perf_counter() - t0
@@ -136,6 +144,7 @@ def main():
         "mesh": dict(mesh.shape),
         "head_backend": sharded.head_backend,
         "narrow_m": args.narrow_m,
+        "narrow_backend": args.narrow_backend,
         "pallas_interpret": False,
         "build_s": round(build_s, 2),
         "warmup_s_sharded": round(warm_sharded_s, 1),

@@ -43,6 +43,11 @@ QUEUE = [
     ("narrow", 2400, [PY, "tools/profile_narrow.py"]),
     ("hybrid", 2400, [PY, "tools/bench_hybrid.py"]),
     ("sharded", 3000, [PY, "tools/bench_sharded_tpu.py"]),
+    # Extract-mode sharded row: per-shard Mosaic top-m extraction +
+    # host-side candidate head scores (the score matrix never in HBM).
+    ("sharded_x", 3000, [PY, "tools/bench_sharded_tpu.py",
+                         "--narrow-m", "8",
+                         "--narrow-backend", "extract"]),
     ("encoder", 3000, [PY, "tools/bench_dense_encoder.py"]),
     # Re-emit the at-scale quality artifact with on-chip QPS (VERDICT r3
     # item 1 asked for "QPS on the real chip" in quality_real_text.json;
