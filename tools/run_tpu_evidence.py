@@ -53,8 +53,6 @@ QUEUE = [
     # item 1 asked for "QPS on the real chip" in quality_real_text.json;
     # the committed runs were made during the tunnel outage on CPU).
     ("quality", 3600, [PY, "tools/bench_quality_at_scale.py"]),
-    ("quality_sampled", 3600, [PY, "tools/bench_quality_at_scale.py",
-                               "--query-mode", "sample"]),
     ("quality_noisy", 3600, [PY, "tools/bench_quality_at_scale.py",
                              "--query-mode", "noisy", "--f32-control"]),
     ("dense_scale", 3600, [PY, "tools/bench_dense_scale.py",
@@ -83,6 +81,10 @@ QUEUE = [
                          "--head-dtype", "int4", "--head-cap", "1024",
                          "--score-chunk-rows", "500000",
                          "--note", "10M-one-chip"]),
+    # Least marginal value last: the sampled regime's CPU deltas are
+    # already committed; this only refreshes its QPS on-chip.
+    ("quality_sampled", 3600, [PY, "tools/bench_quality_at_scale.py",
+                               "--query-mode", "sample"]),
 ]
 
 
