@@ -39,6 +39,14 @@ def main():
     # first int8 row predates the numeric unification and shows the 241
     # boundary swaps that motivated it).
     ap.add_argument("--head-dtype", default="int8", choices=["f32", "bf16", "int8", "int4"])
+    ap.add_argument("--narrow-m", type=int, default=0)
+    ap.add_argument(
+        "--narrow-backend",
+        default="xla",
+        choices=("xla", "extract"),
+        help="'extract' = per-shard Mosaic top-m extraction (interpret "
+        "mode on the CPU mesh) + host-side candidate head scores",
+    )
     ap.add_argument(
         "--out",
         default=str(
@@ -87,7 +95,16 @@ def main():
     mesh = make_mesh(args.devices, query_parallel=2)
     t0 = time.perf_counter()
     sharded = ShardedSparseSearchEngine(
-        index, mesh, batch_sizes=(args.queries,)
+        index,
+        mesh,
+        batch_sizes=(args.queries,),
+        narrow_m=args.narrow_m,
+        narrow_backend=args.narrow_backend,
+        **(
+            {"head_backend": "pallas", "pallas_interpret": True}
+            if args.narrow_backend == "extract"
+            else {}
+        ),
     )
     shard_s = time.perf_counter() - t0
 
@@ -129,6 +146,8 @@ def main():
         "num_docs": args.docs,
         "vocab_size": index.vocab_size,
         "head_dtype": args.head_dtype,
+        "narrow_m": args.narrow_m,
+        "narrow_backend": args.narrow_backend,
         "devices": args.devices,
         "mesh": dict(mesh.shape),
         "rows_per_shard": sharded.r_padded // mesh.shape["d"],
