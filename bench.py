@@ -113,7 +113,40 @@ def measure_reference_cpu(corpus, queries, n_queries=192, budget_s=150.0):
         return None
 
 
+def probe_device(timeout_s: float = 300.0) -> bool:
+    """jax.devices() HANGS indefinitely when the remote-TPU tunnel is
+    down (observed multi-hour outages); probe it in a subprocess with a
+    timeout so the bench fails fast and loud instead of wedging the
+    harness."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True,
+            timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not probe_device():
+        print(
+            json.dumps(
+                {
+                    "metric": "bm25_qps_fiqa_scale",
+                    "value": None,
+                    "unit": "queries/s",
+                    "vs_baseline": None,
+                    "error": "device unreachable (remote-TPU tunnel down); "
+                    "no measurement taken",
+                }
+            )
+        )
+        return 1
+
     import jax
 
     # Persistent compilation cache: cold-start compiles happen once/machine
@@ -329,4 +362,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main() or 0)
