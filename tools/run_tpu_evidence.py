@@ -41,6 +41,10 @@ QUEUE = [
                     "import jax; d = jax.devices()[0]; "
                     "assert d.platform == 'tpu', d; print(d)"]),
     ("narrow", 2400, [PY, "tools/profile_narrow.py"]),
+    # The headline bench itself: banks this session's host-path
+    # improvements (vectorized result assembly) as a logged JSON line
+    # even if the driver's own round-end run misses the tunnel window.
+    ("headline", 3600, [PY, "bench.py"]),
     ("hybrid", 2400, [PY, "tools/bench_hybrid.py"]),
     ("sharded", 3000, [PY, "tools/bench_sharded_tpu.py"]),
     # Extract-mode sharded row: per-shard Mosaic top-m extraction +
