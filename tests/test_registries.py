@@ -110,3 +110,32 @@ def test_readers():
 
     with pytest.raises(ValueError):
         ReaderRegistry.create({"type": "bogus"})
+
+
+def test_sparse_retriever_plumbs_engine_params():
+    """topk_mode / narrow_m / narrow_backend / score_chunk_rows reach the
+    engine from retriever params (YAML-configurable tuning)."""
+    from osr_tpu.retrieval.registry import RetrieverRegistry
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(6000, 20_000, avg_len=60, word_prefix="t")
+    queries = gen.queries(8, 20_000, avg_terms=8, word_prefix="t")
+    r = RetrieverRegistry.create(
+        {
+            "type": "bm25",
+            "params": {
+                "cache_dir": None,
+                "narrow_m": 8,
+                "score_chunk_rows": 4096,
+            },
+        }
+    )
+    r.build_index_from_corpus(corpus)
+    assert r.engine.narrow_m == 8
+    assert r.engine.stats().get("score_chunks") == 2
+    plain = RetrieverRegistry.create(
+        {"type": "bm25", "params": {"cache_dir": None}}
+    )
+    plain.build_index_from_corpus(corpus)
+    assert r.search(queries, top_k=10) == plain.search(queries, top_k=10)
