@@ -186,6 +186,65 @@ def _load_model(model_name: str, backend: str, dtype: str = "float32"):
     return model, "torch"
 
 
+class HashingEncoder:
+    """Deterministic lexical encoder: signed feature hashing of word
+    unigrams + bigrams into a dense D-dim vector, L2-normalized.
+
+    This is a REAL (if classical) text encoder — cosine similarity over
+    its vectors approximates lexical bag-of-ngrams cosine (a random
+    signed projection preserves inner products in expectation), so dense
+    retrieval built on it has *measurable* ranking quality against
+    qrels. That is what the synthetic clustered embeddings (the
+    reference's approach, retriever_registry.py:409-433) cannot provide:
+    their geometry is independent of the text, so dense nDCG against
+    real qrels is noise. Use it where no neural checkpoint is available
+    (offline environments) or as a fast first-stage encoder.
+
+    No corpus state, no model weights, no randomness: blake2b feature
+    hashes make every vector a pure function of the text.
+    """
+
+    def __init__(self, dim: int = 768, ngrams: int = 2):
+        if dim <= 0:
+            raise ValueError(f"dim must be positive (got {dim})")
+        self.dim = int(dim)
+        self.ngrams = int(ngrams)
+
+    def _features(self, text: str):
+        import re
+
+        words = re.findall(r"\b\w+\b", text.lower())
+        feats = list(words)
+        for n in range(2, self.ngrams + 1):
+            feats.extend(
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            )
+        return feats
+
+    def encode_one(self, text: str) -> np.ndarray:
+        import hashlib
+        from collections import Counter
+
+        v = np.zeros(self.dim, dtype=np.float32)
+        for feat, cnt in Counter(self._features(text)).items():
+            h = int.from_bytes(
+                hashlib.blake2b(
+                    feat.encode("utf-8"), digest_size=8
+                ).digest(),
+                "little",
+            )
+            sign = 1.0 if h & 1 else -1.0
+            # Sublinear TF (1 + log tf): raw counts let one repeated
+            # token dominate the vector.
+            v[(h >> 1) % self.dim] += sign * (1.0 + np.log(cnt))
+        n = float(np.linalg.norm(v))
+        return v / n if n > 0 else v
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        return np.stack([self.encode_one(t) for t in texts])
+
+
 def encode_corpus_to_npy(
     corpus,
     encoder: HFEncoder,

@@ -115,8 +115,23 @@ class QuantizedDenseRetriever:
         embeddings_path: Optional[str] = None,
         embedding_fn: Optional[Callable] = None,
         query_embedding_fn: Optional[Callable] = None,
+        encoder: Optional[str] = None,  # 'hashing' = deterministic
+        # lexical encoder (osr_tpu/encoders.py:HashingEncoder) — real,
+        # YAML-selectable dense quality with no model weights
         **_: Any,
     ):
+        if encoder is not None and embedding_fn is None:
+            if encoder == "hashing":
+                from osr_tpu.encoders import HashingEncoder
+
+                enc = HashingEncoder(dim=embedding_dim)
+                embedding_fn = enc.encode
+                query_embedding_fn = enc.encode_one
+            else:
+                raise ValueError(
+                    f"Unknown encoder {encoder!r} (use 'hashing', or pass "
+                    "embedding_fn/embeddings_path for neural encoders)"
+                )
         self.method = method
         self.model_name = model
         self.embedding_dim = embedding_dim

@@ -188,3 +188,47 @@ def test_standin_artifact_pipeline(tmp_path):
     # Chance recall@10 = 10/120 ~ 0.083; the random-projection encoder
     # must do much better on queries quoting their source document.
     assert recall_at_k(res, qrels, 10) >= 0.4
+
+
+def test_hashing_encoder_deterministic_and_normalized():
+    from osr_tpu.encoders import HashingEncoder
+
+    enc = HashingEncoder(dim=256)
+    a = enc.encode_one("an exchange traded fund holds securities")
+    b = enc.encode_one("an exchange traded fund holds securities")
+    np.testing.assert_array_equal(a, b)
+    assert abs(float(np.linalg.norm(a)) - 1.0) < 1e-5
+    # lexical similarity orders cosine: shared words beat disjoint ones
+    c = enc.encode_one("an exchange traded fund holds bonds")
+    d = enc.encode_one("completely unrelated words entirely different")
+    assert float(a @ c) > float(a @ d)
+    # batch API stacks the same vectors
+    batch = enc.encode(["an exchange traded fund holds securities"])
+    np.testing.assert_array_equal(batch[0], a)
+
+
+def test_registry_hashing_encoder_dense_quality():
+    """Dense retrieval with encoder='hashing' has REAL ranking quality:
+    self-retrieval by a quote from the document finds the document."""
+    from osr_tpu.retrieval.registry import RetrieverRegistry
+    from osr_tpu.testing import SyntheticDataGenerator
+
+    gen = SyntheticDataGenerator(seed=42)
+    corpus = gen.zipf_corpus(800, 5_000, avg_len=60, word_prefix="t")
+    ids = list(corpus)
+    r = RetrieverRegistry.create(
+        {"type": "dpr", "params": {"encoder": "hashing"}}
+    )
+    r.build_index_from_corpus(corpus)
+    queries = {
+        f"q{i}": " ".join(corpus[ids[i]]["text"].split()[:12])
+        for i in range(20)
+    }
+    res = r.search(queries, top_k=5)
+    hits = sum(1 for i in range(20) if ids[i] in res[f"q{i}"])
+    assert hits >= 16, hits
+
+    with pytest.raises(ValueError):
+        RetrieverRegistry.create(
+            {"type": "dpr", "params": {"encoder": "nonsense"}}
+        )

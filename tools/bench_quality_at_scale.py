@@ -217,6 +217,13 @@ def main():
         "attribute any reference delta to int8 near-tie flips",
     )
     ap.add_argument(
+        "--dense-hashing",
+        action="store_true",
+        help="also run int8 dense retrieval with the deterministic "
+        "HashingEncoder — REAL dense ranking quality with no model "
+        "weights (the synthetic-embedding path scores noise vs qrels)",
+    )
+    ap.add_argument(
         "--query-mode",
         default="quote",
         choices=("quote", "sample", "noisy"),
@@ -279,6 +286,15 @@ def main():
             out_dir=Path(td) / "reports",
             top_k=100,
         )
+        ours_dense = None
+        if args.dense_hashing:
+            ours_dense = run_quality_benchmark(
+                ds,
+                methods=("dpr",),
+                out_dir=Path(td) / "reports_dense",
+                top_k=100,
+                method_params={"dpr": {"encoder": "hashing"}},
+            )
         ours_f32 = None
         if args.f32_control:
             # Control for off-ceiling regimes: the engine's default int8
@@ -341,6 +357,10 @@ def main():
     if ours_f32:
         at_scale["osr_tpu_f32head"] = {
             m: keep(s) for m, s in ours_f32.items()
+        }
+    if ours_dense:
+        at_scale["osr_tpu_dense_hashing"] = {
+            m: keep(s) for m, s in ours_dense.items()
         }
     bm = at_scale["osr_tpu"].get("bm25_custom", {})
     if ref and "ndcg@10" in bm and "ndcg@10" in ref:

@@ -56,7 +56,8 @@ QUEUE = [
     # Re-emit the at-scale quality artifact with on-chip QPS (VERDICT r3
     # item 1 asked for "QPS on the real chip" in quality_real_text.json;
     # the committed runs were made during the tunnel outage on CPU).
-    ("quality", 3600, [PY, "tools/bench_quality_at_scale.py"]),
+    ("quality", 3600, [PY, "tools/bench_quality_at_scale.py",
+                       "--dense-hashing"]),
     ("quality_noisy", 3600, [PY, "tools/bench_quality_at_scale.py",
                              "--query-mode", "noisy", "--f32-control"]),
     ("dense_scale", 3600, [PY, "tools/bench_dense_scale.py",
