@@ -288,12 +288,18 @@ def main():
         )
         ours_dense = None
         if args.dense_hashing:
+            # 'hybrid' fuses BM25 0.3 + dense 0.7 over the SAME hashing
+            # encoder — with a real dense leg the classic hybrid claim
+            # (fusion helps) becomes measurable offline.
             ours_dense = run_quality_benchmark(
                 ds,
-                methods=("dpr",),
+                methods=("dpr", "hybrid"),
                 out_dir=Path(td) / "reports_dense",
                 top_k=100,
-                method_params={"dpr": {"encoder": "hashing"}},
+                method_params={
+                    "dpr": {"encoder": "hashing"},
+                    "hybrid": {"encoder": "hashing"},
+                },
             )
         ours_f32 = None
         if args.f32_control:
