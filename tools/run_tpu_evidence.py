@@ -59,7 +59,8 @@ QUEUE = [
     ("quality", 3600, [PY, "tools/bench_quality_at_scale.py",
                        "--dense-hashing"]),
     ("quality_noisy", 3600, [PY, "tools/bench_quality_at_scale.py",
-                             "--query-mode", "noisy", "--f32-control"]),
+                             "--query-mode", "noisy", "--f32-control",
+                             "--dense-hashing"]),
     ("dense_scale", 3600, [PY, "tools/bench_dense_scale.py",
                            "--docs", "1000000"]),
     ("warm1m", 3600, [PY, "tools/bench_scaling.py", "--docs", "1000000",
