@@ -15,8 +15,15 @@ class _CharTokenizer:
     vocab_size = 100
 
     def __call__(self, texts, padding, truncation, max_length, return_tensors):
+        # zlib.crc32 (not hash()) so token ids are stable across processes:
+        # hash() is salted per interpreter, which made this fixture flaky.
+        import zlib
+
         ids = [
-            [min(99, 2 + (hash(w) % 90)) for w in t.split()][:max_length] or [1]
+            [min(99, 2 + (zlib.crc32(w.encode()) % 90)) for w in t.split()][
+                :max_length
+            ]
+            or [1]
             for t in texts
         ]
         width = max(len(x) for x in ids)
@@ -35,8 +42,10 @@ class _CharTokenizer:
 
 @pytest.fixture(scope="module")
 def encoder():
+    import torch
     from transformers import BertConfig, BertModel
 
+    torch.manual_seed(42)
     config = BertConfig(
         vocab_size=100,
         hidden_size=32,
