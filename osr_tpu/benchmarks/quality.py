@@ -54,7 +54,10 @@ def run_method(
     top_k: int = 100,
     params: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
-    cfg = {"type": method, "params": dict(params or {})}
+    p = dict(params or {})
+    # A reserved 'type' param lets one registry type run under several
+    # result keys (e.g. 'hybrid' vs 'hybrid_rrf' with fusion='rrf').
+    cfg = {"type": p.pop("type", method), "params": p}
     cfg["params"].setdefault("cache_matrices", False)
     retriever = RetrieverRegistry.create(cfg)
 

@@ -911,6 +911,8 @@ class ShardedHybridEngine:
         sparse_weight: float = 0.3,
         dense_weight: float = 0.7,
         fusion_depth: int = 100,
+        fusion: str = "weighted",
+        rrf_k: float = 60.0,
         query_embedding_fn=None,
         batch_sizes: Sequence[int] = (8, 32, 128, 256, 512),
         quantization: str = "symmetric",
@@ -920,9 +922,13 @@ class ShardedHybridEngine:
     ):
         from osr_tpu.index.dense import synthetic_query_embedding
 
+        if fusion not in ("weighted", "rrf"):
+            raise ValueError(f"unknown fusion mode: {fusion!r}")
         self.sparse_weight = sparse_weight
         self.dense_weight = dense_weight
         self.fusion_depth = fusion_depth
+        self.fusion = fusion
+        self.rrf_k = rrf_k
         self.sparse = ShardedSparseSearchEngine(
             index,
             mesh,
@@ -991,6 +997,8 @@ class ShardedHybridEngine:
                 self.sparse_weight,
                 self.dense_weight,
                 top_k,
+                mode=self.fusion,
+                rrf_k=self.rrf_k,
             )
             results.update(
                 fused_rows_to_results(

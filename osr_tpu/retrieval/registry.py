@@ -283,11 +283,17 @@ class HybridRetriever:
         sparse_weight: float = 0.3,
         dense_weight: float = 0.7,
         fusion_depth: int = 100,
+        fusion: str = "weighted",
+        rrf_k: float = 60.0,
         **params: Any,
     ):
+        if fusion not in ("weighted", "rrf"):
+            raise ValueError(f"unknown fusion mode: {fusion!r}")
         self.sparse_weight = sparse_weight
         self.dense_weight = dense_weight
         self.fusion_depth = fusion_depth
+        self.fusion = fusion
+        self.rrf_k = rrf_k
         self.sparse = SparseRetriever(method="bm25", **params)
         self.dense = QuantizedDenseRetriever(method="hybrid_dense", **params)
 
@@ -321,10 +327,27 @@ class HybridRetriever:
         out: Dict[str, Dict[str, float]] = {}
         for qid in queries:
             fused: Dict[str, float] = {}
-            for doc, s in self._minmax(s_res.get(qid, {})).items():
-                fused[doc] = fused.get(doc, 0.0) + self.sparse_weight * s
-            for doc, s in self._minmax(d_res.get(qid, {})).items():
-                fused[doc] = fused.get(doc, 0.0) + self.dense_weight * s
+            for res, weight in (
+                (s_res.get(qid, {}), self.sparse_weight),
+                (d_res.get(qid, {}), self.dense_weight),
+            ):
+                if self.fusion == "rrf":
+                    # Engine result dicts are already in descending-score
+                    # order; a stable re-sort preserves their tie order.
+                    ranked_docs = sorted(
+                        res.items(), key=lambda kv: -kv[1]
+                    )
+                    leg = {
+                        doc: weight / (self.rrf_k + rank)
+                        for rank, (doc, _) in enumerate(ranked_docs, 1)
+                    }
+                else:
+                    leg = {
+                        doc: weight * s
+                        for doc, s in self._minmax(res).items()
+                    }
+                for doc, s in leg.items():
+                    fused[doc] = fused.get(doc, 0.0) + s
             ranked = sorted(fused.items(), key=lambda kv: -kv[1])[:top_k]
             out[qid] = dict(ranked)
         return out
@@ -383,6 +406,8 @@ class HybridRetriever:
                 self.sparse_weight,
                 self.dense_weight,
                 top_k,
+                mode=self.fusion,
+                rrf_k=self.rrf_k,
             )
             results.update(
                 fused_rows_to_results(

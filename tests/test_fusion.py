@@ -139,3 +139,125 @@ def test_hybrid_fast_path_matches_dict_path():
         assert set(fast[qid]) == set(slow[qid]), qid
         for doc, s in slow[qid].items():
             assert fast[qid][doc] == pytest.approx(s, abs=1e-5), (qid, doc)
+
+
+def _rrf_dict_oracle(s_pairs, d_pairs, ws, wd, rrf_k, top_k):
+    """Per-query RRF semantics: rank = 1-based position among kept
+    entries in descending-score order (stable on input order)."""
+
+    def leg(pairs, weight):
+        kept = [(i, s) for i, s in pairs if s > 0 and i >= 0]
+        kept.sort(key=lambda kv: -kv[1])  # stable: input order on ties
+        return {i: weight / (rrf_k + r) for r, (i, _) in enumerate(kept, 1)}
+
+    fused = {}
+    for part in (leg(s_pairs, ws), leg(d_pairs, wd)):
+        for i, s in part.items():
+            fused[i] = fused.get(i, 0.0) + s
+    return fused
+
+
+def test_fuse_rrf_matches_dict_oracle_random():
+    rng = np.random.default_rng(7)
+    B, ds, dd, n_docs, k = 11, 23, 19, 150, 10
+    s_ids = np.stack(
+        [rng.choice(n_docs, ds, replace=False) for _ in range(B)]
+    )
+    d_ids = np.stack(
+        [
+            np.concatenate(
+                [
+                    s_ids[r, : dd // 2],
+                    rng.choice(
+                        np.setdiff1d(np.arange(n_docs), s_ids[r]),
+                        dd - dd // 2,
+                        replace=False,
+                    ),
+                ]
+            )
+            for r in range(B)
+        ]
+    )
+    s_sc = np.sort(rng.normal(2.0, 1.0, (B, ds)).astype(np.float32))[:, ::-1]
+    d_sc = np.sort(rng.normal(1.0, 1.0, (B, dd)).astype(np.float32))[:, ::-1]
+    s_ids[:, -2:] = -1
+    s_sc[:, -2:] = 0.0
+    d_sc[3, :] = -1.0
+
+    f_sc, f_ids = fuse_topk_arrays(
+        s_sc, s_ids, d_sc, d_ids, 1.0, 1.0, k, mode="rrf", rrf_k=60.0
+    )
+    for r in range(B):
+        fused = _rrf_dict_oracle(
+            list(zip(s_ids[r].tolist(), s_sc[r].tolist())),
+            list(zip(d_ids[r].tolist(), d_sc[r].tolist())),
+            1.0,
+            1.0,
+            60.0,
+            k,
+        )
+        want = sorted(fused.values(), reverse=True)[:k]
+        got = [
+            (i, s)
+            for i, s in zip(f_ids[r].tolist(), f_sc[r].tolist())
+            if i >= 0
+        ]
+        assert len(got) == len(want)
+        # RRF yields exact ties (same-rank singletons); tie order at the
+        # k boundary may pick different docs, so compare the fused score
+        # SEQUENCE, and every selected id's score against the full oracle.
+        for (gi, gs), ws_ in zip(got, want):
+            assert gs == pytest.approx(ws_, abs=1e-6)
+            assert gs == pytest.approx(np.float32(fused[gi]), abs=1e-6)
+
+
+def test_fuse_rrf_scale_free():
+    """RRF depends only on ranks: scaling one leg's scores by 1000x must
+    not change the fused ranking (the failure mode of weighted min-max
+    fusion when the legs' score spreads differ)."""
+    rng = np.random.default_rng(3)
+    s_sc = np.sort(rng.random((4, 12)).astype(np.float32))[:, ::-1] + 0.1
+    d_sc = np.sort(rng.random((4, 12)).astype(np.float32))[:, ::-1] + 0.1
+    s_ids = np.stack([rng.permutation(40)[:12] for _ in range(4)])
+    d_ids = np.stack([rng.permutation(40)[:12] for _ in range(4)])
+    a_sc, a_ids = fuse_topk_arrays(
+        s_sc, s_ids, d_sc, d_ids, 1.0, 1.0, 8, mode="rrf"
+    )
+    b_sc, b_ids = fuse_topk_arrays(
+        s_sc * 1000.0, s_ids, d_sc / 1000.0, d_ids, 1.0, 1.0, 8, mode="rrf"
+    )
+    np.testing.assert_array_equal(a_ids, b_ids)
+    np.testing.assert_allclose(a_sc, b_sc, rtol=1e-6)
+
+
+def test_fuse_unknown_mode_raises():
+    z = np.zeros((1, 2), np.float32)
+    i = np.zeros((1, 2), np.int64)
+    with pytest.raises(ValueError):
+        fuse_topk_arrays(z, i, z, i, 0.5, 0.5, 2, mode="nope")
+
+
+def test_hybrid_rrf_fast_path_matches_dict_path():
+    corpus = zipf_corpus(num_docs=250, vocab_size=500, avg_len=40)
+    r = RetrieverRegistry.create(
+        {
+            "type": "hybrid",
+            "params": {
+                "fusion": "rrf",
+                "rrf_k": 60.0,
+                "embedding_dim": 64,
+                "fusion_depth": 30,
+                "cache_dir": None,
+            },
+        }
+    )
+    r.build_index_from_corpus(corpus)
+    queries = zipf_queries(16, vocab_size=500)
+    queries["empty"] = ""
+    fast = r.search(queries, top_k=80)
+    slow = r._search_dicts(queries, top_k=80)
+    assert set(fast) == set(slow)
+    for qid in slow:
+        assert set(fast[qid]) == set(slow[qid]), qid
+        for doc, s in slow[qid].items():
+            assert fast[qid][doc] == pytest.approx(s, abs=1e-6), (qid, doc)

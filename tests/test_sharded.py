@@ -241,10 +241,13 @@ def test_sharded_int4_matches_single_device(big_corpus, big_queries):
     _assert_same_modulo_kth_ties(want, got)
 
 
-def test_sharded_hybrid_matches_flat_hybrid(corpus, queries):
+@pytest.mark.parametrize("fusion", ["weighted", "rrf"])
+def test_sharded_hybrid_matches_flat_hybrid(corpus, queries, fusion):
     """Sharded hybrid fusion == flat hybrid fast path: both engines are
     exact under sharding (the sparse merge bit-matches, per-row int8
-    quantization is row-local), so fused results must agree."""
+    quantization is row-local), so fused results must agree — for the
+    weighted mode AND rank-based RRF (ranks are identical when the leg
+    arrays are identical)."""
     from osr_tpu.retrieval.registry import RetrieverRegistry
 
     flat = RetrieverRegistry.create(
@@ -255,6 +258,7 @@ def test_sharded_hybrid_matches_flat_hybrid(corpus, queries):
                 "dense_weight": 0.7,
                 "embedding_dim": 64,
                 "fusion_depth": 25,
+                "fusion": fusion,
                 "cache_dir": None,
             },
         }
@@ -271,6 +275,7 @@ def test_sharded_hybrid_matches_flat_hybrid(corpus, queries):
         sparse_weight=0.3,
         dense_weight=0.7,
         fusion_depth=25,
+        fusion=fusion,
     )
     want = flat.search(queries, top_k=50)
     got = sharded.search(queries, top_k=50)

@@ -291,14 +291,25 @@ def main():
             # 'hybrid' fuses BM25 0.3 + dense 0.7 over the SAME hashing
             # encoder — with a real dense leg the classic hybrid claim
             # (fusion helps) becomes measurable offline.
+            # hybrid_rrf: same legs, reciprocal-rank fusion — rank-based,
+            # so the weaker leg cannot drag the fused list below the
+            # stronger one the way fixed-weight min-max fusion can
+            # (measured: weighted hybrid 0.448 vs BM25 0.622, noisy).
             ours_dense = run_quality_benchmark(
                 ds,
-                methods=("dpr", "hybrid"),
+                methods=("dpr", "hybrid", "hybrid_rrf"),
                 out_dir=Path(td) / "reports_dense",
                 top_k=100,
                 method_params={
                     "dpr": {"encoder": "hashing"},
                     "hybrid": {"encoder": "hashing"},
+                    "hybrid_rrf": {
+                        "type": "hybrid",
+                        "encoder": "hashing",
+                        "fusion": "rrf",
+                        "sparse_weight": 1.0,
+                        "dense_weight": 1.0,
+                    },
                 },
             )
         ours_f32 = None
