@@ -12,6 +12,7 @@ constituent retrievers.
 Appends one JSON line to bench_results/hybrid.jsonl.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -26,6 +27,13 @@ TOP_K = 50
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--fusion", choices=("weighted", "rrf"), default="weighted",
+        help="fusion mode: weighted min-max (reference semantics) or "
+        "reciprocal-rank (rrf_k=60)")
+    args = ap.parse_args()
+
     from osr_tpu.retrieval.registry import RetrieverRegistry
     from osr_tpu.testing import SyntheticDataGenerator
     from osr_tpu.utils.compile_cache import enable_persistent_cache
@@ -46,6 +54,7 @@ def main() -> None:
                 "sparse_weight": 0.3,
                 "dense_weight": 0.7,
                 "fusion_depth": 100,
+                "fusion": args.fusion,
                 "cache_dir": None,
             },
         }
@@ -76,13 +85,17 @@ def main() -> None:
     d_pool = retr.dense.search({qid: queries[qid]}, top_k=100)[qid]
     pool = set(s_pool) | set(d_pool)
     assert set(results[qid]) <= pool, "fused docs outside constituent pools"
-    assert all(0.0 <= s <= 1.0 + 1e-6 for s in results[qid].values())
+    # Weighted scores live in [0, 1]; RRF contributions are bounded by
+    # sum(w / (rrf_k + 1)) = 2/61 for the two unit-weight legs.
+    hi = 1.0 + 1e-6 if args.fusion == "weighted" else 2.0 / 61.0 + 1e-6
+    assert all(0.0 <= s <= hi for s in results[qid].values())
 
     import jax
 
     row = {
         "metric": "hybrid_qps_fiqa_scale",
         "path": "array-fusion",  # r3 rows (no marker) = dict fusion
+        "fusion": args.fusion,
         "qps": qps,
         "qps_passes": passes,
         "build_s": round(build_s, 2),

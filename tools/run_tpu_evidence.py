@@ -46,6 +46,9 @@ QUEUE = [
     # even if the driver's own round-end run misses the tunnel window.
     ("headline", 3600, [PY, "bench.py"]),
     ("hybrid", 2400, [PY, "tools/bench_hybrid.py"]),
+    # Rank-based fusion variant: same legs, rrf scoring (fusion cost is
+    # one extra argsort per batch — expect QPS within noise of weighted).
+    ("hybrid_rrf", 2400, [PY, "tools/bench_hybrid.py", "--fusion", "rrf"]),
     ("sharded", 3000, [PY, "tools/bench_sharded_tpu.py"]),
     # Extract-mode sharded row: per-shard Mosaic top-m extraction +
     # host-side candidate head scores (the score matrix never in HBM).
