@@ -297,6 +297,26 @@ class HybridRetriever:
         self.sparse = SparseRetriever(method="bm25", **params)
         self.dense = QuantizedDenseRetriever(method="hybrid_dense", **params)
 
+    def set_fusion(
+        self,
+        sparse_weight: float = None,
+        dense_weight: float = None,
+        fusion: str = None,
+        rrf_k: float = None,
+    ) -> None:
+        """Retune fusion at search time — weights/mode are applied during
+        fusion, not indexing, so sweeps never rebuild either index."""
+        if fusion is not None:
+            if fusion not in ("weighted", "rrf"):
+                raise ValueError(f"unknown fusion mode: {fusion!r}")
+            self.fusion = fusion
+        if sparse_weight is not None:
+            self.sparse_weight = sparse_weight
+        if dense_weight is not None:
+            self.dense_weight = dense_weight
+        if rrf_k is not None:
+            self.rrf_k = rrf_k
+
     def build_index_from_corpus(self, corpus: Mapping[str, Any]) -> None:
         self.sparse.build_index_from_corpus(corpus)
         self.dense.build_index_from_corpus(corpus)

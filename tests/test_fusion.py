@@ -261,3 +261,42 @@ def test_hybrid_rrf_fast_path_matches_dict_path():
         assert set(fast[qid]) == set(slow[qid]), qid
         for doc, s in slow[qid].items():
             assert fast[qid][doc] == pytest.approx(s, abs=1e-6), (qid, doc)
+
+
+def test_set_fusion_retunes_without_rebuild():
+    corpus = zipf_corpus(num_docs=200, vocab_size=400, avg_len=30)
+    r = RetrieverRegistry.create(
+        {
+            "type": "hybrid",
+            "params": {"embedding_dim": 32, "cache_dir": None},
+        }
+    )
+    r.build_index_from_corpus(corpus)
+    queries = zipf_queries(8, vocab_size=400)
+    base = r.search(queries, top_k=20)
+    r.set_fusion(sparse_weight=0.9, dense_weight=0.1)
+    reweighted = r.search(queries, top_k=20)
+    r.set_fusion(fusion="rrf", sparse_weight=1.0, dense_weight=1.0)
+    rrf = r.search(queries, top_k=20)
+    # Each retune must match a fresh retriever constructed with the same
+    # params (proving search-time fusion needs no rebuild).
+    fresh = RetrieverRegistry.create(
+        {
+            "type": "hybrid",
+            "params": {
+                "embedding_dim": 32,
+                "cache_dir": None,
+                "fusion": "rrf",
+                "sparse_weight": 1.0,
+                "dense_weight": 1.0,
+            },
+        }
+    )
+    fresh.build_index_from_corpus(corpus)
+    want = fresh.search(queries, top_k=20)
+    assert rrf == want
+    # And the retunes actually changed something vs the default.
+    assert base != reweighted or base != rrf
+
+    with pytest.raises(ValueError):
+        r.set_fusion(fusion="nope")
