@@ -35,6 +35,11 @@ ROOT = Path(__file__).parents[1]
 LOGDIR = ROOT / "bench_results"
 PY = sys.executable
 
+def _load_if_dumped(name):
+    d = ROOT / ".scaling_dumps" / name
+    return ["--load-index", str(d)] if (d / "meta.json").exists() else []
+
+
 QUEUE = [
     # (name, timeout_s, argv)
     ("probe", 300, [PY, "-c",
@@ -81,15 +86,23 @@ QUEUE = [
                          "--note", "chunked-extract-1M"]),
     # 5M x F=4096 int4 head = ~10.3 GiB HBM; cap score chunks at 500k
     # rows (~4 GiB at B=2048) to stay under the 16 GB line.
-    ("scale5m", 7200, [PY, "tools/bench_scaling.py", "--docs", "5000000",
-                       "--head-dtype", "int4", "--head-cap", "4096",
-                       "--head-budget-gib", "11",
-                       "--score-chunk-rows", "500000",
-                       "--note", "head-width-cure-at-5M"]),
-    ("scale10m", 10800, [PY, "tools/bench_scaling.py", "--docs", "10000000",
-                         "--head-dtype", "int4", "--head-cap", "1024",
-                         "--score-chunk-rows", "500000",
-                         "--note", "10M-one-chip"]),
+    # _load_or_build: /tmp/prebuild_indexes.sh dumps these indexes to
+    # .scaling_dumps/ during tunnel outages so the TPU window is spent
+    # measuring, not rebuilding (~10-40 min of 1-core host build each).
+    ("scale5m", 7200, lambda: [PY, "tools/bench_scaling.py",
+                               "--docs", "5000000",
+                               "--head-dtype", "int4", "--head-cap", "4096",
+                               "--head-budget-gib", "11",
+                               "--score-chunk-rows", "500000",
+                               "--note", "head-width-cure-at-5M"]
+                      + _load_if_dumped("5m_int4_f4096")),
+    ("scale10m", 10800, lambda: [PY, "tools/bench_scaling.py",
+                                 "--docs", "10000000",
+                                 "--head-dtype", "int4",
+                                 "--head-cap", "1024",
+                                 "--score-chunk-rows", "500000",
+                                 "--note", "10M-one-chip"]
+                        + _load_if_dumped("10m_int4_f1024")),
     # Least marginal value last: the sampled regime's CPU deltas are
     # already committed; this only refreshes its QPS on-chip.
     ("quality_sampled", 3600, [PY, "tools/bench_quality_at_scale.py",
@@ -109,6 +122,8 @@ def main():
     for name, tmo, argv in QUEUE:
         if (only and name not in only) or name in skip:
             continue
+        if callable(argv):  # resolved at run time (e.g. dump presence)
+            argv = argv()
         log = LOGDIR / f"tpu_evidence_{name}.log"
         print(f"== {name} (timeout {tmo}s) -> {log}", flush=True)
         t0 = time.time()
