@@ -200,15 +200,27 @@ class HashingEncoder:
     real qrels is noise. Use it where no neural checkpoint is available
     (offline environments) or as a fast first-stage encoder.
 
-    No corpus state, no model weights, no randomness: blake2b feature
-    hashes make every vector a pure function of the text.
+    No model weights, no randomness: blake2b feature hashes make every
+    vector a pure function of the text (plus, with ``idf=True``, of the
+    fitted corpus).
+
+    ``idf=True`` adds smooth-IDF feature weighting (sklearn convention:
+    ``ln((1+N)/(1+df)) + 1``): :meth:`fit` counts document frequencies
+    over the corpus, and both document and query vectors weight each
+    feature by its IDF — without it, stopword-dominated cosine drags
+    dense quality on real prose. :meth:`encode` auto-fits on its FIRST
+    call (the registry's build path encodes the whole corpus first), and
+    never refits, so later batch encodes (e.g. queries) stay consistent.
     """
 
-    def __init__(self, dim: int = 768, ngrams: int = 2):
+    def __init__(self, dim: int = 768, ngrams: int = 2, idf: bool = False):
         if dim <= 0:
             raise ValueError(f"dim must be positive (got {dim})")
         self.dim = int(dim)
         self.ngrams = int(ngrams)
+        self.idf = bool(idf)
+        self._df: Optional[dict] = None
+        self._n_docs = 0
 
     def _features(self, text: str):
         import re
@@ -222,26 +234,49 @@ class HashingEncoder:
             )
         return feats
 
-    def encode_one(self, text: str) -> np.ndarray:
+    @staticmethod
+    def _hash(feat: str) -> int:
         import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(feat.encode("utf-8"), digest_size=8).digest(),
+            "little",
+        )
+
+    def fit(self, texts: Sequence[str]) -> "HashingEncoder":
+        """Count per-feature document frequencies for IDF weighting."""
+        df: dict = {}
+        for t in texts:
+            for h in {self._hash(f) for f in self._features(t)}:
+                df[h] = df.get(h, 0) + 1
+        self._df = df
+        self._n_docs = len(texts)
+        return self
+
+    def _idf(self, h: int) -> float:
+        if not self.idf:
+            return 1.0
+        df = self._df.get(h, 0) if self._df else 0
+        return float(np.log((1.0 + self._n_docs) / (1.0 + df)) + 1.0)
+
+    def encode_one(self, text: str) -> np.ndarray:
         from collections import Counter
 
         v = np.zeros(self.dim, dtype=np.float32)
         for feat, cnt in Counter(self._features(text)).items():
-            h = int.from_bytes(
-                hashlib.blake2b(
-                    feat.encode("utf-8"), digest_size=8
-                ).digest(),
-                "little",
-            )
+            h = self._hash(feat)
             sign = 1.0 if h & 1 else -1.0
             # Sublinear TF (1 + log tf): raw counts let one repeated
             # token dominate the vector.
-            v[(h >> 1) % self.dim] += sign * (1.0 + np.log(cnt))
+            v[(h >> 1) % self.dim] += (
+                sign * (1.0 + np.log(cnt)) * self._idf(h)
+            )
         n = float(np.linalg.norm(v))
         return v / n if n > 0 else v
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
+        if self.idf and self._df is None:
+            self.fit(texts)
         return np.stack([self.encode_one(t) for t in texts])
 
 

@@ -121,16 +121,22 @@ class QuantizedDenseRetriever:
         **_: Any,
     ):
         if encoder is not None and embedding_fn is None:
-            if encoder == "hashing":
+            if encoder in ("hashing", "hashing_idf"):
                 from osr_tpu.encoders import HashingEncoder
 
-                enc = HashingEncoder(dim=embedding_dim)
+                # 'hashing_idf' fits smooth-IDF feature weights on the
+                # corpus at build time (encode()'s first call is the
+                # corpus) and applies them to query vectors too.
+                enc = HashingEncoder(
+                    dim=embedding_dim, idf=(encoder == "hashing_idf")
+                )
                 embedding_fn = enc.encode
                 query_embedding_fn = enc.encode_one
             else:
                 raise ValueError(
-                    f"Unknown encoder {encoder!r} (use 'hashing', or pass "
-                    "embedding_fn/embeddings_path for neural encoders)"
+                    f"Unknown encoder {encoder!r} (use 'hashing', "
+                    "'hashing_idf', or pass embedding_fn/embeddings_path "
+                    "for neural encoders)"
                 )
         self.method = method
         self.model_name = model

@@ -241,3 +241,60 @@ def test_registry_hashing_encoder_dense_quality():
         RetrieverRegistry.create(
             {"type": "dpr", "params": {"encoder": "nonsense"}}
         )
+
+
+def test_hashing_encoder_idf_fit_once_and_weighting():
+    from osr_tpu.encoders import HashingEncoder
+
+    # 'the' appears in every doc; 'zebra' in one. IDF must down-weight
+    # the ubiquitous feature relative to the rare one.
+    corpus_texts = [f"the document number {i}" for i in range(50)] + [
+        "the zebra document"
+    ]
+    enc = HashingEncoder(dim=256, idf=True)
+    emb = enc.encode(corpus_texts)  # first call fits
+    assert emb.shape == (51, 256)
+    assert enc._n_docs == 51
+
+    h_the = enc._hash("the")
+    h_zebra = enc._hash("zebra")
+    assert enc._idf(h_zebra) > enc._idf(h_the) > 0
+
+    # Later encodes must NOT refit (query batches stay consistent).
+    q1 = enc.encode_one("the zebra")
+    enc.encode(["some unrelated probe text"])
+    assert enc._n_docs == 51
+    np.testing.assert_array_equal(enc.encode_one("the zebra"), q1)
+
+    # A query sharing only the rare term must prefer the rare doc more
+    # strongly under IDF than without it.
+    plain = HashingEncoder(dim=256, idf=False)
+    pe = plain.encode(corpus_texts)
+    q_i = enc.encode_one("zebra facts")
+    q_p = plain.encode_one("zebra facts")
+    sims_i = emb @ q_i
+    sims_p = pe @ q_p
+    assert np.argmax(sims_i) == 50 == np.argmax(sims_p)
+    # Margin over the best non-target doc grows with IDF.
+    margin_i = sims_i[50] - np.max(sims_i[:50])
+    margin_p = sims_p[50] - np.max(sims_p[:50])
+    assert margin_i > margin_p
+
+
+def test_registry_hashing_idf_end_to_end():
+    from osr_tpu.retrieval.registry import RetrieverRegistry
+
+    corpus = {
+        f"d{i}": {"text": f"the common filler words {('rareterm' if i == 7 else 'plain')} item {i}"}
+        for i in range(30)
+    }
+    r = RetrieverRegistry.create(
+        {
+            "type": "dpr",
+            "params": {"encoder": "hashing_idf", "embedding_dim": 128,
+                       "cache_matrices": False},
+        }
+    )
+    r.build_index_from_corpus(corpus)
+    res = r.search({"q": "rareterm item"}, top_k=3)
+    assert list(res["q"])[0] == "d7"

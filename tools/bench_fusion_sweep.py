@@ -37,6 +37,10 @@ def main() -> None:
                     choices=("quote", "sample", "noisy"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--top-k", type=int, default=100)
+    ap.add_argument("--encoder", default="hashing_idf",
+                    choices=("hashing", "hashing_idf"),
+                    help="dense leg encoder (idf variant measured far "
+                    "stronger on real prose)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -81,7 +85,7 @@ def main() -> None:
             {
                 "type": "hybrid",
                 "params": {
-                    "encoder": "hashing",
+                    "encoder": args.encoder,
                     "cache_matrices": False,
                     "cache_dir": None,
                 },
@@ -120,9 +124,10 @@ def main() -> None:
 
     import jax
 
-    out = {
+    run = {
         "dataset": "at-scale real-prose harvest (see "
-        "tools/bench_quality_at_scale.py), hashing-encoder dense leg",
+        "tools/bench_quality_at_scale.py)",
+        "encoder": args.encoder,
         "query_mode": args.query_mode,
         "num_docs": len(chunks),
         "num_queries": n_queries,
@@ -133,8 +138,16 @@ def main() -> None:
     }
     path = (Path(__file__).resolve().parent.parent
             / "bench_results" / "fusion_sweep.json")
-    path.write_text(json.dumps(out, indent=1))
-    print(json.dumps({"wrote": str(path), "n_rows": len(rows)}))
+    # One section per dense-leg encoder; migrate the flat v1 layout.
+    existing = {}
+    if path.exists():
+        existing = json.loads(path.read_text())
+        if "sweep" in existing:
+            existing = {existing.get("encoder", "hashing"): existing}
+    existing[args.encoder] = run
+    path.write_text(json.dumps(existing, indent=1))
+    print(json.dumps({"wrote": str(path), "encoder": args.encoder,
+                      "n_rows": len(rows)}))
 
 
 if __name__ == "__main__":

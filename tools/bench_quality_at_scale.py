@@ -295,17 +295,30 @@ def main():
             # so the weaker leg cannot drag the fused list below the
             # stronger one the way fixed-weight min-max fusion can
             # (measured: weighted hybrid 0.448 vs BM25 0.622, noisy).
+            # *_idf legs: corpus-fitted smooth-IDF feature weighting
+            # (encoders.HashingEncoder(idf=True)) — measured to lift the
+            # dense leg from nDCG@10 0.30 to 0.74 at 25k docs (noisy) by
+            # killing stopword-dominated cosine.
             ours_dense = run_quality_benchmark(
                 ds,
-                methods=("dpr", "hybrid", "hybrid_rrf"),
+                methods=("dpr", "dpr_idf", "hybrid", "hybrid_rrf",
+                         "hybrid_rrf_idf"),
                 out_dir=Path(td) / "reports_dense",
                 top_k=100,
                 method_params={
                     "dpr": {"encoder": "hashing"},
+                    "dpr_idf": {"type": "dpr", "encoder": "hashing_idf"},
                     "hybrid": {"encoder": "hashing"},
                     "hybrid_rrf": {
                         "type": "hybrid",
                         "encoder": "hashing",
+                        "fusion": "rrf",
+                        "sparse_weight": 1.0,
+                        "dense_weight": 1.0,
+                    },
+                    "hybrid_rrf_idf": {
+                        "type": "hybrid",
+                        "encoder": "hashing_idf",
                         "fusion": "rrf",
                         "sparse_weight": 1.0,
                         "dense_weight": 1.0,
