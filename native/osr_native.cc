@@ -1144,6 +1144,30 @@ void henc_fit(void* h, const char* const* docs, const int64_t* lens,
   st->n_docs = n_docs;
 }
 
+// Export the fitted document-frequency table (keys/vals must have
+// henc_df_size() capacity). Order is unspecified — consumers sort.
+void henc_export_df(void* h, uint64_t* keys, int32_t* vals) {
+  auto* st = static_cast<HashEncState*>(h);
+  int64_t i = 0;
+  for (const auto& kv : st->df) {
+    keys[i] = kv.first;
+    vals[i] = kv.second;
+    ++i;
+  }
+}
+
+// Replace the fitted state with an externally saved df table (the
+// load half of HashingEncoder.save/load — keeps query vectors
+// consistent with doc embeddings encoded in another process).
+void henc_import_df(void* h, const uint64_t* keys, const int32_t* vals,
+                    int64_t n, int64_t n_docs) {
+  auto* st = static_cast<HashEncState*>(h);
+  st->df.clear();
+  st->df.reserve(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) st->df[keys[i]] = vals[i];
+  st->n_docs = n_docs;
+}
+
 // Encode a batch of '\0'-joined token documents into out (n_docs, dim)
 // float32 (pre-zeroed by the caller). Rows are UNNORMALIZED — the Python
 // wrapper applies the same per-row np.linalg.norm it always did, keeping

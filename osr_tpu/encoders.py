@@ -335,7 +335,73 @@ class HashingEncoder:
                 emb[i] /= n
         return emb
 
+    def save(self, path) -> None:
+        """Persist the encoder config + fitted IDF state to ``.npz``.
+
+        Required whenever doc embeddings are materialized in one process
+        (``encode_corpus_to_npy`` + ``embeddings_path``) and queries are
+        encoded in another: an unfitted idf encoder silently weights
+        every feature 1.0, degrading to the plain hashing geometry while
+        the cached doc vectors carry IDF."""
+        from pathlib import Path as _P
+
+        if self._nb is not None:
+            keys, vals = self._nb.export_df()
+        elif self._df:
+            keys = np.fromiter(self._df.keys(), dtype=np.uint64,
+                               count=len(self._df))
+            vals = np.fromiter(self._df.values(), dtype=np.int32,
+                               count=len(self._df))
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], vals[order]
+        else:
+            keys = np.empty(0, np.uint64)
+            vals = np.empty(0, np.int32)
+        _P(path).parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            path,
+            dim=self.dim,
+            ngrams=self.ngrams,
+            idf=int(self.idf),
+            fitted=int(self._fitted),
+            n_docs=self._n_docs,
+            df_keys=keys,
+            df_vals=vals,
+        )
+
+    @classmethod
+    def load(cls, path, native: str = "auto") -> "HashingEncoder":
+        """Restore an encoder saved with :meth:`save` (any backend —
+        vectors are bit-identical across native/pure-Python)."""
+        with np.load(path) as z:
+            enc = cls(
+                dim=int(z["dim"]),
+                ngrams=int(z["ngrams"]),
+                idf=bool(int(z["idf"])),
+                native=native,
+            )
+            if int(z["fitted"]):
+                keys = z["df_keys"]
+                vals = z["df_vals"]
+                n_docs = int(z["n_docs"])
+                if enc._nb is not None:
+                    enc._nb.import_df(keys, vals, n_docs)
+                else:
+                    enc._df = dict(
+                        zip((int(k) for k in keys), (int(v) for v in vals))
+                    )
+                enc._n_docs = n_docs
+                enc._fitted = True
+        return enc
+
     def encode_one(self, text: str) -> np.ndarray:
+        if self.idf and not self._fitted:
+            logger.warning(
+                "HashingEncoder(idf=True).encode_one before fit(): IDF "
+                "weights degenerate to 1.0 — fit on the corpus first (or "
+                "HashingEncoder.load a saved state) so query vectors "
+                "match the document vectors"
+            )
         if self._nb is not None:
             emb = self._nb.encode([self._token_bytes(text)])
             return self._normalize_rows(emb)[0]

@@ -196,6 +196,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.henc_idf.argtypes = [c_void_p, ctypes.c_uint64]
     lib.henc_fit.restype = None
     lib.henc_fit.argtypes = [c_void_p, pp_char, p_i64, c_i64]
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.henc_export_df.restype = None
+    lib.henc_export_df.argtypes = [c_void_p, p_u64, p_i32]
+    lib.henc_import_df.restype = None
+    lib.henc_import_df.argtypes = [c_void_p, p_u64, p_i32, c_i64, c_i64]
     lib.henc_encode.restype = None
     lib.henc_encode.argtypes = [c_void_p, pp_char, p_i64, c_i64, p_f32]
 
@@ -697,3 +702,39 @@ class NativeHashingBackend:
 
     def df_size(self) -> int:
         return int(_lib.henc_df_size(self._h))
+
+    def export_df(self):
+        """(keys uint64, vals int32) of the fitted df table, sorted by key
+        for a deterministic on-disk artifact."""
+        import ctypes as ct
+
+        n = self.df_size()
+        keys = np.empty(n, dtype=np.uint64)
+        vals = np.empty(n, dtype=np.int32)
+        if n:
+            _lib.henc_export_df(
+                self._h,
+                keys.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+                _as_i32_ptr(vals),
+            )
+            order = np.argsort(keys, kind="stable")
+            keys, vals = keys[order], vals[order]
+        return keys, vals
+
+    def import_df(self, keys: np.ndarray, vals: np.ndarray,
+                  n_docs: int) -> None:
+        import ctypes as ct
+
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        vals = np.ascontiguousarray(vals, dtype=np.int32)
+        if keys.shape != vals.shape or keys.ndim != 1:
+            raise ValueError(
+                f"df keys/vals shape mismatch: {keys.shape} vs {vals.shape}"
+            )
+        _lib.henc_import_df(
+            self._h,
+            keys.ctypes.data_as(ct.POINTER(ct.c_uint64)),
+            _as_i32_ptr(vals),
+            len(keys),
+            int(n_docs),
+        )

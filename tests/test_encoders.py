@@ -298,3 +298,47 @@ def test_registry_hashing_idf_end_to_end():
     r.build_index_from_corpus(corpus)
     res = r.search({"q": "rareterm item"}, top_k=3)
     assert list(res["q"])[0] == "d7"
+
+
+def test_hashing_encoder_save_load_roundtrip(tmp_path):
+    from osr_tpu.encoders import HashingEncoder
+
+    corpus = [f"the common doc {i} {'rare' if i == 3 else 'usual'}"
+              for i in range(20)]
+    queries = ["rare doc", "the usual", "unseen thing"]
+
+    try:
+        import osr_tpu.native  # noqa: F401
+        backends = ["force", "off"]
+    except ImportError:
+        backends = ["off"]
+
+    # Save from each available backend, load into each: query vectors
+    # must be identical to the original fitted encoder's everywhere.
+    for src in backends:
+        enc = HashingEncoder(dim=128, idf=True, native=src)
+        emb = enc.encode(corpus)
+        p = tmp_path / f"enc_{src}.npz"
+        enc.save(p)
+        for dst in backends:
+            enc2 = HashingEncoder.load(p, native=dst)
+            assert enc2._fitted and enc2._n_docs == 20
+            for q in queries:
+                np.testing.assert_array_equal(
+                    enc.encode_one(q), enc2.encode_one(q)
+                )
+            # Re-encoding the corpus reproduces the original embeddings
+            # (and must NOT refit).
+            np.testing.assert_array_equal(enc2.encode(corpus[:5]), emb[:5])
+            assert enc2._n_docs == 20
+
+
+def test_hashing_encoder_unfitted_idf_warns(caplog):
+    import logging
+
+    from osr_tpu.encoders import HashingEncoder
+
+    enc = HashingEncoder(dim=64, idf=True)
+    with caplog.at_level(logging.WARNING, logger="osr_tpu.encoders"):
+        enc.encode_one("some query")
+    assert any("before fit" in r.message for r in caplog.records)
