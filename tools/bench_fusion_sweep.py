@@ -115,12 +115,15 @@ def main() -> None:
                               "weighted",
                               {"sparse_weight": sw,
                                "dense_weight": round(1.0 - sw, 2)}))
-        for sw, dw in ((1.0, 1.0), (2.0, 1.0)):
+        for sw, dw, rk in ((1.0, 1.0, 20.0), (1.0, 1.0, 60.0),
+                           (1.0, 1.0, 100.0), (2.0, 1.0, 20.0),
+                           (2.0, 1.0, 60.0), (2.0, 1.0, 100.0),
+                           (3.0, 1.0, 60.0)):
             retr.set_fusion(sparse_weight=sw, dense_weight=dw,
-                            fusion="rrf")
+                            fusion="rrf", rrf_k=rk)
             rows.append(grade(retr.search(queries, top_k=args.top_k),
                               "rrf", {"sparse_weight": sw,
-                                      "dense_weight": dw, "rrf_k": 60.0}))
+                                      "dense_weight": dw, "rrf_k": rk}))
 
     import jax
 
