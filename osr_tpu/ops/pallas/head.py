@@ -300,7 +300,12 @@ def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m):
     masked = jnp.where(mask, acc, -jnp.inf)
     n_blocks = TILE_R_BM // BLOCK_COLS
     tb = masked.shape[0]
-    iota = lax.broadcasted_iota(jnp.float32, (tb, BLOCK_COLS), 1)
+    # Mosaic's tpu.iota only produces integer vectors (a float iota fails
+    # real-TPU lowering even though interpret mode accepts it); build int32
+    # and convert — lanes still travel as exact f32 values 0..127.
+    iota = lax.broadcasted_iota(jnp.int32, (tb, BLOCK_COLS), 1).astype(
+        jnp.float32
+    )
     val_cols = []
     lane_cols = []
     for bi in range(n_blocks):
