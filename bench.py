@@ -275,9 +275,13 @@ def main():
     # matrix is written once, and the XLA backend's separate block-max
     # pass re-reads it once more (the Pallas kernel reduces in VMEM).
     if engine.head_backend == "pallas":
-        from osr_tpu.ops.pallas.head import _pick_tile_b
+        from osr_tpu.ops.pallas.head import TILE_B, _pick_tile_b
 
-        head_passes = -(-big_b // _pick_tile_b(big_b, f_terms))
+        # The kernel wrapper pads B up to TILE_B (_pad_operands); model
+        # the tile choice on the PADDED batch — _pick_tile_b raises on a
+        # batch no tile divides (e.g. the raw 6648 here).
+        b_pad = big_b + (-big_b) % TILE_B
+        head_passes = -(-b_pad // _pick_tile_b(b_pad, f_terms))
         score_passes = 1
     else:
         head_passes = 1  # XLA's fusion choices are opaque; floor model

@@ -282,7 +282,7 @@ def head_scores_blockmax_pallas(
     )(q_scaled, head, valid)
 
 
-def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m):
+def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, s_ref, m):
     """Per-128-row-block top-m extraction, in VMEM, instead of writing the
     (tile_b, TILE_R_BM) score tile to HBM at all.
 
@@ -292,14 +292,21 @@ def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m):
     is what makes the downstream selection bit-identical to the
     full-width path (ops/topk.py:block_topk_narrow tie argument).
 
+    The working copy lives in the ``s_ref`` VMEM scratch and every
+    knockout round writes its block slice back IN PLACE: as a pure value
+    chain, Mosaic stack-allocated all m*n_blocks intermediate score
+    tiles simultaneously (measured 35.4 MB vs the 16 MB scoped-VMEM
+    limit on v5e — interpret mode hides this), whereas the ref round-trip
+    bounds the live set at one block slice per round.
+
     Outputs are TRANSPOSED (n_blocks*m, tile_b) for the same reason as
     the blockmax kernel's maxima: each grid step then writes one aligned
     (8k-sublane, full-lane) tile. Lane indices travel as f32 VALUES
     (0..127: exact)."""
     mask = valid_ref[:] > 0.5  # (1, TILE_R_BM)
-    masked = jnp.where(mask, acc, -jnp.inf)
+    s_ref[:] = jnp.where(mask, acc, -jnp.inf)
     n_blocks = TILE_R_BM // BLOCK_COLS
-    tb = masked.shape[0]
+    tb = acc.shape[0]
     # Mosaic's tpu.iota only produces integer vectors (a float iota fails
     # real-TPU lowering even though interpret mode accepts it); build int32
     # and convert — lanes still travel as exact f32 values 0..127.
@@ -309,8 +316,9 @@ def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m):
     val_cols = []
     lane_cols = []
     for bi in range(n_blocks):
-        s = masked[:, bi * BLOCK_COLS : (bi + 1) * BLOCK_COLS]
+        col = slice(bi * BLOCK_COLS, (bi + 1) * BLOCK_COLS)
         for _ in range(m):
+            s = s_ref[:, col]
             v = jnp.max(s, axis=1, keepdims=True)  # (tb, 1)
             lane = jnp.min(
                 jnp.where(s == v, iota, float(BLOCK_COLS)),
@@ -319,13 +327,13 @@ def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m):
             )
             val_cols.append(v)
             lane_cols.append(lane)
-            s = jnp.where(iota == lane, -jnp.inf, s)
+            s_ref[:, col] = jnp.where(iota == lane, -jnp.inf, s)
     vals_ref[:] = jnp.concatenate(val_cols, axis=1).T
     lanes_ref[:] = jnp.concatenate(lane_cols, axis=1).T
 
 
 def _make_blocktopm_kernel(m, int4):
-    def kernel(q_ref, head_ref, valid_ref, vals_ref, lanes_ref):
+    def kernel(q_ref, head_ref, valid_ref, vals_ref, lanes_ref, s_ref):
         h = (
             _decode_int4(head_ref[:].astype(jnp.int32))
             if int4
@@ -337,7 +345,7 @@ def _make_blocktopm_kernel(m, int4):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m)
+        _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, s_ref, m)
 
     return kernel
 
@@ -359,8 +367,9 @@ def head_blocktopm_pallas(
     blocks from HBM again (vs blockmax: matmul writes (B,R) + maxima,
     then the pruned selection re-reads k*128 candidate lanes per query).
     VMEM per grid step is LOWER than the blockmax kernel's (no
-    double-buffered (tile_b, TILE_R_BM) output tile; one in-register work
-    copy instead)."""
+    double-buffered (tile_b, TILE_R_BM) output tile; one scratch work
+    copy instead — see _blocktopm_epilogue on why it must be a scratch
+    ref, not a value chain)."""
     r, f_head = head.shape
     b, f_logical = q_scaled.shape
     int4 = head.dtype == jnp.uint8
@@ -406,6 +415,7 @@ def head_blocktopm_pallas(
                     memory_space=pltpu.VMEM,
                 ),
             ),
+            scratch_shapes=[pltpu.VMEM((tile_b, TILE_R_BM), jnp.float32)],
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * f_logical * b + (m + 4) * r * b,
