@@ -45,12 +45,18 @@ def synthetic_query_embedding(query_text: str, dim: int = 768) -> np.ndarray:
     """Deterministic hash-seeded unit query embedding (reference
     retriever_registry.py:526-536 semantics, but with a stable hash: Python's
     ``hash`` is salted per process, which made the reference's query
-    embeddings irreproducible across runs)."""
+    embeddings irreproducible across runs).
+
+    Uses PCG64 (``default_rng``), not the legacy ``RandomState``: MT19937's
+    seeding path alone costs ~420 us per query — measured at 57% of the
+    entire hybrid search pass at FiQA scale — vs ~3 us here. The exact
+    vector values are not a parity surface (the reference's were salted
+    per process); determinism and unit norm are."""
     import zlib
 
     seed = zlib.crc32(query_text.encode("utf-8")) % (2**31)
-    rng = np.random.RandomState(seed)
-    v = rng.randn(dim).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(dim, dtype=np.float32)
     return v / np.linalg.norm(v)
 
 
