@@ -67,6 +67,17 @@ def run_method(
 
     t0 = time.perf_counter()
     results = retriever.search(queries, top_k=top_k)
+    cold_search_s = time.perf_counter() - t0
+
+    # Warm steady-state pass for the throughput number: the cold pass
+    # pays the XLA compiles (20-60 s each through the remote-TPU tunnel),
+    # which is per-process startup cost, not query throughput — it made
+    # the committed on-chip quality QPS read 9.6 while the same engine
+    # measures 16k QPS warm at FiQA scale. Cold time is still reported.
+    if hasattr(retriever, "clear_cache"):
+        retriever.clear_cache()
+    t0 = time.perf_counter()
+    results = retriever.search(queries, top_k=top_k)
     search_s = time.perf_counter() - t0
 
     metrics = evaluate_retrieval(results, qrels, k_values=(10, 100))
@@ -77,6 +88,7 @@ def run_method(
         "top_k": top_k,
         "build_time_s": build_s,
         "search_time_s": search_s,
+        "cold_search_s": cold_search_s,
         "avg_latency_ms": search_s / len(queries) * 1000 if queries else 0.0,
         "qps": len(queries) / search_s if search_s else 0.0,
         **metrics,
