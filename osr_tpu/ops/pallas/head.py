@@ -140,6 +140,31 @@ def _pick_tile_b(b: int, f: int) -> int:
     )
 
 
+def _pick_tile_b_blocktopm(b: int, f: int) -> int:
+    """Query-tile picker for the blocktopm kernel, whose VMEM profile
+    differs from the plain head kernel's: no (tile_b, TILE_R_BM) HBM
+    output tile, but the matmul accumulator + masked copy stay live as
+    VALUES through the whole epilogue, and each block's scf.for keeps a
+    3x(tile_b, 128) carry plus ~3 temporaries of the same shape."""
+    budget = 13 << 20  # measured headroom under the 16 MB scoped limit
+    for tb in (512, 256, 128):
+        if b % tb:
+            continue
+        need = (
+            tb * f * 2  # query tile (resident per i)
+            + 2 * TILE_R_BM * f  # head tile, double-buffered
+            + 2 * tb * TILE_R_BM * 4  # acc + masked working copy
+            + 6 * tb * BLOCK_COLS * 4  # fori carry + round temporaries
+        )
+        if need <= budget:
+            return tb
+    raise ValueError(
+        f"pallas blocktopm kernel: no query tile (512/256/128) dividing "
+        f"B={b} fits the {budget >> 20} MB VMEM budget at F={f}; "
+        "use narrow_backend='xla'"
+    )
+
+
 def head_tile_fits(b: int, f_logical: int) -> bool:
     """True when some query tile fits the VMEM model at this head width —
     the engine's head_backend='auto' routes to XLA when this is False
@@ -282,7 +307,7 @@ def head_scores_blockmax_pallas(
     )(q_scaled, head, valid)
 
 
-def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, s_ref, m):
+def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m):
     """Per-128-row-block top-m extraction, in VMEM, instead of writing the
     (tile_b, TILE_R_BM) score tile to HBM at all.
 
@@ -292,48 +317,60 @@ def _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, s_ref, m):
     is what makes the downstream selection bit-identical to the
     full-width path (ops/topk.py:block_topk_narrow tie argument).
 
-    The working copy lives in the ``s_ref`` VMEM scratch and every
-    knockout round writes its block slice back IN PLACE: as a pure value
-    chain, Mosaic stack-allocated all m*n_blocks intermediate score
-    tiles simultaneously (measured 35.4 MB vs the 16 MB scoped-VMEM
-    limit on v5e — interpret mode hides this), whereas the ref round-trip
-    bounds the live set at one block slice per round.
+    The knockout rounds run in a ``lax.fori_loop`` whose carry is the
+    block's (tile_b, 128) working state: Mosaic stack-allocates every
+    Python-unrolled round's temporaries SIMULTANEOUSLY (~0.55 MB/round
+    measured on real v5e — 19.4 MB at m=4 B=6656, 35.4 MB at m=8,
+    against the 16 MB scoped limit; interpret mode hides this, and a
+    VMEM-scratch round-trip did not help), whereas an scf.for body's
+    temporaries are reused across iterations. Round results land in a
+    (tile_b, 128)-carry vals/lanes pair via a lane-select against the
+    round index, then only columns [:m] stay live across blocks.
 
     Outputs are TRANSPOSED (n_blocks*m, tile_b) for the same reason as
     the blockmax kernel's maxima: each grid step then writes one aligned
     (8k-sublane, full-lane) tile. Lane indices travel as f32 VALUES
     (0..127: exact)."""
     mask = valid_ref[:] > 0.5  # (1, TILE_R_BM)
-    s_ref[:] = jnp.where(mask, acc, -jnp.inf)
+    s_all = jnp.where(mask, acc, -jnp.inf)
     n_blocks = TILE_R_BM // BLOCK_COLS
     tb = acc.shape[0]
     # Mosaic's tpu.iota only produces integer vectors (a float iota fails
-    # real-TPU lowering even though interpret mode accepts it); build int32
-    # and convert — lanes still travel as exact f32 values 0..127.
-    iota = lax.broadcasted_iota(jnp.int32, (tb, BLOCK_COLS), 1).astype(
-        jnp.float32
-    )
+    # real-TPU lowering even though interpret mode accepts it); lanes
+    # still travel as exact f32 values 0..127.
+    iota_i = lax.broadcasted_iota(jnp.int32, (tb, BLOCK_COLS), 1)
+    iota = iota_i.astype(jnp.float32)
+
+    def round_body(ri, carry):
+        s, vals, lanes = carry  # each (tb, BLOCK_COLS)
+        v = jnp.max(s, axis=1, keepdims=True)  # (tb, 1)
+        lane = jnp.min(
+            jnp.where(s == v, iota, float(BLOCK_COLS)),
+            axis=1,
+            keepdims=True,
+        )
+        sel = iota_i == ri  # this round's result column
+        vals = jnp.where(sel, v, vals)
+        lanes = jnp.where(sel, lane, lanes)
+        s = jnp.where(iota == lane, -jnp.inf, s)
+        return s, vals, lanes
+
+    zeros = jnp.zeros((tb, BLOCK_COLS), jnp.float32)
     val_cols = []
     lane_cols = []
     for bi in range(n_blocks):
         col = slice(bi * BLOCK_COLS, (bi + 1) * BLOCK_COLS)
-        for _ in range(m):
-            s = s_ref[:, col]
-            v = jnp.max(s, axis=1, keepdims=True)  # (tb, 1)
-            lane = jnp.min(
-                jnp.where(s == v, iota, float(BLOCK_COLS)),
-                axis=1,
-                keepdims=True,
-            )
-            val_cols.append(v)
-            lane_cols.append(lane)
-            s_ref[:, col] = jnp.where(iota == lane, -jnp.inf, s)
+        _, vals, lanes = lax.fori_loop(
+            0, m, round_body, (s_all[:, col], zeros, zeros)
+        )
+        val_cols.append(vals[:, :m])
+        lane_cols.append(lanes[:, :m])
     vals_ref[:] = jnp.concatenate(val_cols, axis=1).T
     lanes_ref[:] = jnp.concatenate(lane_cols, axis=1).T
 
 
 def _make_blocktopm_kernel(m, int4):
-    def kernel(q_ref, head_ref, valid_ref, vals_ref, lanes_ref, s_ref):
+    def kernel(q_ref, head_ref, valid_ref, vals_ref, lanes_ref):
         h = (
             _decode_int4(head_ref[:].astype(jnp.int32))
             if int4
@@ -345,7 +382,7 @@ def _make_blocktopm_kernel(m, int4):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, s_ref, m)
+        _blocktopm_epilogue(acc, valid_ref, vals_ref, lanes_ref, m)
 
     return kernel
 
@@ -366,16 +403,14 @@ def head_blocktopm_pallas(
     the (B, R) score matrix, and the selection path never gathers score
     blocks from HBM again (vs blockmax: matmul writes (B,R) + maxima,
     then the pruned selection re-reads k*128 candidate lanes per query).
-    VMEM per grid step is LOWER than the blockmax kernel's (no
-    double-buffered (tile_b, TILE_R_BM) output tile; one scratch work
-    copy instead — see _blocktopm_epilogue on why it must be a scratch
-    ref, not a value chain)."""
+    The knockout rounds are an scf.for per block, not a Python unroll —
+    see _blocktopm_epilogue for the measured Mosaic stack behavior."""
     r, f_head = head.shape
     b, f_logical = q_scaled.shape
     int4 = head.dtype == jnp.uint8
     g = r // BLOCK_COLS
     n_blocks = TILE_R_BM // BLOCK_COLS
-    tile_b = _pick_tile_b(b, f_logical)
+    tile_b = _pick_tile_b_blocktopm(b, f_logical)
     grid = (b // tile_b, r // TILE_R_BM)
     kernel = _make_blocktopm_kernel(m, int4)
     return pl.pallas_call(
@@ -415,7 +450,6 @@ def head_blocktopm_pallas(
                     memory_space=pltpu.VMEM,
                 ),
             ),
-            scratch_shapes=[pltpu.VMEM((tile_b, TILE_R_BM), jnp.float32)],
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * f_logical * b + (m + 4) * r * b,

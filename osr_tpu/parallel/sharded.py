@@ -920,8 +920,6 @@ class ShardedHybridEngine:
         dense_backend: str = "xla",
         pallas_interpret: bool = False,
     ):
-        from osr_tpu.index.dense import synthetic_query_embedding
-
         if fusion not in ("weighted", "rrf"):
             raise ValueError(f"unknown fusion mode: {fusion!r}")
         self.sparse_weight = sparse_weight
@@ -946,9 +944,19 @@ class ShardedHybridEngine:
             pallas_interpret=pallas_interpret,
         )
         dim = embeddings.shape[1]
-        self._embed = query_embedding_fn or (
-            lambda text: synthetic_query_embedding(text, dim)
-        )
+        if query_embedding_fn is not None:
+            self._embed_batch = lambda texts: np.stack(
+                [
+                    np.asarray(query_embedding_fn(t), dtype=np.float32)
+                    for t in texts
+                ]
+            )
+        else:
+            from osr_tpu.index.dense import synthetic_query_embeddings
+
+            self._embed_batch = lambda texts: synthetic_query_embeddings(
+                texts, dim
+            )
 
     def search(
         self, queries: Mapping[str, str], top_k: int = 10
@@ -985,7 +993,7 @@ class ShardedHybridEngine:
             # dense step rides the mesh while the sparse merge finishes.
             enc = sp.encode_queries(texts)
             s_handle = sp.search_encoded_device(enc, depth)
-            vecs = np.stack([self._embed(t) for t in texts])
+            vecs = self._embed_batch(texts)
             d_scores, d_ids = self.dense.search_vectors(vecs, top_k=depth)
             s_scores, s_ids = sp.finish_batch(s_handle, depth)
             n = len(chunk)  # sparse rows are padded to the batch bucket

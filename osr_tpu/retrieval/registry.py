@@ -28,6 +28,7 @@ from osr_tpu.index.dense import (
     load_embeddings,
     synthetic_corpus_embeddings,
     synthetic_query_embedding,
+    synthetic_query_embeddings,
 )
 from osr_tpu.retrieval.engine import DenseSearchEngine, SparseSearchEngine
 
@@ -176,6 +177,20 @@ class QuantizedDenseRetriever:
         if self.query_embedding_fn is not None:
             return np.asarray(self.query_embedding_fn(text), dtype=np.float32)
         return synthetic_query_embedding(text, self.embedding_dim)
+
+    def embed_queries(self, texts) -> np.ndarray:
+        """Batched query embedding, (B, dim) — one vectorized pass when
+        on the synthetic generator (identical per-text vectors to
+        :meth:`embed_query`); per-text loop for injected fns, which have
+        no batch contract."""
+        if self.query_embedding_fn is not None:
+            return np.stack(
+                [
+                    np.asarray(self.query_embedding_fn(t), dtype=np.float32)
+                    for t in texts
+                ]
+            )
+        return synthetic_query_embeddings(texts, self.embedding_dim)
 
     def search(
         self, queries: Mapping[str, str], top_k: int = 10
@@ -414,7 +429,7 @@ class HybridRetriever:
             # Dense first: its device step has no host stage, so it rides
             # the device while the sparse host work (tokenize + tail
             # postings) runs below.
-            vecs = np.stack([self.dense.embed_query(t) for t in texts])
+            vecs = self.dense.embed_queries(texts)
             d_handle = de.dispatch_vectors(vecs, depth)
             enc = sp.encode_queries(texts)
             return sp.search_encoded_device(enc, depth), d_handle
