@@ -58,6 +58,18 @@ def enable_persistent_cache(path: Optional[str] = None) -> Optional[str]:
     if _enabled_dir is not None:
         return _enabled_dir
 
+    # Default-on only for accelerator backends: the cache exists to
+    # amortize the remote-compile tunnel (minutes at 1M+ docs), while
+    # CPU compiles are local and fast — and reloading CPU AOT
+    # executables across feature-set changes draws an XLA
+    # "may SIGILL" warning. An explicit path (arg or env) overrides.
+    if path is None and not env:
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+        except Exception:  # pragma: no cover - backend init failure
+            return None
+
     cache_dir = path or env or _DEFAULT_DIR
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -28,12 +28,21 @@ def _reset(tmp_path, monkeypatch):
     jax.config.update("jax_compilation_cache_dir", prior)
 
 
-def test_default_dir_created_and_idempotent(tmp_path):
-    first = compile_cache.enable_persistent_cache()
-    assert first == str(tmp_path / "default")
+def test_default_off_on_cpu_backend():
+    # Default-on is accelerator-only: CPU compiles are local/fast and
+    # reloading CPU AOT results across feature sets risks SIGILL.
+    # (The test suite pins JAX_PLATFORMS=cpu, so the gate is active.)
+    assert jax.default_backend() == "cpu"
+    assert compile_cache.enable_persistent_cache() is None
+
+
+def test_explicit_path_created_and_idempotent(tmp_path):
+    target = str(tmp_path / "explicit")
+    first = compile_cache.enable_persistent_cache(target)
+    assert first == target
     assert os.path.isdir(first)
     assert jax.config.jax_compilation_cache_dir == first
-    assert compile_cache.enable_persistent_cache() == first
+    assert compile_cache.enable_persistent_cache(target) == first
 
 
 def test_env_off_disables(monkeypatch):
