@@ -74,6 +74,16 @@ DEFAULT_BATCH_SIZES = (8, 32, 128, 256, 512)
 # still splitting the 8 GB B=2048 x 1M case into two.
 SCORE_BUDGET_BYTES = 6 << 30
 
+# Total device-HBM budget for head + one transient score chunk. v5e
+# advertises 16 GB; the measured usable window on this host's tunnel
+# runtime sits between 11.0 GiB (5M-doc F=2048 run, fits) and 13.6 GiB
+# (5M-doc F=4096 int4 head 9.54 GiB + 4.1 GiB chunk, RESOURCE_EXHAUSTED
+# — bench_results/tpu_evidence_scale5m.log). 12 GiB is the safe side of
+# that bracket; the auto-chunker shrinks chunks so head + chunk stays
+# under it, instead of applying the fixed 6 GiB score budget that only
+# models the score matrix and OOMs once the head itself is huge.
+HBM_SEARCH_BUDGET_BYTES = 12 << 30
+
 
 class _DeviceIndex:
     """Device-resident arrays of a :class:`HybridLayout` (head side only —
@@ -262,15 +272,32 @@ class SparseSearchEngine:
             row_align = TILE_R_BM  # TILE_R (256) divides TILE_R_BM (1024)
         else:
             row_align = 1
+        head_bytes = index.layout.head.nbytes
         if score_chunk_rows is None:
-            # Auto: bound the transient (B_max, R) f32 score matrix.
+            # Auto: bound the transient (B_max, R) f32 score matrix by
+            # the fixed score budget AND by what the head leaves free
+            # of the total search budget (a 9.5 GiB 5M x F=4096 int4
+            # head leaves ~2.5 GiB for the chunk, not 6).
             max_b = self.batch_sizes[-1]
-            if max_b * index.layout.num_rows * 4 > SCORE_BUDGET_BYTES:
-                score_chunk_rows = max(
-                    SCORE_BUDGET_BYTES // (4 * max_b), 4096
-                )
+            budget = min(
+                SCORE_BUDGET_BYTES,
+                max(HBM_SEARCH_BUDGET_BYTES - head_bytes, 64 << 20),
+            )
+            if max_b * index.layout.num_rows * 4 > budget:
+                score_chunk_rows = max(budget // (4 * max_b), 4096)
             else:
                 score_chunk_rows = 0
+        elif score_chunk_rows:
+            max_b = self.batch_sizes[-1]
+            if head_bytes + max_b * score_chunk_rows * 4 > HBM_SEARCH_BUDGET_BYTES:
+                logger.warning(
+                    "score_chunk_rows=%d models %.1f GiB of head+chunk HBM, "
+                    "over the %.1f GiB search budget — expect "
+                    "RESOURCE_EXHAUSTED at dispatch",
+                    score_chunk_rows,
+                    (head_bytes + max_b * score_chunk_rows * 4) / 2**30,
+                    HBM_SEARCH_BUDGET_BYTES / 2**30,
+                )
         if score_chunk_rows and self.merge_backend != "host":
             # The chunked path computes candidate head scores on the host
             # (the device-merge gather would need per-chunk row remaps

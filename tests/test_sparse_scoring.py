@@ -263,3 +263,33 @@ def test_chunk_auto_threshold_engages():
             assert got >= r  # chunks cover every row (last one padded)
     finally:
         eng.SCORE_BUDGET_BYTES = small_budget
+
+
+def test_chunk_auto_shrinks_for_head_residency():
+    """The auto-chunker must budget the score chunk against what the
+    resident head leaves free of the total HBM search budget, not just
+    the fixed score budget (a 9.5 GiB 5M-doc F=4096 int4 head + a
+    6 GiB-budgeted chunk RESOURCE_EXHAUSTED the chip —
+    bench_results/tpu_evidence_scale5m.log)."""
+    from osr_tpu.retrieval import engine as eng
+
+    # Big enough that (B_max, R) f32 = 512 x ~41k x 4 B ~ 84 MB exceeds
+    # the 64 MB minimum chunk budget the floor guarantees.
+    corpus = zipf_corpus(num_docs=40_000, vocab_size=8_000, avg_len=30)
+    index = SparseIndexBuilder().build(corpus)
+    head_bytes = index.layout.head.nbytes
+    saved = (eng.SCORE_BUDGET_BYTES, eng.HBM_SEARCH_BUDGET_BYTES)
+    try:
+        # Score budget alone would NOT chunk this corpus; a total budget
+        # the head nearly fills must force chunking anyway.
+        eng.SCORE_BUDGET_BYTES = 1 << 40
+        eng.HBM_SEARCH_BUDGET_BYTES = head_bytes + (1 << 20)
+        on = SparseSearchEngine(index, cache_queries=False)
+        if on.merge_backend == "host":
+            max_b = on.batch_sizes[-1]
+            assert max_b * index.layout.num_rows * 4 > (64 << 20)
+            assert on._dev.chunks is not None
+            got = sum(c[0].shape[0] for c in on._dev.chunks)
+            assert got >= index.layout.num_rows
+    finally:
+        eng.SCORE_BUDGET_BYTES, eng.HBM_SEARCH_BUDGET_BYTES = saved
