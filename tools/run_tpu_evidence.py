@@ -84,8 +84,11 @@ QUEUE = [
                          "--head-dtype", "int8", "--narrow-m", "8",
                          "--narrow-backend", "extract",
                          "--note", "chunked-extract-1M"]),
-    # 5M x F=4096 int4 head = ~10.3 GiB HBM; cap score chunks at 500k
-    # rows (~4 GiB at B=2048) to stay under the 16 GB line.
+    # 5M x F=4096 int4 head = 9.54 GiB HBM. r4 MEASURED the boundary:
+    # an explicit 500k-row chunk (4.1 GiB at B=2048) on top of that
+    # head RESOURCE_EXHAUSTED (13.6 GiB fails / 11.0 GiB fits —
+    # tpu_evidence_scale5m.log), so chunk sizing is now left to the
+    # engine's head-residency-aware auto-chunker (~320k rows here).
     # _load_or_build: /tmp/prebuild_indexes.sh dumps these indexes to
     # .scaling_dumps/ during tunnel outages so the TPU window is spent
     # measuring, not rebuilding (~10-40 min of 1-core host build each).
@@ -93,8 +96,7 @@ QUEUE = [
                                "--docs", "5000000",
                                "--head-dtype", "int4", "--head-cap", "4096",
                                "--head-budget-gib", "11",
-                               "--score-chunk-rows", "500000",
-                               "--note", "head-width-cure-at-5M"]
+                               "--note", "head-width-cure-at-5M-autochunk"]
                       + _load_if_dumped("5m_int4_f4096")),
     ("scale10m", 10800, lambda: [PY, "tools/bench_scaling.py",
                                  "--docs", "10000000",
