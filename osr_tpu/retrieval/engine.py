@@ -56,6 +56,21 @@ from osr_tpu.ops.bm25 import (
 
 logger = logging.getLogger(__name__)
 
+
+def _prefetch(arr) -> None:
+    """Enqueue an async device->host copy of a result array at DISPATCH
+    time. The copy is queued behind the program that produces ``arr``, so
+    the tunnel streams the result back while the host works on other
+    batches; by collect time ``np.asarray`` finds the bytes already local
+    (measured on the v5e tunnel: a ready 2.7 MB packed fetch drops from
+    ~95 ms blocking to ~0.2 ms — tools/profile_hybrid.py r5 notes).
+    Safe no-op on backends without the API."""
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, NotImplementedError):  # pragma: no cover
+        pass
+
+
 # The 256/512 buckets matter on remote-TPU links: a fixed ~30 ms per
 # transfer means a 512-query workload pays 1 round trip instead of 4.
 # The 256 step bounds padded device work at 2x for any workload size
@@ -273,37 +288,63 @@ class SparseSearchEngine:
         else:
             row_align = 1
         head_bytes = index.layout.head.nbytes
+        max_b = self.batch_sizes[-1]
+        # Transient bytes per chunk ROW: the (B, Rc) f32 score slab, plus
+        # — on the XLA int4 fallback only — the (Rc, F) bf16 unpacked
+        # head copy that ops/bm25.py:head_scores materializes per batch
+        # (r4 advisor finding: it was unbudgeted, so a wide int4 head
+        # routed to XLA could RESOURCE_EXHAUSTED despite auto-chunking).
+        chunk_row_bytes = 4 * max_b
+        if self.head_backend == "xla" and index.layout.head_dtype == "int4":
+            chunk_row_bytes += 2 * index.layout.head_terms
+        explicit_chunk = score_chunk_rows is not None
         if score_chunk_rows is None:
-            # Auto: bound the transient (B_max, R) f32 score matrix by
-            # the fixed score budget AND by what the head leaves free
-            # of the total search budget (a 9.5 GiB 5M x F=4096 int4
-            # head leaves ~2.5 GiB for the chunk, not 6).
-            max_b = self.batch_sizes[-1]
+            # Auto: bound the per-chunk transients by the fixed score
+            # budget AND by what the head leaves free of the total search
+            # budget (a 9.5 GiB 5M x F=4096 int4 head leaves ~2.5 GiB
+            # for the chunk, not 6).
             budget = min(
                 SCORE_BUDGET_BYTES,
                 max(HBM_SEARCH_BUDGET_BYTES - head_bytes, 64 << 20),
             )
-            if max_b * index.layout.num_rows * 4 > budget:
-                score_chunk_rows = max(budget // (4 * max_b), 4096)
+            if index.layout.num_rows * chunk_row_bytes > budget:
+                score_chunk_rows = max(budget // chunk_row_bytes, 4096)
             else:
                 score_chunk_rows = 0
-        elif score_chunk_rows:
-            max_b = self.batch_sizes[-1]
-            if head_bytes + max_b * score_chunk_rows * 4 > HBM_SEARCH_BUDGET_BYTES:
-                logger.warning(
-                    "score_chunk_rows=%d models %.1f GiB of head+chunk HBM, "
-                    "over the %.1f GiB search budget — expect "
-                    "RESOURCE_EXHAUSTED at dispatch",
-                    score_chunk_rows,
-                    (head_bytes + max_b * score_chunk_rows * 4) / 2**30,
-                    HBM_SEARCH_BUDGET_BYTES / 2**30,
-                )
         if score_chunk_rows and self.merge_backend != "host":
             # The chunked path computes candidate head scores on the host
             # (the device-merge gather would need per-chunk row remaps
             # and per-chunk candidate uploads — tunnel-hostile); without
-            # the host merge, fall back to single-sweep scoring.
+            # the host merge, fall back to single-sweep scoring — which
+            # is LARGER than the chunked plan it replaces, so say so.
+            logger.warning(
+                "score chunking (%d rows/chunk) disabled: merge_backend="
+                "%r has no chunked path — the full-width (B=%d, R=%d) "
+                "sweep will run instead and may exceed the %.1f GiB "
+                "search budget",
+                score_chunk_rows,
+                self.merge_backend,
+                max_b,
+                index.layout.num_rows,
+                HBM_SEARCH_BUDGET_BYTES / 2**30,
+            )
             score_chunk_rows = 0
+        elif (
+            explicit_chunk
+            and score_chunk_rows
+            and head_bytes + score_chunk_rows * chunk_row_bytes
+            > HBM_SEARCH_BUDGET_BYTES
+        ):
+            # After the merge gate on purpose (r4 advisor finding): this
+            # describes the chunked plan that actually runs.
+            logger.warning(
+                "score_chunk_rows=%d models %.1f GiB of head+chunk HBM, "
+                "over the %.1f GiB search budget — expect "
+                "RESOURCE_EXHAUSTED at dispatch",
+                score_chunk_rows,
+                (head_bytes + score_chunk_rows * chunk_row_bytes) / 2**30,
+                HBM_SEARCH_BUDGET_BYTES / 2**30,
+            )
         self._dev = _DeviceIndex(
             index.layout,
             self.device,
@@ -521,6 +562,14 @@ class SparseSearchEngine:
                 head_backend=self.head_backend,
                 narrow_m=self.narrow_m,
             )
+        # Prefetch the packed result (and the candidate gather on the
+        # device-merge path): the D2H copy queues behind the search
+        # program, so the tunnel streams results back during later
+        # batches' host work instead of blocking finish_batch.
+        p = out[0]
+        _prefetch(p[1] if isinstance(p, tuple) else p)
+        if self.merge_backend == "device" and out[1] is not None:
+            _prefetch(out[1])
         layout = self.index.layout
         if self.merge_backend == "device":
             cand_head = None  # comes back from the device with the top-k
@@ -1083,6 +1132,7 @@ class DenseSearchEngine:
                     )
                 else:
                     out = search_fn(q, docs, scales, k=kk, packed=True)
+                _prefetch(out)
                 parts.append((out, base, kk))
             return ("chunked", (parts, top_k))
         if (
@@ -1102,12 +1152,11 @@ class DenseSearchEngine:
             # Fused Mosaic path (osr_tpu/ops/pallas/matmul.py): quantize +
             # similarity + exact block-pruned top-k + result pack, all in
             # ONE jitted program — a single dispatch per batch.
-            return (
-                "packed",
-                _pallas_dense_step(
-                    q, self._docs, self._scales, n_real=self._n_real, k=top_k
-                ),
+            out = _pallas_dense_step(
+                q, self._docs, self._scales, n_real=self._n_real, k=top_k
             )
+            _prefetch(out)
+            return ("packed", out)
         packed = len(self.doc_ids) < (1 << 24)
         if self.quantization == "symmetric":
             out = qz.int8_search_symmetric(
@@ -1123,6 +1172,11 @@ class DenseSearchEngine:
             )
         else:
             out = qz.fp_search(q, self._docs, k=top_k, packed=packed)
+        if packed:
+            _prefetch(out)
+        else:
+            _prefetch(out[0])
+            _prefetch(out[1])
         return ("packed" if packed else "pair", out)
 
     def collect_vectors(

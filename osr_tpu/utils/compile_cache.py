@@ -67,8 +67,18 @@ def enable_persistent_cache(path: Optional[str] = None) -> Optional[str]:
         try:
             if jax.default_backend() == "cpu":
                 return None
-        except Exception:  # pragma: no cover - backend init failure
-            return None
+        except Exception as exc:  # pragma: no cover - backend init failure
+            # Fall THROUGH and enable: a backend-init hiccup is most
+            # likely a transient accelerator-plugin discovery failure on
+            # a real TPU host — exactly where the cache saves minutes of
+            # remote compile. Worst case (actually CPU) is the benign
+            # SIGILL-on-feature-change warning the gate exists to avoid.
+            logger.warning(
+                "backend probe failed (%s); enabling the persistent "
+                "compile cache anyway — accelerator hosts are where it "
+                "matters",
+                exc,
+            )
 
     cache_dir = path or env or _DEFAULT_DIR
     try:

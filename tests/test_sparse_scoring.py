@@ -255,12 +255,16 @@ def test_chunk_auto_threshold_engages():
     small_budget = eng.SCORE_BUDGET_BYTES
     try:
         eng.SCORE_BUDGET_BYTES = 128 * 1024
-        on = SparseSearchEngine(index, cache_queries=False)
-        if on.merge_backend == "host":
-            assert on._dev.chunks is not None
-            r = index.layout.num_rows
-            got = sum(c[0].shape[0] for c in on._dev.chunks)
-            assert got >= r  # chunks cover every row (last one padded)
+        # merge_backend forced to 'host' (not auto) so the chunking
+        # assertions run even on hosts without the native extension,
+        # where auto falls to 'device' and would skip them vacuously.
+        on = SparseSearchEngine(
+            index, cache_queries=False, merge_backend="host"
+        )
+        assert on._dev.chunks is not None
+        r = index.layout.num_rows
+        got = sum(c[0].shape[0] for c in on._dev.chunks)
+        assert got >= r  # chunks cover every row (last one padded)
     finally:
         eng.SCORE_BUDGET_BYTES = small_budget
 
@@ -284,12 +288,51 @@ def test_chunk_auto_shrinks_for_head_residency():
         # the head nearly fills must force chunking anyway.
         eng.SCORE_BUDGET_BYTES = 1 << 40
         eng.HBM_SEARCH_BUDGET_BYTES = head_bytes + (1 << 20)
-        on = SparseSearchEngine(index, cache_queries=False)
-        if on.merge_backend == "host":
-            max_b = on.batch_sizes[-1]
-            assert max_b * index.layout.num_rows * 4 > (64 << 20)
-            assert on._dev.chunks is not None
-            got = sum(c[0].shape[0] for c in on._dev.chunks)
-            assert got >= index.layout.num_rows
+        # Forced host merge: the budget logic must always be exercised
+        # (auto merge falls to 'device' without the native extension and
+        # disables chunking, passing this test vacuously — ADVICE r4).
+        on = SparseSearchEngine(
+            index, cache_queries=False, merge_backend="host"
+        )
+        max_b = on.batch_sizes[-1]
+        assert max_b * index.layout.num_rows * 4 > (64 << 20)
+        assert on._dev.chunks is not None
+        got = sum(c[0].shape[0] for c in on._dev.chunks)
+        assert got >= index.layout.num_rows
+    finally:
+        eng.SCORE_BUDGET_BYTES, eng.HBM_SEARCH_BUDGET_BYTES = saved
+
+
+def test_chunk_budget_counts_xla_int4_transient():
+    """The XLA int4 fallback materializes a transient (Rc, F) bf16
+    unpacked head copy per chunk (ops/bm25.py:head_scores); the
+    auto-chunker must budget it, not just the (B, Rc) f32 score slab
+    (r4 advisor finding). With the transient counted, the same budget
+    must produce SMALLER chunks for an int4+XLA engine than the
+    f32-slab-only model would."""
+    from osr_tpu.retrieval import engine as eng
+
+    corpus = zipf_corpus(num_docs=40_000, vocab_size=8_000, avg_len=30)
+    index = SparseIndexBuilder(head_dtype="int4").build(corpus)
+    f = index.layout.head_terms
+    saved = (eng.SCORE_BUDGET_BYTES, eng.HBM_SEARCH_BUDGET_BYTES)
+    try:
+        eng.SCORE_BUDGET_BYTES = 64 << 20
+        eng.HBM_SEARCH_BUDGET_BYTES = 1 << 40
+        on = SparseSearchEngine(
+            index,
+            cache_queries=False,
+            merge_backend="host",
+            head_backend="xla",
+        )
+        assert on._dev.chunks is not None
+        max_b = on.batch_sizes[-1]
+        rows_old_model = max((64 << 20) // (4 * max_b), 4096)
+        rows_new_model = max((64 << 20) // (4 * max_b + 2 * f), 4096)
+        got_rows = on._dev.chunks[0][0].shape[0]
+        assert rows_new_model < rows_old_model
+        # Chunk rows are equalized and row-aligned upward, but must stay
+        # at/below the transient-aware bound's scale, not the old one.
+        assert got_rows < rows_old_model
     finally:
         eng.SCORE_BUDGET_BYTES, eng.HBM_SEARCH_BUDGET_BYTES = saved
