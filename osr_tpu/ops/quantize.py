@@ -80,6 +80,121 @@ def quantize_symmetric_int4(
     return (lo | (hi << 4)).astype(jnp.uint8), scales
 
 
+@functools.partial(jax.jit, static_argnames=("group_size",))
+def quantize_symmetric_int4_grouped(
+    x: jax.Array, *, group_size: int = 128
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-(row, column-group) symmetric int4 quantization.
+
+    Per-ROW single-scale int4 loses ~24% nDCG@10 on dense embeddings
+    (bench_results/dense_encoder.json r4: 0.1908 fp32 -> 0.1454 int4):
+    one outlier component per vector inflates the whole row's scale and
+    crushes every other component into 1-2 codes. Group-wise scales
+    (one absmax per ``group_size`` contiguous columns, the GPTQ/AWQ
+    convention) bound each outlier's blast radius to its own group.
+
+    Returns (packed uint8 (N, D/2), scales float32 (N, D/group_size))
+    with ``x ≈ unpack_int4_signed(packed).reshape(N, G, group) *
+    scales[..., None]``. Packing layout is IDENTICAL to
+    :func:`quantize_symmetric_int4` (lo nibble = column c, hi nibble =
+    column c + D/2), so the same decode serves both; only the scale
+    granularity differs. D must be divisible by 2*group_size so both
+    packing halves split on group boundaries.
+    """
+    d = x.shape[-1]
+    if d % 2 or d % group_size:
+        # Packing (col c pairs with c + d/2) and scale grouping act on
+        # the SAME original column order independently, so the only
+        # constraints are an even dim and whole groups.
+        raise ValueError(
+            f"dim {d} must be even and divisible by group_size="
+            f"{group_size}"
+        )
+    g = d // group_size
+    xg = x.reshape(*x.shape[:-1], g, group_size)
+    absmax = jnp.maximum(jnp.max(jnp.abs(xg), axis=-1), _EPS)
+    scales = (absmax / 7.0).astype(jnp.float32)  # (N, G)
+    codes = (
+        jnp.clip(jnp.round(xg / scales[..., None]), -7, 7)
+        .astype(jnp.int32)
+        .reshape(*x.shape[:-1], d)
+    )
+    half = d // 2
+    lo = codes[..., :half] & 0xF
+    hi = codes[..., half:] & 0xF
+    return (lo | (hi << 4)).astype(jnp.uint8), scales
+
+
+def quantize_symmetric_int4_grouped_np(
+    x, *, group_size: int = 128
+) -> Tuple["np.ndarray", "np.ndarray"]:
+    """NumPy twin of :func:`quantize_symmetric_int4_grouped` for
+    host-side pre-quantization (``DenseSearchEngine.from_quantized``)."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    d = x.shape[-1]
+    if d % 2 or d % group_size:
+        raise ValueError(
+            f"dim {d} must be even and divisible by group_size="
+            f"{group_size}"
+        )
+    g = d // group_size
+    xg = x.reshape(*x.shape[:-1], g, group_size)
+    absmax = np.maximum(np.abs(xg).max(axis=-1), _EPS)
+    scales = (absmax / 7.0).astype(np.float32)
+    codes = (
+        np.clip(np.round(xg / scales[..., None]), -7, 7)
+        .astype(np.int32)
+        .reshape(*x.shape[:-1], d)
+    )
+    half = d // 2
+    lo = codes[..., :half] & 0xF
+    hi = codes[..., half:] & 0xF
+    return (lo | (hi << 4)).astype(np.uint8), scales
+
+
+@functools.partial(jax.jit, static_argnames=("k", "packed", "group_size"))
+def int4_search_symmetric_grouped(
+    queries_fp32: jax.Array,  # (B, D)
+    docs_packed: jax.Array,  # (N, D/2) uint8, block-packed signed nibbles
+    doc_scales: jax.Array,  # (N, G) per-(row, group) scales
+    *,
+    k: int,
+    packed: bool = False,
+    group_size: int = 128,
+):
+    """Group-wise int4 symmetric quantized search (XLA backend).
+
+    Per-group doc scales cannot fold into a rank-1 epilogue, so the
+    contraction runs as a G-batched matmul — (G, B, Dg) x (G, N, Dg) ->
+    (G, B, N) with f32 accumulation — followed by the per-(doc, group)
+    scale contraction sum_g acc[g] * scales[:, g]. Same MXU FLOPs as the
+    single matmul; the (G, B, N) intermediate costs G bandwidth passes,
+    which at retrieval shapes is dwarfed by the selection (measured in
+    bench_results/dense_encoder.json r5 rows). Queries ride bf16 (the
+    sparse head's convention, <=0.4% relative)."""
+    b, d = queries_fp32.shape
+    g = d // group_size
+    codes = unpack_int4_signed(docs_packed)  # (N, D) int8
+    n = codes.shape[0]
+    qg = jnp.moveaxis(
+        queries_fp32.astype(jnp.bfloat16).reshape(b, g, group_size), 1, 0
+    )  # (G, B, Dg)
+    cg = jnp.moveaxis(
+        codes.astype(jnp.bfloat16).reshape(n, g, group_size), 1, 0
+    )  # (G, N, Dg)
+    acc = lax.dot_general(
+        qg,
+        cg,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (G, B, N)
+    sims = jnp.einsum("gbn,ng->bn", acc, doc_scales)
+    vals, ids = _select_topk(sims, k)
+    return _pack_result(vals, ids) if packed else (vals, ids)
+
+
 @jax.jit
 def unpack_int4_signed(packed: jax.Array) -> jax.Array:
     """Decode block-packed SIGNED int4 (quantize_symmetric_int4 layout)

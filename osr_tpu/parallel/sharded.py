@@ -486,6 +486,10 @@ class ShardedSparseSearchEngine:
             )
             # q arrays ride in the handle for the rare tie-unsafe
             # fallback re-dispatch of the standard program.
+            from osr_tpu.retrieval.engine import _prefetch
+
+            for arr in out:  # (tops, tids, flag): stream D2H at dispatch
+                _prefetch(arr)
             return cand, ("extract", out, q_ids, q_wts), cand_head, tau_slack
         out = sharded_search(
             q_ids,
@@ -503,6 +507,10 @@ class ShardedSparseSearchEngine:
             interpret=self.pallas_interpret,
             narrow_m=self.narrow_m,
         )
+        from osr_tpu.retrieval.engine import _prefetch
+
+        for arr in out:  # (head_s, head_r, cand_head)
+            _prefetch(arr)
         return cand, out, None, None
 
     def finish_batch(

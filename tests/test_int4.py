@@ -210,3 +210,132 @@ def test_native_int4_pack_matches_numpy():
         np.testing.assert_array_equal(post_ptr, want.post_ptr)
         np.testing.assert_array_equal(post_rows, want.post_rows)
         np.testing.assert_array_equal(post_w, want.post_weights)
+
+
+# ---------------------------------------------------------------------------
+# Group-wise dense int4 (ops/quantize.py:quantize_symmetric_int4_grouped)
+# ---------------------------------------------------------------------------
+
+
+def _outlier_embeddings(n=300, d=256, seed=0):
+    """Embeddings with one large outlier component per row — the case
+    where a single per-row scale crushes all other components (the r4
+    -24% nDCG mechanism)."""
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d).astype(np.float32) * 0.05
+    x[np.arange(n), rng.randint(0, d, size=n)] += rng.choice(
+        [-3.0, 3.0], size=n
+    )
+    return x
+
+
+def test_int4_grouped_reconstruction_beats_per_row():
+    from osr_tpu.ops.quantize import (
+        quantize_symmetric_int4_grouped_np,
+        quantize_symmetric_int4_np,
+        unpack_int4_signed,
+    )
+
+    x = _outlier_embeddings()
+    n, d = x.shape
+    pr_packed, pr_scales = quantize_symmetric_int4_np(x)
+    gr_packed, gr_scales = quantize_symmetric_int4_grouped_np(
+        x, group_size=128
+    )
+    pr = np.asarray(unpack_int4_signed(pr_packed)) * pr_scales[:, None]
+    g = d // 128
+    gr = (
+        np.asarray(unpack_int4_signed(gr_packed)).reshape(n, g, 128)
+        * gr_scales[:, :, None]
+    ).reshape(n, d)
+    err_pr = np.abs(pr - x).mean()
+    err_gr = np.abs(gr - x).mean()
+    assert err_gr < 0.7 * err_pr, (err_gr, err_pr)
+    # Finer groups bound the outlier tighter still.
+    g64_packed, g64_scales = quantize_symmetric_int4_grouped_np(
+        x, group_size=64
+    )
+    g64 = (
+        np.asarray(unpack_int4_signed(g64_packed)).reshape(n, d // 64, 64)
+        * g64_scales[:, :, None]
+    ).reshape(n, d)
+    assert np.abs(g64 - x).mean() < err_gr
+
+
+def test_int4_grouped_single_group_equals_per_row():
+    """group_size = D degenerates to exactly the per-row quantizer:
+    identical packed codes and scales."""
+    from osr_tpu.ops.quantize import (
+        quantize_symmetric_int4_grouped_np,
+        quantize_symmetric_int4_np,
+    )
+
+    x = _outlier_embeddings(n=64, d=128)
+    pr_packed, pr_scales = quantize_symmetric_int4_np(x)
+    gr_packed, gr_scales = quantize_symmetric_int4_grouped_np(
+        x, group_size=128
+    )
+    np.testing.assert_array_equal(pr_packed, gr_packed)
+    np.testing.assert_allclose(pr_scales, gr_scales[:, 0], rtol=1e-6)
+
+
+def test_int4_grouped_np_matches_jax():
+    from osr_tpu.ops.quantize import (
+        quantize_symmetric_int4_grouped,
+        quantize_symmetric_int4_grouped_np,
+    )
+
+    x = _outlier_embeddings(n=96, d=256)
+    jp, js = quantize_symmetric_int4_grouped(x, group_size=128)
+    npp, nps = quantize_symmetric_int4_grouped_np(x, group_size=128)
+    np.testing.assert_array_equal(np.asarray(jp), npp)
+    np.testing.assert_allclose(np.asarray(js), nps, rtol=1e-6)
+
+
+def test_int4_grouped_engine_search_ranks_better_than_per_row():
+    """End-to-end: with outlier-heavy embeddings the grouped engine's
+    top-1 agreement with fp32 must beat per-row int4's."""
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+
+    x = _outlier_embeddings(n=400, d=256, seed=3)
+    ids = [f"d{i}" for i in range(len(x))]
+    q = {f"q{i}": x[i * 7] + 0.01 * np.random.RandomState(i).randn(256)
+         for i in range(40)}
+    fp = DenseSearchEngine(ids, x, quantization="none")
+    pr = DenseSearchEngine(ids, x, quantization="int4")
+    gr = DenseSearchEngine(ids, x, quantization="int4_grouped")
+    r_fp = fp.search(q, top_k=5, min_score=-1e30)
+    r_pr = pr.search(q, top_k=5, min_score=-1e30)
+    r_gr = gr.search(q, top_k=5, min_score=-1e30)
+
+    def top1_agree(res):
+        hits = 0
+        for qid in q:
+            a = next(iter(r_fp[qid]), None)
+            b = next(iter(res[qid]), None)
+            hits += a == b
+        return hits / len(q)
+
+    assert top1_agree(r_gr) >= top1_agree(r_pr)
+    assert top1_agree(r_gr) >= 0.8
+
+
+def test_int4_grouped_from_quantized_matches_ctor():
+    from osr_tpu.ops.quantize import quantize_symmetric_int4_grouped_np
+    from osr_tpu.retrieval.engine import DenseSearchEngine
+
+    x = _outlier_embeddings(n=200, d=256, seed=5)
+    ids = [f"d{i}" for i in range(len(x))]
+    packed, scales = quantize_symmetric_int4_grouped_np(x, group_size=128)
+    e1 = DenseSearchEngine(ids, x, quantization="int4_grouped")
+    e2 = DenseSearchEngine.from_quantized(
+        ids, packed, scales, quantization="int4_grouped"
+    )
+    q = {"q0": x[3], "q1": x[11]}
+    r1 = e1.search(q, top_k=4, min_score=-1e30)
+    r2 = e2.search(q, top_k=4, min_score=-1e30)
+    assert r1.keys() == r2.keys()
+    for qid in r1:
+        assert list(r1[qid]) == list(r2[qid])
+        for d_, s in r1[qid].items():
+            assert abs(s - r2[qid][d_]) < 1e-4

@@ -163,6 +163,9 @@ def main():
     int8_res, int8_qps = run("symmetric")
     asym_res, _ = run("asymmetric")
     int4_res, int4_qps = run("int4")
+    # Group-wise (128-col) scales: the r4 per-row int4 lost 24% nDCG@10
+    # on embeddings; this leg measures the recovery (VERDICT r4 #7).
+    int4g_res, int4g_qps = run("int4_grouped")
 
     def quality(res):
         m = evaluate_retrieval(res, qrels, k_values=(args.topk,))
@@ -205,11 +208,13 @@ def main():
         "int8_symmetric": quality(int8_res),
         "uint8_asymmetric": quality(asym_res),
         "int4_symmetric": quality(int4_res),
+        "int4_grouped128": quality(int4g_res),
         "int8_vs_fp32_p_at_k_overlap": round(float(np.mean(overlaps)), 4),
         "int8_vs_fp32_spearman": round(float(np.mean(spearmans)), 4),
         "qps_fp32": round(fp32_qps, 1),
         "qps_int8": round(int8_qps, 1),
         "qps_int4": round(int4_qps, 1),
+        "qps_int4_grouped": round(int4g_qps, 1),
         "top_k": args.topk,
         "device": str(dev),
     }
