@@ -95,35 +95,44 @@ def main() -> None:
         retr.build_index_from_corpus(corpus)
         build_s = time.perf_counter() - t0
 
-        def grade(results, label, extra):
+        def graded_search(searcher, label, extra):
+            """Quality from the first (compile-warming) pass; QPS from a
+            second, warm pass — the same warm-steady-state convention as
+            benchmarks/quality.py (r4 weak #3: cold one-pass QPS columns
+            contradicted the engines' real throughput)."""
+            results = searcher(queries, top_k=args.top_k)
+            if hasattr(retr, "clear_cache"):
+                retr.clear_cache()
+            t0 = time.perf_counter()
+            searcher(queries, top_k=args.top_k)
+            qps = len(queries) / (time.perf_counter() - t0)
+            if hasattr(retr, "clear_cache"):
+                retr.clear_cache()
             m = evaluate_retrieval(results, qrels, k_values=(10, 100))
-            row = {"config": label, **extra,
+            row = {"config": label, **extra, "qps_warm": round(qps, 1),
                    **{k: round(v, 4) for k, v in m.items()}}
             print(json.dumps(row), file=sys.stderr)
             return row
 
         rows = []
         # Legs alone (same engines the fusion draws from — no rebuild).
-        rows.append(grade(retr.sparse.search(queries, top_k=args.top_k),
-                          "sparse_only", {}))
-        rows.append(grade(retr.dense.search(queries, top_k=args.top_k),
-                          "dense_only", {}))
+        rows.append(graded_search(retr.sparse.search, "sparse_only", {}))
+        rows.append(graded_search(retr.dense.search, "dense_only", {}))
         for sw in (0.3, 0.5, 0.7, 0.9):
             retr.set_fusion(sparse_weight=sw, dense_weight=1.0 - sw,
                             fusion="weighted")
-            rows.append(grade(retr.search(queries, top_k=args.top_k),
-                              "weighted",
-                              {"sparse_weight": sw,
-                               "dense_weight": round(1.0 - sw, 2)}))
+            rows.append(graded_search(retr.search, "weighted",
+                                      {"sparse_weight": sw,
+                                       "dense_weight": round(1.0 - sw, 2)}))
         for sw, dw, rk in ((1.0, 1.0, 20.0), (1.0, 1.0, 60.0),
                            (1.0, 1.0, 100.0), (2.0, 1.0, 20.0),
                            (2.0, 1.0, 60.0), (2.0, 1.0, 100.0),
                            (3.0, 1.0, 60.0)):
             retr.set_fusion(sparse_weight=sw, dense_weight=dw,
                             fusion="rrf", rrf_k=rk)
-            rows.append(grade(retr.search(queries, top_k=args.top_k),
-                              "rrf", {"sparse_weight": sw,
-                                      "dense_weight": dw, "rrf_k": rk}))
+            rows.append(graded_search(retr.search, "rrf",
+                                      {"sparse_weight": sw,
+                                       "dense_weight": dw, "rrf_k": rk}))
 
     import jax
 

@@ -50,7 +50,11 @@ def main():
     layout = HybridLayout(
         head_terms=meta["head_terms"],
         head=ld("head"),
-        head_scales=ld("head_scales") if meta["head_dtype"] == "int8" else None,
+        head_scales=(
+            ld("head_scales")
+            if meta["head_dtype"] in ("int8", "int4")
+            else None
+        ),
         post_ptr=ld("post_ptr"),
         post_rows=ld("post_rows"),
         post_weights=ld("post_weights"),
@@ -108,7 +112,10 @@ def main():
     stats["cand_per_query"] = round(cand.total / len(texts), 1)
     cand_head, stats["cand_head_dot_ms"] = t(
         lambda: cand_head_scores_host(
-            layout.head, layout.head_dtype, layout.head_scales, cand,
+            # The engine's HOST head view (int4 heads are pre-unpacked
+            # to the int8 values the device sees).
+            engine._host_head, engine._host_head_dtype,
+            layout.head_scales, cand,
             enc.head_flat_ids, enc.head_flat_counts, enc.head_ptr,
             head_t=engine._head_t,
         )
