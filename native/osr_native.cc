@@ -33,7 +33,26 @@
 
 #include <zlib.h>
 
+#if defined(__GLIBC__)
+#include <malloc.h>
+#endif
+
 namespace {
+
+// The tail walker's per-call arenas run to hundreds of MB at 10M docs;
+// glibc serves allocations above its mmap threshold with fresh mmap +
+// page-fault + munmap cycles, which measured 102 ns/posting vs 23 once
+// its dynamic threshold adapts (two frees later). Pin the threshold up
+// front so the first batches run at steady-state speed too.
+struct MallocTuner {
+  MallocTuner() {
+#if defined(__GLIBC__)
+    mallopt(M_MMAP_THRESHOLD, 1 << 30);
+    mallopt(M_TRIM_THRESHOLD, 1 << 30);
+#endif
+  }
+};
+const MallocTuner g_malloc_tuner;
 
 inline bool is_word_byte(unsigned char c) {
   return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
@@ -621,94 +640,137 @@ int64_t encode_queries(void* vocab_h, const char* buf,
 // flat query-major candidate list (rows ascending per query). Returns total
 // candidates, or -1 if `cap` is too small.
 //
-// Algorithm (v2): collect every touched (row, weight*count) pair with
-// sequential segment copies, STABLE LSD radix-sort by row (two 11-bit
-// passes; rows < 2^22 per chip), then one linear scan summing adjacent
-// duplicates. Measured ~6x faster than the previous k-way heap merge at
-// the 1M-doc workload (~4k postings/query): the heap paid ~200 ns/posting
-// in branchy pop/push, the radix pays ~35 ns. Stability makes duplicate
-// summation order = segment (term) order — identical to the NumPy
-// reference path's bincount order.
+// Algorithm (v3): structure-of-arrays segment copies (memcpy rows, SIMD-able
+// weight*count multiply), STABLE LSD radix sort by row (12-bit digits: two
+// passes cover the engine's 2^24-row cap), one adjacent-duplicate summing
+// scan into a per-THREAD arena, then one parallel copy out. v2 stored each
+// query's result in its own std::vector: at 10M docs that is a ~340 KB
+// reserve PER QUERY, which crosses glibc's mmap threshold — every query
+// paid mmap + page faults + munmap, measured 102 ns/posting vs 12.7 at 1M
+// (tools/profile_host_scale.py). The arena reserves once per thread per
+// call. Stability makes duplicate summation order = segment (term) order —
+// identical to the NumPy reference path's bincount order.
 int64_t tail_candidates(const int64_t* post_ptr, const int32_t* post_rows,
                         const float* post_w, const int32_t* q_tids,
                         const float* q_counts, const int64_t* q_ptr,
                         int64_t nq, int32_t* out_rows, int32_t* out_cols,
                         float* out_tail, int64_t* out_qptr, int64_t cap) {
-  std::vector<std::vector<std::pair<int32_t, float>>> rows(
-      static_cast<size_t>(nq));
   int threads = n_threads_for(q_ptr[nq] + nq, 256);
-  parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
-    constexpr int kBits = 11;
-    constexpr int kBuckets = 1 << kBits;   // 2048
+  std::vector<std::vector<int32_t>> arena_rows(
+      static_cast<size_t>(threads));
+  std::vector<std::vector<float>> arena_vals(static_cast<size_t>(threads));
+  std::vector<int64_t> qcount(static_cast<size_t>(nq), 0);
+  std::vector<int64_t> qoff(static_cast<size_t>(nq), 0);
+  std::vector<int> qthread(static_cast<size_t>(nq), 0);
+  parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int t) {
+    constexpr int kBits = 12;
+    constexpr int kBuckets = 1 << kBits;  // 4096
     constexpr int32_t kMask = kBuckets - 1;
-    std::vector<std::pair<int32_t, float>> buf, buf2;
-    // int64 counters: a query whose terms' postings total >= 2^31 pairs
-    // would silently overflow int32 histogram offsets (unreachable at
-    // 1-10M docs, but the layout imposes no such cap).
+    // Radix scratch, SoA. int64 histogram: a query whose terms' postings
+    // total >= 2^31 would overflow int32 offsets (unreachable at 1-10M
+    // docs, but the layout imposes no such cap).
+    std::vector<int32_t> br, br2;
+    std::vector<float> bv, bv2;
     std::vector<int64_t> hist(kBuckets);
+    auto& ar = arena_rows[static_cast<size_t>(t)];
+    auto& av = arena_vals[static_cast<size_t>(t)];
+    // One arena reserve per call: the range's total postings bound the
+    // range's total candidates.
+    int64_t range_post = 0;
+    for (int64_t j = q_ptr[lo]; j < q_ptr[hi]; ++j) {
+      int32_t tt = q_tids[j];
+      range_post += post_ptr[tt + 1] - post_ptr[tt];
+    }
+    ar.clear();
+    av.clear();
+    ar.reserve(static_cast<size_t>(range_post));
+    av.reserve(static_cast<size_t>(range_post));
     for (int64_t q = lo; q < hi; ++q) {
-      auto& out = rows[static_cast<size_t>(q)];
       int64_t total_post = 0;
       for (int64_t j = q_ptr[q]; j < q_ptr[q + 1]; ++j) {
-        int32_t t = q_tids[j];
-        total_post += post_ptr[t + 1] - post_ptr[t];
+        int32_t tt = q_tids[j];
+        total_post += post_ptr[tt + 1] - post_ptr[tt];
       }
+      qthread[static_cast<size_t>(q)] = t;
+      qoff[static_cast<size_t>(q)] = static_cast<int64_t>(ar.size());
       if (total_post == 0) continue;
-      buf.clear();
-      buf.reserve(static_cast<size_t>(total_post));
+      if (static_cast<int64_t>(br.size()) < total_post) {
+        br.resize(static_cast<size_t>(total_post));
+        bv.resize(static_cast<size_t>(total_post));
+        br2.resize(static_cast<size_t>(total_post));
+        bv2.resize(static_cast<size_t>(total_post));
+      }
+      int64_t n = 0;
       int32_t max_row = 0;
       for (int64_t j = q_ptr[q]; j < q_ptr[q + 1]; ++j) {
-        int32_t t = q_tids[j];
+        int32_t tt = q_tids[j];
         float cnt = q_counts[j];
-        int64_t a = post_ptr[t], z = post_ptr[t + 1];
-        for (int64_t i = a; i < z; ++i) {
-          buf.emplace_back(post_rows[i], post_w[i] * cnt);
-        }
-        if (z > a && post_rows[z - 1] > max_row) max_row = post_rows[z - 1];
+        int64_t a = post_ptr[tt], z = post_ptr[tt + 1];
+        int64_t len = z - a;
+        if (len == 0) continue;
+        std::memcpy(br.data() + n, post_rows + a,
+                    static_cast<size_t>(len) * sizeof(int32_t));
+        const float* w = post_w + a;
+        float* dst = bv.data() + n;
+        for (int64_t i = 0; i < len; ++i) dst[i] = w[i] * cnt;
+        if (post_rows[z - 1] > max_row) max_row = post_rows[z - 1];
+        n += len;
       }
-      // LSD radix passes over 11-bit digits, skipping digits beyond the
-      // max row (typically 2 passes; 3 only past 4M rows/chip).
-      buf2.resize(buf.size());
+      // LSD radix passes over 12-bit digits, skipping digits beyond the
+      // max row (2 passes below 2^24 rows — the single-chip cap).
       for (int shift = 0; (max_row >> shift) != 0 || shift == 0;
            shift += kBits) {
         std::fill(hist.begin(), hist.end(), 0);
-        for (const auto& pr : buf) ++hist[(pr.first >> shift) & kMask];
+        for (int64_t i = 0; i < n; ++i) ++hist[(br[i] >> shift) & kMask];
         int64_t run = 0;
         for (int bkt = 0; bkt < kBuckets; ++bkt) {
           int64_t c = hist[bkt];
           hist[bkt] = run;
           run += c;
         }
-        for (const auto& pr : buf) {
-          buf2[hist[(pr.first >> shift) & kMask]++] = pr;
+        for (int64_t i = 0; i < n; ++i) {
+          int64_t dst = hist[(br[i] >> shift) & kMask]++;
+          br2[static_cast<size_t>(dst)] = br[i];
+          bv2[static_cast<size_t>(dst)] = bv[i];
         }
-        buf.swap(buf2);
+        br.swap(br2);
+        bv.swap(bv2);
       }
-      out.reserve(static_cast<size_t>(total_post));
-      for (const auto& pr : buf) {
-        if (!out.empty() && out.back().first == pr.first) {
-          out.back().second += pr.second;
+      // Adjacent-duplicate sum into the arena.
+      int64_t start = static_cast<int64_t>(ar.size());
+      for (int64_t i = 0; i < n; ++i) {
+        if (static_cast<int64_t>(ar.size()) > start &&
+            ar.back() == br[i]) {
+          av.back() += bv[i];
         } else {
-          out.push_back(pr);
+          ar.push_back(br[i]);
+          av.push_back(bv[i]);
         }
       }
+      qcount[static_cast<size_t>(q)] =
+          static_cast<int64_t>(ar.size()) - start;
     }
   });
   int64_t total = 0;
   out_qptr[0] = 0;
   for (int64_t q = 0; q < nq; ++q) {
-    total += static_cast<int64_t>(rows[static_cast<size_t>(q)].size());
+    total += qcount[static_cast<size_t>(q)];
     out_qptr[q + 1] = total;
   }
   if (total > cap) return -1;
   parallel_ranges(nq, threads, [&](int64_t lo, int64_t hi, int) {
     for (int64_t q = lo; q < hi; ++q) {
+      const auto& ar = arena_rows[static_cast<size_t>(qthread[q])];
+      const auto& av = arena_vals[static_cast<size_t>(qthread[q])];
       int64_t off = out_qptr[q];
-      for (auto& pr : rows[static_cast<size_t>(q)]) {
-        out_rows[off] = pr.first;
-        out_cols[off] = static_cast<int32_t>(q);
-        out_tail[off] = pr.second;
-        ++off;
+      int64_t src = qoff[static_cast<size_t>(q)];
+      int64_t cnt = qcount[static_cast<size_t>(q)];
+      std::memcpy(out_rows + off, ar.data() + src,
+                  static_cast<size_t>(cnt) * sizeof(int32_t));
+      std::memcpy(out_tail + off, av.data() + src,
+                  static_cast<size_t>(cnt) * sizeof(float));
+      for (int64_t i = 0; i < cnt; ++i) {
+        out_cols[off + i] = static_cast<int32_t>(q);
       }
     }
   });

@@ -324,6 +324,101 @@ def merge_tau_slack(
     return (csum[ptr[1:]] - csum[ptr[:-1]]).astype(np.float32)
 
 
+def filter_candidates_by_tau(
+    cand: FlatCandidates,
+    head_scores: np.ndarray,  # (B, k) device head top-k scores (desc)
+    head_rows: np.ndarray,  # (B, k) int32 device head top-k rows
+    k: int,
+    tau_slack: np.ndarray,  # (B,) f32 device/host head rounding bound
+    num_rows: int,
+) -> FlatCandidates:
+    """Exact pre-head-dot candidate filter (the 10M-doc host cure).
+
+    A doc OUTSIDE the device head top-k has device head score <= tau0 (the
+    k-th head-only score, by definition of that top-k), so its host-channel
+    reported total is <= tau0 + slack_q + tail. It can enter the final
+    top-k only if that bound reaches tau_final, the k-th best reported
+    total. We lower-bound tau_final from the head-top docs alone:
+    each head-top doc's reported total is >= head_score_i - slack_q +
+    tail_i (tail_i found by binary search into the candidate list, 0 if
+    untouched), so tau_lb = k-th largest of those is <= tau_final. Drop
+    candidates with tau0 + slack_q + tail < tau_lb, i.e.
+    ``tail < tau_lb - tau0 - slack_q`` — EXACT: a dropped candidate's
+    reported total is strictly below tau_final, so it cannot displace any
+    top-k member even under ties. Candidates whose row IS in the head
+    top-k are always retained (their exact totals feed the merge's masked
+    union channel; their device score can exceed tau0).
+
+    Measured at 10M docs / F=2048 (tools/profile_host_scale.py): theta =
+    tau_final - tau0 has median ~9.6 while 90% of candidates carry tail
+    < 8, so ~90% of the candidate head-dot + merge work vanishes. At FiQA
+    scale candidates are few and the engine keeps the overlapped
+    dispatch-time head-dot instead (engine gates on candidates/query).
+    """
+    b, kh = head_scores.shape
+    total = cand.total
+    if total == 0 or kh < k:
+        return cand
+    nq = len(cand.ptr) - 1
+    tails = cand.tail[:total]
+    cols = cand.cols[:total]
+    rows = cand.rows[:total]
+
+    # Head-top tails via one global binary search (same key trick as the
+    # merge's touched-mask).
+    key_flat = cols.astype(np.int64) * np.int64(num_rows + 1) + rows
+    bq = min(b, nq)
+    head_keys = (
+        np.repeat(np.arange(bq, dtype=np.int64), kh)
+        * np.int64(num_rows + 1)
+        + head_rows[:bq].ravel()
+    )
+    pos = np.searchsorted(key_flat, head_keys)
+    in_b = pos < total
+    touched = np.zeros(bq * kh, dtype=bool)
+    touched[in_b] = key_flat[pos[in_b]] == head_keys[in_b]
+    top_tail = np.zeros(bq * kh, dtype=np.float32)
+    top_tail[touched] = tails[pos[touched]]
+    top_tail = top_tail.reshape(bq, kh)
+
+    slack = np.asarray(tau_slack, dtype=np.float32)
+    if len(slack) < bq:
+        # tau_slack covers real queries only; bucket-padded queries have
+        # -inf head scores, so their theta is -inf (keep-all) regardless.
+        slack = np.concatenate(
+            [slack, np.full(bq - len(slack), np.inf, np.float32)]
+        )
+    slack = slack[:bq]
+    with np.errstate(invalid="ignore"):
+        lb_totals = (
+            head_scores[:bq].astype(np.float32)
+            - slack[:, None]
+            + top_tail
+        )
+        # k-th largest of the k head-top lower bounds per query.
+        tau_lb = -np.partition(-lb_totals, k - 1, axis=1)[:, k - 1]
+        tau0 = head_scores[:bq, k - 1].astype(np.float32)
+        theta = tau_lb - tau0 - slack - 1e-6
+    # Keep everything for queries where the bound is vacuous or undefined
+    # (padded queries, < k finite head entries, theta <= 0).
+    theta = np.where(np.isfinite(theta), theta, -np.inf)
+    theta_full = np.full(nq, -np.inf, dtype=np.float32)
+    theta_full[:bq] = theta
+
+    keep = tails >= theta_full[cols]
+    # Retain head-top rows' candidates unconditionally.
+    keep[pos[touched]] = True
+    if keep.all():
+        return cand
+    new_rows = rows[keep]
+    new_cols = cols[keep]
+    new_tail = tails[keep]
+    new_total = int(new_rows.shape[0])
+    ptr = np.zeros(nq + 1, dtype=np.int64)
+    np.cumsum(np.bincount(new_cols, minlength=nq), out=ptr[1:])
+    return FlatCandidates(new_rows, new_cols, new_tail, ptr, new_total)
+
+
 def merge_host(
     head_scores: np.ndarray,  # (B, k) device head top-k scores
     head_rows: np.ndarray,  # (B, k) int32 device head top-k rows

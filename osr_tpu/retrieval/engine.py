@@ -36,6 +36,7 @@ from osr_tpu.index.postings import (
     FlatCandidates,
     cand_head_scores_host,
     dense_tail_scores,
+    filter_candidates_by_tau,
     merge_host,
     merge_tau_slack,
     prepare_host_merge,
@@ -186,6 +187,7 @@ class SparseSearchEngine:
         score_chunk_rows=None,  # None = auto by SCORE_BUDGET_BYTES; 0 = off
         narrow_m: int = 0,  # per-block top-m narrowing; 0 = full-width
         narrow_backend: str = "xla",  # 'extract' = Mosaic top-m kernel
+        cand_filter_per_query: int = 2048,  # defer+filter threshold; 0 = off
     ):
         from osr_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -215,6 +217,13 @@ class SparseSearchEngine:
         if narrow_backend not in ("xla", "extract"):
             raise ValueError(f"Unknown narrow_backend: {narrow_backend}")
         self.narrow_backend = narrow_backend
+        # Candidate tail-filter gate (postings.py:filter_candidates_by_tau):
+        # above this mean candidates/query the host-merge path defers the
+        # candidate head-dot to collect time and filters first — at 10M
+        # docs ~90% of candidates provably cannot reach the final top-k.
+        # Below it (FiQA-scale: ~500/query), the dispatch-time head-dot
+        # overlaps the device step and filtering would buy nothing.
+        self.cand_filter_per_query = int(cand_filter_per_query)
         layout0 = index.layout
         if layout0.num_rows >= (1 << 24):
             # The packed top-k result carries row ids as f32 VALUES
@@ -577,22 +586,36 @@ class SparseSearchEngine:
             # the head top-k — zero discrepancy, zero slack.
             tau_slack = np.zeros(enc.head_ids.shape[0], dtype=np.float32)
         else:
-            cand_head = cand_head_scores_host(
-                self._host_head,
-                self._host_head_dtype,
-                layout.head_scales,
-                cand,
-                enc.head_flat_ids,
-                enc.head_flat_counts,
-                enc.head_ptr,
-                head_t=self._head_t,
-            )
             tau_slack = merge_tau_slack(
                 self._slack_per_term,
                 enc.head_flat_ids,
                 enc.head_flat_counts,
                 enc.head_ptr,
             )
+            nq_real = max(1, len(enc.head_ptr) - 1)
+            if (
+                self.cand_filter_per_query
+                and cand.total
+                >= self.cand_filter_per_query * nq_real
+            ):
+                # Large candidate loads (1M+ doc corpora): defer the
+                # head-dot to finish_batch, where the device head top-k
+                # enables the exact tau filter
+                # (postings.py:filter_candidates_by_tau). The host is the
+                # critical path in this regime, so losing dispatch-time
+                # overlap costs nothing next to ~90% less head-dot work.
+                cand_head = ("tau_filter", enc)
+            else:
+                cand_head = cand_head_scores_host(
+                    self._host_head,
+                    self._host_head_dtype,
+                    layout.head_scales,
+                    cand,
+                    enc.head_flat_ids,
+                    enc.head_flat_counts,
+                    enc.head_ptr,
+                    head_t=self._head_t,
+                )
         return cand, out, cand_head, tau_slack
 
     def finish_batch(
@@ -650,6 +673,26 @@ class SparseSearchEngine:
                 head_r = arr[:, kk:-1].astype(np.int32)
         else:
             head_s, head_r = unpack_topk(np.asarray(packed))
+        if isinstance(cand_head, tuple) and cand_head[0] == "tau_filter":
+            enc = cand_head[1]
+            cand = filter_candidates_by_tau(
+                cand,
+                head_s,
+                head_r,
+                top_k,
+                tau_slack,
+                self.index.layout.num_rows,
+            )
+            cand_head = cand_head_scores_host(
+                self._host_head,
+                self._host_head_dtype,
+                self.index.layout.head_scales,
+                cand,
+                enc.head_flat_ids,
+                enc.head_flat_counts,
+                enc.head_ptr,
+                head_t=self._head_t,
+            )
         return merge_host(
             head_s,
             head_r,

@@ -336,3 +336,29 @@ def test_chunk_budget_counts_xla_int4_transient():
         assert got_rows < rows_old_model
     finally:
         eng.SCORE_BUDGET_BYTES, eng.HBM_SEARCH_BUDGET_BYTES = saved
+
+
+def test_cand_filter_bit_identical(corpus, queries):
+    """The exact tau candidate filter (postings.filter_candidates_by_tau,
+    engine cand_filter_per_query) must be invisible: identical scores,
+    rows, and tie order vs the unfiltered host-merge path, across head
+    widths that put most postings in the tail."""
+    for head_terms in (32, 128):
+        index = SparseIndexBuilder(head_terms=head_terms).build(corpus)
+        base = SparseSearchEngine(
+            index, cache_queries=False, merge_backend="host",
+            cand_filter_per_query=0,
+        )
+        filt = SparseSearchEngine(
+            index, cache_queries=False, merge_backend="host",
+            cand_filter_per_query=1,  # force the deferred+filtered path
+        )
+        r0 = base.search(queries, top_k=10)
+        r1 = filt.search(queries, top_k=10)
+        assert set(r0) == set(r1)
+        for qid in r0:
+            assert list(r0[qid].keys()) == list(r1[qid].keys())
+            assert np.allclose(
+                list(r0[qid].values()), list(r1[qid].values()),
+                rtol=0, atol=0,
+            )
